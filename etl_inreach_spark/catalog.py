@@ -1,0 +1,87 @@
+"""Table catalog over the driver's parquet test data (TESTDATA.md).
+
+All queries load through here so scans stay uniform: plain
+``spark.read.parquet`` — predicate pushdown, column pruning and
+partition sizing are Catalyst's job, not ours.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are fixed-size; supplier/part/customer grow with SF but
+# stay far under executor memory at the SFs we target locally — at true
+# 100 TB scale the join helpers take an explicit ``broadcast=`` knob).
+SMALL_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@lru_cache(maxsize=None)
+def _nanos_ts_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp[ns] (Spark has no nanos type)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; normalize nanosecond timestamps to Spark micros.
+
+    The driver's generator writes some timestamp columns as
+    parquet TIMESTAMP(NANOS), which Spark rejects outright
+    (PARQUET_TYPE_ILLEGAL) while DuckDB truncates to microseconds. We
+    read nanos as raw int64 (legacy conf) and integer-divide to micros
+    — identical truncation to DuckDB, so oracle hashes agree. The
+    conversion is a narrow projection fused into the scan stage by
+    whole-stage codegen; no extra pass.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_ts_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # `div` = integer division: nanos are ~1.8e18, beyond double's
+        # 53-bit exactness, so float division would corrupt low digits.
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so operators are usable from spark.sql too."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

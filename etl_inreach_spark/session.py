@@ -1,0 +1,67 @@
+"""SparkSession construction with scale-conscious defaults.
+
+The driver hands queries an externally-built session, so nothing in the
+query library may *depend* on these settings — they are defaults for
+tests, bench.py and standalone use. ``tune(spark)`` applies the subset
+of runtime-settable confs to a foreign session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs, safe to apply to any session (including the
+# driver's). Everything timezone- or semantics-sensitive that the query
+# library relies on belongs here.
+RUNTIME_CONF: dict[str, str] = {
+    # Oracle parity: DuckDB timestamps are naive/UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for the few pandas-UDF operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime on this build — keep going;
+            # the query library uses try_* functions and explicit casts
+            # so it does not hard-depend on any single conf.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "etl-inreach-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or get) a local session with scale-appropriate defaults.
+
+    On a real cluster most of these are cluster-managed; locally they
+    make local[N] behave like a small cluster: shuffle partitions sized
+    to cores (AQE coalesces down), generous driver memory for the
+    single-JVM layout.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

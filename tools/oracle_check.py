@@ -1,0 +1,140 @@
+"""Self-check harness emulating the driver's DuckDB oracle comparison.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB at a
+given sf dir, and compares row count, column names, and values
+(order-insensitive: rows sorted by all columns, columns sorted by
+name). Floats are compared exactly first; if not exactly equal we
+report the max abs diff so decimal-discipline regressions are visible.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from etl_inreach_spark.catalog import TABLES, table_path  # noqa: E402
+from etl_inreach_spark.queries import all_oracles, all_queries  # noqa: E402
+from etl_inreach_spark.session import get_spark  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def normalize_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize_cell(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def sorted_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize_cell(r[i]) for i in idx) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return [cols[i] for i in idx], out
+
+
+def compare(name, spark_cols, spark_rows, duck_cols, duck_rows) -> list[str]:
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+    sc = sorted(c.lower() for c in spark_cols)
+    dc = sorted(c.lower() for c in duck_cols)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+    if problems:
+        return problems
+    _, srows = sorted_rows([c.lower() for c in spark_cols], spark_rows)
+    _, drows = sorted_rows([c.lower() for c in duck_cols], duck_rows)
+    max_float_diff = 0.0
+    n_exact_mismatch = 0
+    example = None
+    for sr, dr in zip(srows, drows):
+        for a, b in zip(sr, dr):
+            if a == b:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                d = abs(a - b)
+                rel = d / max(abs(a), abs(b), 1e-300)
+                if rel > 1e-9:
+                    n_exact_mismatch += 1
+                    example = example or (a, b)
+                max_float_diff = max(max_float_diff, d)
+            else:
+                n_exact_mismatch += 1
+                example = example or (a, b)
+    if n_exact_mismatch:
+        problems.append(f"{n_exact_mismatch} value mismatches, e.g. {example}")
+    elif max_float_diff > 0:
+        problems.append(f"FLOAT-ULP-ONLY diffs (max abs {max_float_diff:.3e}) — hash would FAIL")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    qs, oracles = all_queries(), all_oracles()
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    failed = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(spark_rows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            if len(spark_rows) == 0:
+                failed.append(name)
+                print(f"FAIL {name}: 0 rows on rows-only query")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+        problems = compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"PASS {name}: rows={len(spark_rows)} [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
