@@ -1,0 +1,56 @@
+"""Nested-data transforms: coordinate strings, EAV pivot, GeoJSON
+projection (SURVEY.md §2.1 O11/O12/O17)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def split_coordinates(csv: Column) -> Column:
+    """O11 (task.ts:105-107) — '"lon,lat,alt"' -> array<double>.
+
+    try_cast per element: a malformed component becomes NULL, the row
+    survives (JS parseFloat -> NaN analog, SURVEY.md §2.3.5).
+    """
+    return F.transform(F.split(csv, ","), lambda x: x.try_cast("double"))
+
+
+def coord(arr: Column, i: int) -> Column:
+    """1-based component access; NULL when absent (2-element coords
+    have no altitude). try_element_at: ANSI mode must not throw."""
+    return F.try_element_at(arr, F.lit(i))
+
+
+def eav_to_map(entries: Column, key_field: str = "name", value_field: str = "value") -> Column:
+    """O12 (task.ts:109-112) — fold array<struct<name,value>> EAV pairs
+    into map<string,string> for by-name lookups."""
+    return F.map_from_entries(
+        F.transform(entries, lambda e: F.struct(e[key_field], e[value_field]))
+    )
+
+
+def map_get(m: Column, key: str) -> Column:
+    """Lookup that yields NULL on a missing key (undefined analog,
+    SURVEY.md §2.3.6) — try_element_at, never ANSI error."""
+    return F.try_element_at(m, F.lit(key))
+
+
+def point_geometry(lon: Column, lat: Column, alt: Column | None = None) -> Column:
+    """GeoJSON Point geometry struct (task.ts:145-148)."""
+    coords = (
+        F.array(lon, lat)
+        if alt is None
+        else F.filter(F.array(lon, lat, alt), lambda c: c.isNotNull())
+    )
+    return F.struct(F.lit("Point").alias("type"), coords.alias("coordinates"))
+
+
+def feature_struct(feature_id: Column, properties: Column, geometry: Column) -> Column:
+    """GeoJSON Feature struct (task.ts:115-149)."""
+    return F.struct(
+        feature_id.alias("id"),
+        F.lit("Feature").alias("type"),
+        properties.alias("properties"),
+        geometry.alias("geometry"),
+    )

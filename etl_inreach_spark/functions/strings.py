@@ -1,0 +1,55 @@
+"""String transforms observed in the reference (SURVEY.md §2.1).
+
+All pure Column expressions — whole-stage-codegen friendly, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference operator O2 (task.ts:70-74): a ShareId may arrive as a bare
+# id, as "https://<host>/<id>", or as "share.garmin.com/<id>".
+SHARE_URL_PREFIX_RE = r"^https://[^/]+/|^share\.garmin\.com/"
+
+GARMIN_SHARE_BASE = "https://share.garmin.com/"
+
+
+def normalize_share_id(share_id: Column) -> Column:
+    """O2 — strip URL prefixes down to the bare share key."""
+    return F.regexp_replace(share_id, SHARE_URL_PREFIX_RE, "")
+
+
+def default_fill(primary: Column, fallback: Column) -> Column:
+    """O3 (task.ts:75) — CallSign defaults to ShareId when absent."""
+    return F.coalesce(primary, fallback)
+
+
+def share_feed_url(share_id: Column) -> Column:
+    """O4 (task.ts:78) — per-share feed URL."""
+    return F.concat(F.lit(GARMIN_SHARE_BASE + "Feed/Share/"), share_id)
+
+
+def share_link_url(share_id: Column) -> Column:
+    """Feature link URL (task.ts:128)."""
+    return F.concat(F.lit(GARMIN_SHARE_BASE), share_id)
+
+
+def surrogate_key(imei: Column, prefix: str = "inreach-") -> Column:
+    """O13 (task.ts:114) — device-identity surrogate key.
+
+    IMEI, not message Id (reference CHANGELOG.md:122-124, v3.7.3).
+    """
+    return F.concat(F.lit(prefix), imei)
+
+
+def strip_unit(value: Column) -> Column:
+    """O14 (task.ts:119-120) — drop everything from the first
+    whitespace: '"123.0 ° True"' -> '"123.0"'."""
+    return F.regexp_replace(value, r"\s.*$", "")
+
+
+def strip_unit_to_double(value: Column) -> Column:
+    """O14 + cast. try_cast so malformed values yield NULL instead of
+    failing the job under ANSI mode (per-row error isolation)."""
+    return strip_unit(value).try_cast("double")

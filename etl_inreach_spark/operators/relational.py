@@ -1,0 +1,119 @@
+"""Relational operators: broadcast config join, anchored time-window
+filter, as-of join (SURVEY.md §2.2 joins row, O5).
+
+Scale notes per operator are in the docstrings — these are the pieces
+where shuffle strategy decides whether 100 TB works.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Fact-to-dimension join, broadcasting the dim side by default.
+
+    The idiomatic rendering of the reference's closure-captured config
+    (task.ts:68,121,128): config rows are KBs, so they ship to every
+    executor and the join is shuffle-free. Set ``broadcast=False`` for
+    dims too large for executor memory — Catalyst then picks
+    sort-merge/shuffled-hash (AQE may still convert back to broadcast
+    if runtime stats allow).
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return fact.join(d, on=on, how=how)
+
+
+def filter_recent(
+    df: DataFrame,
+    ts_col: str,
+    lookback: str = "30 minutes",
+    anchor: Column | None = None,
+) -> DataFrame:
+    """O5 (task.ts:80-82) — keep rows within ``lookback`` of an anchor.
+
+    The reference pushes ``d1 = now - 30min`` to the server; the batch
+    analog anchors on max(ts) for determinism (FIXTURES.md §5). The
+    anchor aggregate is a 1-row DataFrame broadcast-joined in — at any
+    scale this is one cheap pre-pass (min/max come from parquet
+    footer stats) plus a shuffle-free join; the comparison itself is
+    codegen'd and, when the anchor is a literal, pushed to the scan.
+    """
+    if anchor is not None:
+        return df.filter(F.col(ts_col) >= anchor - F.expr(f"INTERVAL {lookback}"))
+    anchor_df = df.agg(F.max(F.col(ts_col)).alias("_anchor"))
+    return (
+        df.join(F.broadcast(anchor_df))
+        .filter(F.col(ts_col) >= F.col("_anchor") - F.expr(f"INTERVAL {lookback}"))
+        .drop("_anchor")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` on the same key.
+
+    Implemented as UNION + single window pass (the scale path): tag
+    both sides, sort each key's timeline once, and carry the last seen
+    right-side values forward with ``last(..., ignorenulls=True)``.
+    One shuffle on the key, no per-row range probe, no O(n*m) key
+    blow-up — this survives 100 TB where a range-condition join (which
+    Spark plans as a broadcast-nested-loop or exploding theta join)
+    does not. Right rows sort BEFORE left rows on timestamp ties, so
+    an exactly-simultaneous right row is visible (<= semantics).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_value_cols],
+        F.col(left_ts).alias("_ts"),
+    )
+    tagged_right = right.select(
+        *[
+            F.col(k) if k in key_cols else F.lit(None).cast(left.schema[k].dataType).alias(k)
+            for k in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+        F.col(right_ts).alias("_ts"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # Tie-break among right rows sharing a timestamp: order by the
+    # carried value columns so `last` is deterministic (left rows have
+    # NULLs there and are already separated by _side).
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_side").asc(),
+            *[F.col(f"{prefix}{c}").asc_nulls_first() for c in right_value_cols],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("_side"),
+        *[
+            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

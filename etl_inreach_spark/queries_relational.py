@@ -1,0 +1,452 @@
+"""Relational surface queries (SURVEY.md §2.2 gap table): joins,
+aggregation, windows, set ops, sort/limit — the categories the
+reference lacks entirely, provided via Spark built-ins.
+
+Float discipline: every SUM goes through DECIMAL (exact, associative,
+order-insensitive in both engines) and is cast back to DOUBLE at the
+end, so the driver's value hash is stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.operators.dedup import topk_by_key
+from etl_inreach_spark.operators.relational import asof_join, broadcast_dim_join
+from etl_inreach_spark.operators.windows import sessionize, tumbling_agg, tumbling_bucket
+from etl_inreach_spark.queries import query
+from etl_inreach_spark.session import tune
+
+
+def dsum(col, prec: str = "decimal(18,4)"):
+    """Exact order-insensitive sum: decimal accumulate, double out."""
+    return F.sum(F.col(col).cast(prec) if isinstance(col, str) else col.cast(prec)).cast("double")
+
+
+@query(
+    "broadcast_config_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def broadcast_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 joins — the idiomatic rendering of the reference's
+    closure-captured config (task.ts:68,121,128): every fact row picks
+    up its config/dimension attributes via a broadcast hash join (no
+    shuffle of the fact side)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = broadcast_dim_join(orders, customer, on=[F.col("o_custkey") == F.col("c_custkey")])
+    return joined.select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(6,4))) *
+                    (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the §2.2 aggregation row.
+    One hash aggregation with map-side partial agg; the shipdate
+    filter is pushed to the parquet scan (PushedFilters)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    price_d = F.col("l_extendedprice").cast("decimal(14,4)")
+    disc_d = F.col("l_discount").cast("decimal(6,4)")
+    tax_d = F.col("l_tax").cast("decimal(6,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(price_d * (F.lit(1) - disc_d)).cast("double").alias("sum_disc_price"),
+        F.sum(price_d * (F.lit(1) - disc_d) * (F.lit(1) + tax_d)).cast("double").alias("sum_charge"),
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 top-k per key — the k>1 generalization of the reference's
+    argmax dedup (O18), deterministic tie-break on o_orderkey."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    top = topk_by_key(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 joins — left-semi: customers having at least one order."""
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND year(o_orderdate) = 2001)
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 joins — left-anti: customers with no order in 2001 (the
+    partial final year, so the result is non-empty at every SF)."""
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 2001)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+           ) AS asof_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 as-of join — for each purchase, the latest click at-or-
+    before it by the same user. Union+window implementation (one
+    shuffle, no range-probe blow-up; operators/relational.asof_join)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, ["user_id"], "ts", "ts", ["ts"])
+    return out.select("event_id", "user_id", "ts", "asof_ts")
+
+
+@query(
+    "range_join_ship_within_90d",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def range_join_ship_within_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 joins — equi key + range predicate (interval join): line
+    items shipped within 90 days of their order date. The equi key
+    keeps it a hash join; the range condition is a post-join filter,
+    so no nested-loop blow-up at scale."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 aggregation — ROLLUP grouping sets (subtotals + grand
+    total), all in one hash aggregation."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@query(
+    "set_ops_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_ops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 set ops — INTERSECT: customers ordering in both 1995 and
+    1996."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@query(
+    "set_ops_churned_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_ops_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 set ops — EXCEPT: 1995 customers who did not return in
+    1996."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep
+    # leftover multiplicities of keys present in both years.
+    return y95.subtract(y96)
+
+
+@query(
+    "window_running_stats",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           row_number() OVER w AS rn,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def window_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 window functions — lag / row_number / running frame sum
+    over each user's event timeline (deterministic ordering by
+    (ts, event_id))."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(wf).cast("double").alias("running_sum"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    SELECT event_id, user_id, ts, session_id FROM (
+        SELECT event_id, user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                        ELSE 0 END AS is_new
+            FROM (
+                SELECT event_id, user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC) AS prev_ts
+                FROM events
+            )
+        )
+    )
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 session windows (batch rendering) — 30-minute-gap
+    sessionization per user (operators/windows.sessionize)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, ["user_id"], "ts", 1800, "event_id")
+    return out.select("event_id", "user_id", "ts", F.col("session_id").cast("bigint").alias("session_id"))
+
+
+@query(
+    "tumbling_15min_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_15min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 streaming windows, batch rendering — epoch-aligned
+    15-minute tumbling aggregation (operators/windows.tumbling_agg).
+    The bucket is a plain column (not Spark's window() struct) so the
+    aggregation keeps map-side partial agg and the result is joinable."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(
+        ev,
+        "ts",
+        900,
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")],
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS users,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 aggregation — exact distinct aggregation (expands to a
+    two-phase agg under the hood; partial agg on (type, user) first)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 aggregation — HyperLogLog++ approximate distinct (the
+    100 TB path when exact distinct's expand-shuffle is too big).
+    No SQL oracle: DuckDB's approx sketch differs; driver does the
+    rows-only check, pytest asserts the estimate is within 5% of
+    exact."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@query(
+    "global_top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def global_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 sort/limit — global top-k. Spark plans orderBy+limit as
+    TakeOrderedAndProject: per-partition top-10 then a single driver
+    merge, never a full global sort."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: multi-join + agg + global top-k. customer is
+    broadcast (dimension); orders x lineitem share the orderkey so AQE
+    plans one shuffle on it; final top-10 via TakeOrdered."""
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    price_d = F.col("l_extendedprice").cast("decimal(14,4)")
+    disc_d = F.col("l_discount").cast("decimal(6,4)")
+    joined = (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(price_d * (F.lit(1) - disc_d)).cast("double").alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )

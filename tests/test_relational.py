@@ -1,0 +1,76 @@
+"""Relational operator tests: as-of join vs a naive per-row oracle,
+anchored time-window filter, sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.operators.relational import asof_join, filter_recent
+from etl_inreach_spark.operators.windows import sessionize
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "u", ts(10)), (2, "u", ts(5)), (3, "u", ts(0)), (4, "v", ts(10))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(5), 100.0), ("u", ts(9), 200.0), ("v", ts(11), 300.0)],
+        "k string, ts timestamp, px double",
+    )
+    out = {
+        r["id"]: (r["asof_ts"], r["asof_px"])
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["ts", "px"]).collect()
+    }
+    assert out[1] == (ts(9), 200.0)   # latest at-or-before
+    assert out[2] == (ts(5), 100.0)   # exact-tie match counts (<=)
+    assert out[3] == (None, None)     # nothing before
+    assert out[4] == (None, None)     # right row is after left
+    assert len(out) == 4              # left-preserving
+
+
+def test_asof_join_matches_naive_on_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    fast = asof_join(purchases, clicks, ["user_id"], "ts", "ts", ["ts"])
+    # naive: theta join + argmax (correct but O(n*m) per key — the thing
+    # the union+window implementation exists to avoid)
+    naive = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id")) & (F.col("c.ts") <= F.col("p.ts")),
+            "left",
+        )
+        .groupBy("p.event_id")
+        .agg(F.max("c.ts").alias("asof_ts"))
+    )
+    got = {r["event_id"]: r["asof_ts"] for r in fast.select("event_id", "asof_ts").collect()}
+    want = {r["event_id"]: r["asof_ts"] for r in naive.collect()}
+    assert got == want
+
+
+def test_filter_recent_anchored(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(50)), (3, ts(69)), (4, ts(80))], "id long, ts timestamp"
+    )
+    kept = sorted(r["id"] for r in filter_recent(df, "ts", "30 minutes").collect())
+    assert kept == [2, 3, 4]  # anchor = ts(80), cutoff = ts(50) inclusive
+
+
+def test_sessionize_gap(spark):
+    rows = [("u", ts(0), 0), ("u", ts(10), 1), ("u", ts(50), 2), ("u", ts(55), 3), ("v", ts(0), 4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, arr long")
+    out = sessionize(df, ["k"], "ts", 1800, "arr")
+    got = {r["arr"]: r["session_id"] for r in out.collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 1}
