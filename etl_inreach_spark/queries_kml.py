@@ -1,0 +1,98 @@
+"""End-to-end KML pipeline correctness query.
+
+Dresses the events table up as per-user KML MapShare feeds (one feed
+per user, placemarks in event order), runs the REAL pipeline — from_xml
+parse, explode, EAV pivot, unit strip, timestamp parse, broadcast
+config join, argmax dedup (O6-O18) — and lets DuckDB compute the same
+answer directly from events. A full-pipeline differential test: any
+parity break in parse/pivot/cast/dedup shows up as a hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.plans.inreach import inreach_pipeline
+from etl_inreach_spark.queries import query
+from etl_inreach_spark.session import tune
+from etl_inreach_spark.sources.kml import build_kml
+
+
+def events_as_kml_feeds(ev: DataFrame) -> DataFrame:
+    """(user_id events) -> (share_id, body) KML docs, placemarks in
+    event_id order. Test-harness generator (collect_list per user is
+    fine at test SF; production feeds arrive pre-built)."""
+    entry = lambda k, v: F.struct(F.lit(k).alias("name"), v.cast("string").alias("value"))  # noqa: E731
+    base_entries = F.array(
+        entry("IMEI", F.col("user_id")),
+        entry("Id", F.col("event_id")),
+        entry("Course", F.concat((F.col("event_id") % 360).cast("string"), F.lit(".5 ° True"))),
+        entry("Velocity", F.concat((F.col("event_id") % 200).cast("string"), F.lit(".0 km/h"))),
+    )
+    entries = F.when(
+        F.col("event_id") % 3 == 0, base_entries
+    ).otherwise(
+        F.concat(base_entries, F.array(entry("Text", F.concat(F.lit("msg-"), F.col("event_id")))))
+    )
+    pm = F.struct(
+        F.concat(
+            (F.col("event_id") % 360).cast("string"),
+            F.lit(","),
+            (F.col("user_id") % 180).cast("string"),
+        ).alias("point_coordinates"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp_when"),
+        entries.alias("entries"),
+    )
+    per_user = (
+        ev.select(F.col("user_id"), F.struct(F.col("event_id"), pm.alias("pm")).alias("opm"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("opm")).alias("opms"))
+    )
+    return per_user.select(
+        F.concat(F.lit("S"), F.col("user_id")).alias("share_id"),
+        build_kml(F.transform(F.col("opms"), lambda x: x["pm"])).alias("body"),
+    )
+
+
+@query(
+    "kml_pipeline_roundtrip",
+    oracle="""
+    WITH latest AS (
+        SELECT * FROM (
+            SELECT e.*,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM events e
+        ) WHERE rn = 1
+    )
+    SELECT 'inreach-' || CAST(user_id AS VARCHAR) AS id,
+           'CS-' || CAST(user_id AS VARCHAR) AS callsign,
+           TRY_CAST(CAST(event_id % 360 AS VARCHAR) || '.5' AS DOUBLE) AS course,
+           TRY_CAST(CAST(event_id % 200 AS VARCHAR) || '.0' AS DOUBLE) * 0.277778 AS speed,
+           ts AS time,
+           CAST(event_id % 360 AS DOUBLE) AS lon,
+           CAST(user_id % 180 AS DOUBLE) AS lat,
+           CAST(event_id AS VARCHAR) AS inreach_id,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE 'msg-' || CAST(event_id AS VARCHAR) END AS inreach_text
+    FROM latest
+    """,
+)
+def kml_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6-O18 end-to-end: events -> synthetic KML feeds -> REAL parse/
+    transform/dedup pipeline; oracle computes the same from events
+    directly."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    feeds = events_as_kml_feeds(ev)
+    shares = ev.select("user_id").distinct().select(
+        F.concat(F.lit("S"), F.col("user_id")).alias("share_id"),
+        F.concat(F.lit("CS-"), F.col("user_id")).alias("callsign"),
+        F.lit(None).cast("string").alias("password"),
+    )
+    out = inreach_pipeline(shares, feeds)
+    return out.select(
+        "id", "callsign", "course", "speed", "time", "lon", "lat", "inreach_id", "inreach_text"
+    )

@@ -1,0 +1,140 @@
+"""KML feed parsing — the reference's semi-structured input stage
+(task.ts:89-112) re-expressed as native Spark XML.
+
+The reference fetches Garmin MapShare KML per share, parses with
+xml2js, walks ``kml.Document[0].Folder[0].Placemark[]`` and reads per
+placemark: ``Point.coordinates`` (CSV string), ``TimeStamp.when`` and
+the ``ExtendedData.Data[]`` name/value pairs (task.ts:98-111).
+
+Here: ``from_xml`` with an explicit schema (Spark 4 native XML — no
+UDF, stays in the JVM), then explode + map pivot. Error semantics
+match the reference's FEED granularity (SURVEY.md §2.3.7): a feed
+whose XML fails to parse becomes one NULL row (PERMISSIVE) and is
+dropped whole; sibling feeds are unaffected (task.ts:165-168).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.functions.nested import eav_to_map
+
+# Access-path schema, mirroring exactly what the reference reads
+# (task.ts:98-111). xml2js wraps every element in an array; in Spark a
+# repeated element is an array and a singleton a struct — Folder and
+# Placemark are declared arrays because the reference indexes
+# Document[0].Folder[0] (first folder only) and iterates Placemark[].
+# `_name` is the Data element's name= attribute (attributePrefix "_").
+KML_SCHEMA = (
+    "struct<Document: struct<Folder: array<struct<"
+    "Placemark: array<struct<"
+    "TimeStamp: struct<when: string>, "
+    "Point: struct<coordinates: string>, "
+    "ExtendedData: struct<Data: array<struct<_name: string, value: string>>>"
+    ">>>>>>"
+)
+
+# ExtendedData keys the reference projects (task.ts:114-141).
+EXTENDED_KEYS = (
+    "Id",
+    "Name",
+    "Device Type",
+    "IMEI",
+    "Incident Id",
+    "Valid GPS Fix",
+    "Text",
+    "Event",
+    "Device Identifier",
+    "Course",
+    "Velocity",
+)
+
+
+def parse_kml(body: Column) -> Column:
+    """XML text -> nested KML struct; NULL on malformed input."""
+    return F.from_xml(body, KML_SCHEMA)
+
+
+def kml_to_placemarks(
+    feeds: DataFrame,
+    body_col: str = "body",
+    keep_cols: tuple[str, ...] = ("share_id",),
+) -> DataFrame:
+    """(share_id, body) -> one row per placemark.
+
+    Output: keep_cols + arrival_idx (document order within the feed —
+    required for the dedup tie-break, SURVEY.md §2.3.1),
+    point_coordinates, timestamp_when, extended map.
+
+    Pipeline (all narrow, fused by whole-stage codegen):
+      empty-body short-circuit (O7, task.ts:95)
+      -> from_xml (O8); malformed feed -> NULL -> dropped whole (O19)
+      -> Document missing -> dropped (task.ts:98 throw-per-feed)
+      -> first Folder, explode Placemark with position (O9)
+      -> EAV pivot of ExtendedData (O12)
+    The null-Point filter (O10) is NOT applied here — it belongs to the
+    feature projection so callers can observe raw placemarks.
+    """
+    nonempty = feeds.filter(F.trim(F.col(body_col)) != "")
+    parsed = nonempty.withColumn("_kml", parse_kml(F.col(body_col)))
+    valid = parsed.filter(F.col("_kml.Document").isNotNull())
+    placemarks = valid.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(
+            # first folder only (Document[0].Folder[0], task.ts:101);
+            # missing Folder -> NULL -> posexplode yields no rows
+            F.try_element_at(F.col("_kml.Document.Folder"), F.lit(1))["Placemark"]
+        ).alias("arrival_idx", "_pm"),
+    )
+    return placemarks.select(
+        *[F.col(c) for c in keep_cols],
+        F.col("arrival_idx").cast("long").alias("arrival_idx"),
+        F.col("_pm.Point.coordinates").alias("point_coordinates"),
+        F.col("_pm.TimeStamp.when").alias("timestamp_when"),
+        eav_to_map(F.col("_pm.ExtendedData.Data"), "_name", "value").alias("extended"),
+    )
+
+
+def build_kml(placemarks: Column) -> Column:
+    """Inverse of parse: render an array of placemark structs
+    (point_coordinates, timestamp_when, extended entries array) into a
+    KML document string. Used by fixtures and the roundtrip oracle —
+    built-in string/array expressions only."""
+    pm_xml = F.transform(
+        placemarks,
+        lambda p: F.concat(
+            F.lit("<Placemark><TimeStamp><when>"),
+            p["timestamp_when"],
+            F.lit("</when></TimeStamp>"),
+            F.when(
+                p["point_coordinates"].isNotNull(),
+                F.concat(
+                    F.lit("<Point><coordinates>"),
+                    p["point_coordinates"],
+                    F.lit("</coordinates></Point>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("<ExtendedData>"),
+            F.array_join(
+                F.transform(
+                    p["entries"],
+                    lambda e: F.concat(
+                        F.lit('<Data name="'),
+                        e["name"],
+                        F.lit('"><value>'),
+                        e["value"],
+                        F.lit("</value></Data>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</ExtendedData></Placemark>"),
+        ),
+    )
+    return F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder>'),
+        F.array_join(pm_xml, ""),
+        F.lit("</Folder></Document></kml>"),
+    )

@@ -1,0 +1,171 @@
+"""End-to-end inReach pipeline tests on golden KML fixtures — every
+required document from FIXTURES.md §3 and the §2.3 oracle traps."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from etl_inreach_spark.plans.inreach import inreach_pipeline, normalize_shares
+from etl_inreach_spark.sources.kml import kml_to_placemarks
+
+
+def kml_doc(placemarks: str) -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder>'
+        + placemarks
+        + "</Folder></Document></kml>"
+    )
+
+
+def pm(when=None, coords=None, **data) -> str:
+    out = "<Placemark>"
+    if when is not None:
+        out += f"<TimeStamp><when>{when}</when></TimeStamp>"
+    if coords is not None:
+        out += f"<Point><coordinates>{coords}</coordinates></Point>"
+    if data:
+        out += "<ExtendedData>"
+        for k, v in data.items():
+            out += f'<Data name="{k.replace("_", " ")}"><value>{v}</value></Data>'
+        out += "</ExtendedData>"
+    return out + "</Placemark>"
+
+
+GOOD_FEED = kml_doc(
+    pm(
+        when="2024-01-01T00:00:00Z",
+        coords="-105.1,39.7,1650.0",
+        IMEI="111",
+        Name="Alpha",
+        Id="msg-1",
+        Course="45.5 ° True",
+        Velocity="12.0 km/h",
+        Device_Type="inReach Mini",
+        Device_Identifier="dev-1",
+    )
+    + pm(  # same device, later: replaces
+        when="2024-01-01T00:10:00Z",
+        coords="-105.2,39.8",
+        IMEI="111",
+        Name="Alpha",
+        Id="msg-2",
+        Device_Type="inReach Mini",
+        Device_Identifier="dev-1",
+    )
+    + pm(  # same device, equal ts as msg-2: first-seen wins
+        when="2024-01-01T00:10:00Z",
+        coords="-1.0,2.0",
+        IMEI="111",
+        Name="Alpha",
+        Id="msg-3",
+        Device_Type="inReach Mini",
+        Device_Identifier="dev-1",
+    )
+    + pm(  # no Point: filtered (O10)
+        when="2024-01-01T00:20:00Z", IMEI="111", Id="msg-4"
+    )
+    + pm(  # second device, missing optional keys + empty Course
+        when="2024-01-01T00:05:00Z",
+        coords="10.0,20.0,30.0",
+        IMEI="222",
+        Name="Bravo",
+        Course="",
+    )
+)
+
+SHARES = [
+    Row(share_id="https://share.garmin.com/AAA", callsign="ALPHA", password=None),
+    Row(share_id="share.garmin.com/BBB", callsign=None, password="pw"),
+    Row(share_id="CCC", callsign="CHARLIE", password=None),
+    Row(share_id="DDD", callsign="DELTA", password=None),
+    Row(share_id="EEE", callsign="ECHO", password=None),
+]
+
+FEEDS = [
+    Row(share_id="AAA", body=GOOD_FEED),
+    Row(share_id="BBB", body=""),  # empty body short-circuit (O7)
+    Row(share_id="CCC", body="definitely <<< not xml"),  # malformed: whole feed dropped
+    Row(share_id="DDD", body='<?xml version="1.0"?><notkml><x/></notkml>'),  # no Document
+    Row(  # Document without Folder: empty, not an error
+        share_id="EEE",
+        body='<?xml version="1.0"?><kml><Document></Document></kml>',
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    shares = spark.createDataFrame(
+        SHARES, "share_id string, callsign string, password string"
+    )
+    feeds = spark.createDataFrame(FEEDS, "share_id string, body string")
+    rows = inreach_pipeline(shares, feeds).collect()
+    return {r["id"]: r for r in rows}
+
+
+def test_feed_isolation_and_dedup(result):
+    # only the good feed contributes; one row per device
+    assert set(result) == {"inreach-111", "inreach-222"}
+
+
+def test_argmax_keeps_latest_first_seen_on_tie(result):
+    r = result["inreach-111"]
+    # msg-2 (first seen among the 00:10 tie) wins, not msg-3, not msg-1
+    assert r["inreach_id"] == "msg-2"
+    assert (r["lon"], r["lat"]) == (-105.2, 39.8)
+    assert r["alt"] is None  # 2-element coordinates
+    assert r["callsign"] == "ALPHA"
+    assert r["link_url"] == "https://share.garmin.com/AAA"
+
+
+def test_unit_strip_and_convert(result):
+    r = result["inreach-222"]
+    assert r["course"] is None  # empty Course -> NULL (pinned: §2.3.5)
+    assert r["speed"] is None  # no Velocity key -> NULL propagation
+    assert r["inreach_text"] is None  # missing optional key
+    assert (r["lon"], r["lat"], r["alt"]) == (10.0, 20.0, 30.0)
+    a = result["inreach-111"]
+    # msg-2 carries no Course/Velocity -> NULL even though msg-1 had them
+    assert a["course"] is None and a["speed"] is None
+
+
+def test_placemark_arrival_order(spark):
+    feeds = spark.createDataFrame([Row(share_id="AAA", body=GOOD_FEED)], "share_id string, body string")
+    pms = kml_to_placemarks(feeds).collect()
+    assert [p["arrival_idx"] for p in pms] == [0, 1, 2, 3, 4]
+    assert pms[3]["point_coordinates"] is None  # no-Point placemark visible pre-filter
+
+
+def test_callsign_defaults_to_share_id(spark):
+    shares = spark.createDataFrame(SHARES, "share_id string, callsign string, password string")
+    got = {r["share_id"]: r["callsign"] for r in normalize_shares(shares).collect()}
+    assert got["BBB"] == "BBB"  # NULL callsign -> normalized share id
+    assert got["AAA"] == "ALPHA"
+
+
+def test_geojson_sink_shape(spark):
+    from etl_inreach_spark.plans.inreach import inreach_pipeline
+    from etl_inreach_spark.sinks.geojson import features_to_json, parse_feature_collection
+
+    shares = spark.createDataFrame(SHARES, "share_id string, callsign string, password string")
+    feeds = spark.createDataFrame(FEEDS, "share_id string, body string")
+    fjson = features_to_json(inreach_pipeline(shares, feeds))
+    docs: list[str] = []
+    # local collector stands in for the HTTP poster
+    rows = fjson.collect()
+    docs.append(
+        '{"type":"FeatureCollection","features":[' + ",".join(r["feature_json"] for r in rows) + "]}"
+    )
+    feats = parse_feature_collection(docs[0])
+    assert len(feats) == 2
+    by_id = {f["id"]: f for f in feats}
+    f = by_id["inreach-111"]
+    assert f["type"] == "Feature"
+    assert f["geometry"] == {"type": "Point", "coordinates": [-105.2, 39.8]}
+    assert f["properties"]["metadata"]["inreachIMEI"] == "111"
+    assert f["properties"]["links"][0]["url"] == "https://share.garmin.com/AAA"
+    # absent optionals are OMITTED from JSON (ignoreNullFields), like
+    # undefined keys in the reference's JS serialization
+    assert "inreachText" not in f["properties"]["metadata"]
