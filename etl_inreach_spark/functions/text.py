@@ -1,0 +1,116 @@
+"""Text-analysis expressions for the documents table: tokenization,
+shingling, quality stats, language-ID heuristic, fingerprints.
+
+Everything here is a built-in Column expression (codegen, no UDF) and
+has a 1:1 DuckDB rendering so the oracles can hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed marker-word sets for the n-gram/stopword language heuristic.
+# Order = tie-break precedence (first maximal score wins).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+    "es": ("el", "los", "de", "y", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish markers
+}
+
+MOD_P = 1_000_000_007  # rolling-hash modulus (fits comfortably in i64)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (leading/trailing-space
+    safe; identical to DuckDB string_split_regex + list_filter)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token estimate: alphabetic runs, digit runs, and
+    individual punctuation marks each count once."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams — the unit set for Jaccard/MinHash.
+
+    sequence+substring keeps it JVM-side; distinct so Jaccard is a
+    set measure.
+    """
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))),
+            lambda i: F.substring(text, i, F.lit(k)),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), F.lit(0)))
+
+
+def marker_hits(text_tokens_distinct: Column, markers: tuple[str, ...]) -> Column:
+    """How many distinct marker words appear in the token set."""
+    return F.size(
+        F.array_intersect(text_tokens_distinct, F.array(*[F.lit(m) for m in markers]))
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-overlap language ID. Deterministic tie-break: first
+    language (LANG_MARKERS order) achieving the max score; 'und' when
+    every score is zero."""
+    toks = F.array_distinct(tokens(text))
+    scores = {lang: marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    expr = F.lit("und")
+    # build CASE in reverse so earlier langs take precedence
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (exact-dup key; same hex in DuckDB)."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(normalized.cast("binary"))
+
+
+def rolling_hash(text: Column, max_chars: int = 200, base: int = 31) -> Column:
+    """Polynomial rolling-hash fingerprint over the first
+    ``max_chars`` characters: fold (acc*base + codepoint) % MOD_P.
+    Mirrors DuckDB list_reduce exactly (sequential, no overflow:
+    acc < 1e9 so acc*31+c < 2^63)."""
+    prefix = F.substring(text, 1, max_chars)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(prefix), F.lit(1))),
+        lambda i: F.ascii(F.substring(prefix, i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + c) % MOD_P,
+    )

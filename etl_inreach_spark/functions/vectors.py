@@ -1,0 +1,33 @@
+"""Embedding-vector expressions over array<float|double> columns.
+
+All built-in higher-order functions (zip_with/aggregate) — JVM-side,
+codegen'd, no UDF. The fold is sequential left-to-right in DOUBLE,
+which is bit-identical to DuckDB's list_cosine_similarity over
+DOUBLE[] (verified) — so similarity queries can be value-hash oracled.
+
+At 100 TB the brute-force paths below pair with the LSH bucketing in
+operators/similarity.py; these expressions are the inner kernel either
+way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

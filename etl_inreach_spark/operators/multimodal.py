@@ -1,0 +1,80 @@
+"""Multimodal column convention + decode plumbing.
+
+Convention (SURVEY.md §7 P3): media travel as
+    STRUCT<uri: STRING, mime: STRING, bytes: BINARY,
+           meta: MAP<STRING,STRING>>
+— bytes opaque to the engine, metadata typed, decode/feature-extract
+as Arrow-batched pandas stages over mapInPandas.
+
+The actual image/audio decoders are STUBBED (libs not in this
+container): ``decode_stub`` raises NotImplementedError unless the
+deterministic fake is requested. The Spark-side plumbing — schema,
+batch iteration, partition shape — is real and tested; swapping the
+stub for PIL/ffmpeg is a pure function replacement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "struct<uri:string,mime:string,bytes:binary,meta:map<string,string>>"
+
+
+def media_struct(uri: Column, mime: Column, data: Column, meta: Column | None = None) -> Column:
+    meta_col = meta if meta is not None else F.create_map().cast("map<string,string>")
+    return F.struct(
+        uri.alias("uri"), mime.alias("mime"), data.alias("bytes"), meta_col.alias("meta")
+    )
+
+
+def decode_stub(payload: bytes, mime: str, fake: bool = True) -> dict:
+    """Per-item decoder. Real decoders (PIL, soundfile, av) are not
+    installed here; ``fake=True`` returns deterministic features
+    derived from the raw bytes so the pipeline is testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires PIL/soundfile/av — not available in this environment"
+        )
+    return {
+        "n_bytes": len(payload),
+        "first_byte": payload[0] if payload else None,
+        "byte_sum_mod": sum(payload[:64]) % 997,
+    }
+
+
+def extract_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """mapInPandas feature extraction over the media struct column.
+
+    Arrow ships (id, mime, bytes) batches to Python; output schema is
+    fixed and engine-friendly. This is THE pattern for any real
+    decode: batch-wise, columnar in/out, no per-row UDF calls.
+    """
+    out_schema = f"{id_col} bigint, mime string, n_bytes int, first_byte int, byte_sum_mod int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf[media_col]
+            feats = [
+                decode_stub(m["bytes"] if m["bytes"] is not None else b"", m["mime"])
+                for m in media
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "mime": [m["mime"] for m in media],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "first_byte": [f["first_byte"] for f in feats],
+                    "byte_sum_mod": [f["byte_sum_mod"] for f in feats],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)

@@ -1,0 +1,337 @@
+"""Extended-surface queries (BASELINE north star): text analysis,
+dedup suite, similarity search, multimodal plumbing — over the
+documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.queries import query
+from etl_inreach_spark.session import tune
+
+# DuckDB rendering of the distinct-5-gram shingle set (matches
+# functions.text.char_shingles).
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4,0)),"
+    " i -> substr(text, i, 5)))"
+)
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS punct_cnt,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS subwords,
+               list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                   AS dtoks
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(toks) AS n_tokens,
+           subwords AS n_subwords,
+           punct_cnt,
+           CAST(len(list_intersect(dtoks, ['the','a','of','and','is'])) AS DOUBLE) / 5
+               AS stopword_ratio,
+           CAST(punct_cnt AS DOUBLE) / n_chars AS punct_ratio,
+           0.3 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+             + 0.4 * (1.0 - CAST(punct_cnt AS DOUBLE) / n_chars)
+             + 0.3 * (CAST(len(list_intersect(dtoks, ['the','a','of','and','is'])) AS DOUBLE) / 5)
+               AS quality_score
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token/subword/punctuation counts, stopword
+    ratio, and a composite quality score — all built-in expressions
+    (one narrow projection, no shuffle)."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import (
+        LANG_MARKERS,
+        marker_hits,
+        punct_count,
+        subword_count,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    dtoks = F.array_distinct(toks)
+    punct = punct_count(F.col("text"))
+    stop_ratio = marker_hits(dtoks, LANG_MARKERS["en"]).cast("double") / F.lit(5)
+    punct_ratio = punct.cast("double") / F.col("n_chars")
+    n_tokens = F.size(toks)
+    quality = (
+        F.lit(0.3) * F.least(n_tokens.cast("double") / F.lit(100), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        subword_count(F.col("text")).alias("n_subwords"),
+        punct.alias("punct_cnt"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+@query(
+    "lang_id_documents",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                   AS dtoks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               len(list_intersect(dtoks, ['the','a','of','and','is'])) AS s_en,
+               len(list_intersect(dtoks, ['der','die','das','und','ist'])) AS s_de,
+               len(list_intersect(dtoks, ['le','les','des','et','est'])) AS s_fr,
+               len(list_intersect(dtoks, ['el','los','de','y','es'])) AS s_es,
+               len(list_intersect(dtoks, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_zh > 0 AND s_zh > s_en AND s_zh > s_de AND s_zh > s_fr AND s_zh > s_es THEN 'zh'
+             ELSE 'und'
+           END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-overlap argmax, deterministic
+    precedence tie-break)."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, greatest(length(substr(text,1,200)),1)),
+                                  i -> CAST(unicode(substr(substr(text,1,200), i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fp_rolling
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + polynomial
+    rolling hash of the first 200 chars (both engine-portable)."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import fingerprint_md5, rolling_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        rolling_hash(F.col("text")).alias("fp_rolling"),
+    )
+
+
+@query(
+    "exact_dedup_documents",
+    oracle="""
+    SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM (
+        SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    ) GROUP BY fp
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: hash-groupBy, deterministic
+    survivor (min doc_id). Partial-agg friendly — shuffle carries one
+    row per distinct fingerprint."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import fingerprint_md5
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+_DUCK_JACCARD_PAIRS = f"""
+    WITH s AS (
+        SELECT doc_id, length(text) AS tlen, {_DUCK_SHINGLES} AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b
+          ON a.doc_id < b.doc_id {{block}}
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+@query(
+    "near_dup_jaccard",
+    oracle=_DUCK_JACCARD_PAIRS.format(block="AND abs(a.tlen - b.tlen) <= 32"),
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs with length blocking
+    (|len diff| <= 32 — a necessary condition at j >= 0.8, so blocking
+    loses nothing)."""
+    tune(spark)
+    from etl_inreach_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", 0.8, length_block=32)
+
+
+@query(
+    "minhash_lsh_dedup",
+    oracle=_DUCK_JACCARD_PAIRS.format(block=""),
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. The oracle
+    is the UNBLOCKED all-pairs Jaccard — at k=64/b=16 the LSH miss
+    probability at j >= 0.9 is ~1e-9, so LSH+verify equals brute force
+    on this data while staying O(n) in candidates."""
+    tune(spark)
+    from etl_inreach_spark.operators.text_dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", 0.8, num_hashes=64, bands=16)
+
+
+@query("simhash_near_dup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 64-bit sketches,
+    banded blocking). No SQL oracle (xxhash64 is Spark-specific);
+    pytest pins that it finds the planted near-dup pairs."""
+    tune(spark)
+    from etl_inreach_spark.operators.text_dedup import simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM embeddings e, q WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, rank, cos FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for 8 query vectors —
+    broadcast the queries, one shuffle-free pass over the corpus, then
+    a tiny per-query top-k window. Bit-identical to DuckDB's
+    list_cosine_similarity over DOUBLE[] (sequential fold)."""
+    tune(spark)
+    from etl_inreach_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), 5)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (multi-probe,
+    exact re-rank in buckets). Rows-only check; pytest pins achieved
+    recall vs brute force on the fixed data (see
+    operators/similarity.lsh_topk scaling note)."""
+    tune(spark)
+    from etl_inreach_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), 5, dim=64)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           length(text) AS n_bytes,
+           unicode(substr(text, 1, 1)) AS first_byte,
+           list_reduce(
+               list_prepend(0, list_transform(generate_series(1, least(length(text), 64)),
+                                              i -> unicode(substr(text, i, 1)))),
+               (a, b) -> a + b
+           ) % 997 AS byte_sum_mod
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: pack text bytes into the media
+    struct convention (uri/mime/bytes/meta), run the Arrow-batched
+    mapInPandas feature extractor (stub decoder). The oracle recomputes
+    the byte features from the text directly (corpus is pure ASCII, so
+    bytes == codepoints)."""
+    tune(spark)
+    from etl_inreach_spark.operators.multimodal import extract_features, media_struct
+
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.select(
+        "doc_id",
+        media_struct(
+            F.concat(F.lit("mem://doc/"), F.col("doc_id")),
+            F.lit("text/plain"),
+            F.encode(F.col("text"), "UTF-8"),
+            F.create_map(F.lit("lang"), F.col("lang")),
+        ).alias("media"),
+    )
+    return extract_features(with_media)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+               (a, b) -> a + b
+           )) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-kernel sanity surface: sequential-fold L2 norm per
+    embedding (same fold order as the oracle => bit-exact)."""
+    tune(spark)
+    from etl_inreach_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", l2_norm(F.col("embedding")).alias("l2_norm"))
