@@ -12,11 +12,14 @@ from etl_inreach_spark.catalog import load_table
 from etl_inreach_spark.queries import query
 from etl_inreach_spark.session import tune
 
-# DuckDB rendering of the distinct-5-gram shingle set (matches
-# functions.text.char_shingles).
+# DuckDB rendering of the distinct-9-gram shingle set (matches
+# operators.text_dedup.shingles_exploded at k=9). 9-char shingles give
+# a large enough shingle universe for prefix filtering to prune (the
+# 5-gram universe of this corpus is ~2k values — every shingle is
+# frequent and every similarity join degenerates toward all-pairs).
 _DUCK_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4,0)),"
-    " i -> substr(text, i, 5)))"
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-8,0)),"
+    " i -> substr(text, i, 9)))"
 )
 
 
@@ -198,14 +201,15 @@ _DUCK_JACCARD_PAIRS = f"""
     oracle=_DUCK_JACCARD_PAIRS.format(block="AND abs(a.tlen - b.tlen) <= 32"),
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs with length blocking
-    (|len diff| <= 32 — a necessary condition at j >= 0.8, so blocking
-    loses nothing)."""
+    """Exact 9-gram-Jaccard near-dup pairs with length blocking
+    (|len diff| <= 32; the blocking is part of the operator contract
+    and mirrored in the oracle — PPJoin prefix+positional filtering
+    keeps candidate generation sub-quadratic)."""
     tune(spark)
     from etl_inreach_spark.operators.text_dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", 0.8, length_block=32)
+    return ngram_jaccard_pairs(d, "doc_id", "text", 0.8, length_block=32, shingle_k=9)
 
 
 @query(
@@ -221,7 +225,9 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_inreach_spark.operators.text_dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", 0.8, num_hashes=64, bands=16)
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", 0.8, num_hashes=64, bands=16, shingle_k=9
+    )
 
 
 @query("simhash_near_dup")
@@ -233,7 +239,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_inreach_spark.operators.text_dedup import simhash_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, shingle_k=9)
 
 
 @query(
