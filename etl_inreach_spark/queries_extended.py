@@ -341,3 +341,39 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", "label", l2_norm(F.col("embedding")).alias("l2_norm"))
+
+
+@query(
+    "embedding_cosine_dedup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT (cos >= 0.4): block-grid
+    GEMM candidates + sequential-fold re-verification (bit-identical
+    to the DuckDB oracle). The corpus is near-orthogonal, so 0.4 marks
+    the far tail — a structure no bucketing can exploit, which is
+    exactly when the grid join is the right scale pattern."""
+    tune(spark)
+    from etl_inreach_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(emb, 0.4, num_blocks=8)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via IVF (16-cell coarse quantizer,
+    4-probe): rows-only check; pytest pins recall vs brute force at
+    both nprobe extremes."""
+    tune(spark)
+    from etl_inreach_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), 5, dim=64, nlist=16, nprobe=4)

@@ -98,3 +98,45 @@ def test_multimodal_stub_features(spark):
     got = {r["doc_id"]: r for r in extract_features(media).collect()}
     assert got[1]["n_bytes"] == 5 and got[1]["first_byte"] == ord("h")
     assert got[2]["n_bytes"] == 0 and got[2]["first_byte"] is None
+
+
+def test_ivf_recall_bounds(spark, sf_dir):
+    from etl_inreach_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, q, 5).collect()}
+    # probing every cell must reproduce brute force exactly
+    full = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, 5, dim=64, nlist=16, nprobe=16).collect()
+    }
+    assert full == exact
+    # probing 4/16 cells scans ~25% of a near-orthogonal corpus
+    part = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, 5, dim=64, nlist=16, nprobe=4).collect()
+    }
+    assert len(part & exact) / len(exact) >= 0.2
+
+
+def test_cosine_pairs_exact_matches_bruteforce(spark, sf_dir):
+    import itertools
+
+    import numpy as np
+
+    from etl_inreach_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["id_a"], r["id_b"]) for r in cosine_pairs_exact(emb, 0.4).collect()
+    }
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if cos >= 0.4:
+            want.add((a, b))
+    assert got == want

@@ -1,0 +1,110 @@
+"""Structured Streaming pipeline tests: file-source micro-batches
+through the shared KML transform surface, watermarked cross-batch
+dedup, and the foreachBatch FeatureCollection sink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.test_kml_pipeline import kml_doc, pm
+
+SHARES = [Row(share_id="AAA", callsign="ALPHA", password=None)]
+
+BATCH1 = kml_doc(
+    pm(when="2024-01-01T00:00:00Z", coords="-105.1,39.7,1650.0", IMEI="111",
+       Name="Alpha", Id="m1", Device_Type="Mini", Device_Identifier="d1")
+    + pm(when="2024-01-01T00:05:00Z", coords="10.0,20.0", IMEI="222",
+         Name="Bravo", Id="m2", Device_Type="Mini", Device_Identifier="d2")
+)
+# second micro-batch re-delivers device 111 (overlap re-fetch) and a
+# new device
+BATCH2 = kml_doc(
+    pm(when="2024-01-01T00:06:00Z", coords="-105.2,39.8", IMEI="111",
+       Name="Alpha", Id="m3", Device_Type="Mini", Device_Identifier="d1")
+    + pm(when="2024-01-01T00:07:00Z", coords="30.0,40.0", IMEI="333",
+         Name="Charlie", Id="m4", Device_Type="Mini", Device_Identifier="d3")
+)
+
+
+@pytest.fixture()
+def feed_dir(tmp_path):
+    d = tmp_path / "feeds"
+    d.mkdir()
+    for i, body in enumerate([BATCH1, BATCH2]):
+        f = d / f"batch{i}.json"
+        f.write_text(json.dumps({"share_id": "AAA", "body": body}))
+        # the file source orders micro-batches by modification time;
+        # pin strictly increasing mtimes so batch0 is always first
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(d)
+
+
+def test_stream_features_dedups_across_batches(spark, feed_dir, tmp_path):
+    from etl_inreach_spark.streaming.pipeline import stream_features
+
+    feeds = (
+        spark.readStream.schema("share_id string, body string")
+        .option("maxFilesPerTrigger", 1)  # one fixture file per micro-batch
+        .json(feed_dir)
+    )
+    shares = spark.createDataFrame(SHARES, "share_id string, callsign string, password string")
+    features = stream_features(feeds, shares, watermark="30 minutes")
+    q = (
+        features.writeStream.format("memory")
+        .queryName("feat_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id, callsign, lon, lat FROM feat_stream").collect()
+    by_id = {r["id"]: r for r in got}
+    # one row per device: 111 deduped across batches (first-seen wins
+    # within the watermark), 222 and 333 pass through
+    assert sorted(by_id) == ["inreach-111", "inreach-222", "inreach-333"]
+    assert by_id["inreach-111"]["lon"] == -105.1  # batch-1 row kept
+    assert by_id["inreach-111"]["callsign"] == "ALPHA"
+
+
+def test_foreachbatch_sink_posts_feature_collections(spark, feed_dir, tmp_path):
+    from etl_inreach_spark.streaming.pipeline import (
+        run_once,
+        stream_features,
+        write_feature_collections,
+    )
+
+    feeds = spark.readStream.schema("share_id string, body string").json(feed_dir)
+    shares = spark.createDataFrame(SHARES, "share_id string, callsign string, password string")
+    features = stream_features(feeds, shares)
+
+    out_dir = tmp_path / "posts"
+    out_dir.mkdir()
+
+    def post(chunk: list[str]) -> None:
+        # executor-side capture: write each POSTed FeatureCollection to
+        # disk (the HTTP stand-in; same contract as sinks/geojson)
+        fc = {"type": "FeatureCollection",
+              "features": [json.loads(f) for f in chunk]}
+        path = out_dir / f"fc-{abs(hash(tuple(chunk)))}.json"
+        path.write_text(json.dumps(fc))
+
+    writer = write_feature_collections(
+        features, post, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q = run_once(writer)
+    q.awaitTermination(120)
+
+    fcs = [json.loads(p.read_text()) for p in out_dir.glob("fc-*.json")]
+    feats = [f for fc in fcs for f in fc["features"]]
+    assert all(fc["type"] == "FeatureCollection" for fc in fcs)
+    ids = sorted(f["id"] for f in feats)
+    assert ids == ["inreach-111", "inreach-222", "inreach-333"]
+    geom = {f["id"]: f["geometry"] for f in feats}
+    assert geom["inreach-222"]["type"] == "Point"
+    assert geom["inreach-222"]["coordinates"][:2] == [10.0, 20.0]
