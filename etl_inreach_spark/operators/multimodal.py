@@ -78,3 +78,55 @@ def extract_features(
             )
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def resize_stub(payload: bytes, width: int, height: int, fake: bool = True) -> bytes:
+    """Image-resize stand-in. A real implementation is
+    PIL.Image.open(io.BytesIO(payload)).resize((width, height)); here a
+    deterministic fake keeps the plumbing testable: the output is the
+    payload truncated/cycled to width*height bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL — not available in this environment"
+        )
+    if not payload:
+        return b"\x00" * (width * height)
+    reps = (width * height + len(payload) - 1) // len(payload)
+    return (payload * reps)[: width * height]
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 32,
+    stride: int = 2,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling over opaque media bytes: every ``stride``-th
+    chunk of ``frame_bytes`` becomes one output row (doc_id,
+    frame_idx, n_bytes, checksum). The 1->N batch shape is the real
+    pattern for video decode (one input row yields many frame rows,
+    still columnar through Arrow); the chunking stands in for an
+    ffmpeg keyframe iterator."""
+    out_schema = f"{id_col} bigint, frame_idx int, n_bytes int, checksum int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for rid, m in zip(pdf[id_col], pdf[media_col]):
+                payload = m["bytes"] if m["bytes"] is not None else b""
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    chunk = payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(rid)
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+                    sums.append(sum(chunk) % 997)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "n_bytes": pd.Series(sizes, dtype="int32"),
+                 "checksum": pd.Series(sums, dtype="int32")}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)

@@ -377,3 +377,107 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), 5, dim=64, nlist=16, nprobe=4)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(generate_series(0, CAST(ceil(length(text) / 32.0) AS INT) - 1, 2))
+                   AS frame_idx
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, frame_idx,
+           least(32, n - frame_idx * 32) AS n_bytes,
+           list_reduce(
+               list_prepend(0, list_transform(
+                   generate_series(frame_idx * 32 + 1,
+                                   least(frame_idx * 32 + 32, n)),
+                   i -> unicode(substr(text, i, 1)))),
+               (a, b) -> a + b
+           ) % 997 AS checksum
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the media convention: every 2nd
+    32-byte chunk becomes a frame row (1->N mapInPandas). The oracle
+    recomputes chunk checksums from the text (pure-ASCII corpus, so
+    bytes == codepoints)."""
+    tune(spark)
+    from etl_inreach_spark.operators.multimodal import media_struct, sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.select(
+        "doc_id",
+        media_struct(
+            F.concat(F.lit("mem://doc/"), F.col("doc_id")),
+            F.lit("video/fake"),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("media"),
+    )
+    return sample_frames(with_media, frame_bytes=32, stride=2)
+
+
+@query(
+    "cube_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 aggregation — CUBE grouping sets (all four subtotal
+    combinations in one pass; Spark expands the cube map-side, one
+    shuffle). Decimal-fold sums for order-insensitive exactness."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "catalog_row_counts",
+    oracle="""
+    SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def catalog_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capability/catalog endpoint analog (reference O24,
+    task.ts:34-58: the task advertises its schemas to the
+    orchestrator): enumerate every registered table with its row count
+    — the counts come from parquet footer statistics, no full scan."""
+    tune(spark)
+    from functools import reduce
+
+    from etl_inreach_spark.catalog import TABLES
+
+    parts = [
+        load_table(spark, sf_dir, t)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -140,3 +140,32 @@ def test_cosine_pairs_exact_matches_bruteforce(spark, sf_dir):
         if cos >= 0.4:
             want.add((a, b))
     assert got == want
+
+
+def test_resize_stub_and_frame_sampler(spark):
+    from etl_inreach_spark.operators.multimodal import (
+        media_struct,
+        resize_stub,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"xx", 4, 4, fake=False)
+    assert len(resize_stub(b"abc", 4, 4)) == 16
+    assert resize_stub(b"", 2, 2) == b"\x00" * 4
+
+    df = spark.createDataFrame(
+        [(1, "a" * 70), (2, "")], "doc_id long, payload string"
+    )
+    media = df.select(
+        "doc_id",
+        media_struct(
+            F.lit("mem://x"), F.lit("video/fake"), F.encode(F.col("payload"), "UTF-8")
+        ).alias("media"),
+    )
+    rows = sample_frames(media, frame_bytes=32, stride=2).collect()
+    got = {(r["doc_id"], r["frame_idx"]): (r["n_bytes"], r["checksum"]) for r in rows}
+    # 70 bytes -> frames 0,1,2 -> stride 2 keeps 0 and 2
+    assert set(got) == {(1, 0), (1, 2)}
+    assert got[(1, 0)] == (32, (97 * 32) % 997)
+    assert got[(1, 2)] == (6, (97 * 6) % 997)
