@@ -1,0 +1,95 @@
+"""Property-based tests (SURVEY.md §5.2.3): algebraic laws of the
+keyed-argmax dedup under arbitrary inputs — idempotence, containment,
+one-row-per-key, argmax correctness, union invariance.
+
+Spark round-trips per example are expensive, so examples are few but
+adversarial: hypothesis shrinks toward duplicate keys, tied and NULL
+timestamps — exactly the §2.3 trap cases.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = datetime(2024, 1, 1)
+
+row = st.tuples(
+    st.integers(0, 4),                       # key (few values => collisions)
+    st.one_of(st.none(), st.integers(0, 5)),  # ts offset minutes (None => null)
+)
+rows = st.lists(row, min_size=1, max_size=12)
+
+
+def to_df(spark, data):
+    return spark.createDataFrame(
+        [
+            (f"k{k}", BASE + timedelta(minutes=m) if m is not None else None, i)
+            for i, (k, m) in enumerate(data)
+        ],
+        "id string, time timestamp, arrival_idx long",
+    )
+
+
+def run_dedup(df):
+    from etl_inreach_spark.operators.dedup import latest_by_key
+
+    return latest_by_key(df, ["id"], "time", arrival_col="arrival_idx")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=rows)
+def test_dedup_laws(spark, data):
+    df = to_df(spark, data)
+    out = run_dedup(df)
+    got = out.collect()
+    src = df.collect()
+
+    # one row per key, and exactly the keys of the input
+    keys = [r["id"] for r in got]
+    assert sorted(keys) == sorted({r["id"] for r in src})
+
+    # containment: every output row is an input row
+    src_set = {(r["id"], r["time"], r["arrival_idx"]) for r in src}
+    assert all((r["id"], r["time"], r["arrival_idx"]) in src_set for r in got)
+
+    # argmax + reference tie-break: max time per key (NULL == epoch 0),
+    # earliest arrival among ties
+    for r in got:
+        grp = [s for s in src if s["id"] == r["id"]]
+        key = lambda s: (s["time"] or datetime(1970, 1, 1), -s["arrival_idx"])
+        best = max(grp, key=key)
+        assert (r["time"], r["arrival_idx"]) == (best["time"], best["arrival_idx"])
+
+    # idempotence: dedup(dedup(x)) == dedup(x)
+    twice = {(r["id"], r["time"], r["arrival_idx"]) for r in run_dedup(out).collect()}
+    assert twice == {(r["id"], r["time"], r["arrival_idx"]) for r in got}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=rows, split=st.integers(1, 11))
+def test_dedup_union_invariance(spark, data, split):
+    """dedup(a UNION b) == dedup(dedup(a) UNION dedup(b)) — the law
+    that makes per-feed dedup + merge equal to global dedup."""
+    cut = min(split, len(data))
+    a, b = to_df(spark, data[:cut]), to_df(spark, data[cut:] or [])
+    whole = {
+        (r["id"], r["time"], r["arrival_idx"])
+        for r in run_dedup(a.unionByName(b)).collect()
+    }
+    staged = {
+        (r["id"], r["time"], r["arrival_idx"])
+        for r in run_dedup(run_dedup(a).unionByName(run_dedup(b))).collect()
+    }
+    assert staged == whole
