@@ -117,3 +117,44 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, str]],
+    salt_buckets: int = 16,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: rows are salted into
+    ``salt_buckets`` sub-keys, partially aggregated per (key, salt),
+    then merged per key. The first shuffle spreads a hot key over
+    ``salt_buckets`` reducers; the second handles one row per (key,
+    salt) — negligible.
+
+    ``aggs`` maps output column name -> (stage1_expr, merge) where
+    ``merge`` names the stage-2 re-aggregation: 'sum' (for sum/count),
+    'min', or 'max'. The decomposition is the caller's contract; for
+    algebraic aggregates beyond these, pre-compose (avg = salted sum /
+    salted count). The aggregate result is salt-invariant, so any salt
+    assignment is correct; a seeded rand keeps runs deterministic.
+
+    Spark's AQE skew handling covers JOIN skew; aggregation skew with
+    partial aggregation is usually fine too (map-side combine), but
+    this operator is the explicit pattern for extreme cardinality-1
+    keys where even combined partial rows overwhelm one reducer
+    (e.g., count per event_type with one type at 99%).
+    """
+    merge_fn = {"sum": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn(
+        salt_col, (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    stage1 = salted.groupBy(*keys, salt_col).agg(
+        *[expr.alias(f"_s1_{name}") for name, (expr, _) in aggs.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[
+            merge_fn[merge](F.col(f"_s1_{name}")).alias(name)
+            for name, (_, merge) in aggs.items()
+        ]
+    )

@@ -450,3 +450,102 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 — dynamic PIVOT (long->wide): per-user counts by event
+    type. Values are enumerated explicitly so the pivot is one pass
+    with partial aggregation (a values-less pivot needs an extra
+    distinct job to discover columns — avoid at scale)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "skew_safe_event_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_safe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3 skew pattern — two-stage SALTED aggregation: identical
+    result to a plain groupBy (the oracle proves it), but a hot key is
+    spread over 16 reducers in stage 1 and merged from 16 partial rows
+    in stage 2. The pattern for extreme single-key skew at 100 TB."""
+    tune(spark)
+    from etl_inreach_spark.operators.relational import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "max_value": (F.max("value"), "max"),
+        },
+    )
+
+
+@query(
+    "order_stats_summary",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+               AS sum_price,
+           CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(18,4)), 0.5) AS DOUBLE)
+               AS median_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 statistical aggregates: count/min/max/sum/discrete-median
+    per group. Sum goes through DECIMAL for order-insensitive digits;
+    the median is the DISCRETE lower-middle element (quantile_disc) —
+    an actual data value, so both engines agree exactly, where
+    interpolated medians differ between engines (Spark interpolates,
+    DuckDB's decimal median does not)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    per_group = Window.partitionBy("o_orderpriority")
+    ranked = o.select("o_orderpriority", dec.alias("_p")).select(
+        "o_orderpriority",
+        "_p",
+        F.row_number().over(per_group.orderBy("_p")).alias("_rn"),
+        F.count(F.lit(1)).over(per_group).alias("_n"),
+    )
+    medians = ranked.filter(
+        F.col("_rn") == F.ceil(F.col("_n") / 2)
+    ).select("o_orderpriority", F.col("_p").cast("double").alias("median_price"))
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.sum(dec).cast("decimal(18,4)").cast("double").alias("sum_price"),
+    )
+    return stats.join(medians, "o_orderpriority").select(
+        "o_orderpriority", "n", "min_price", "max_price", "sum_price", "median_price"
+    )
