@@ -61,3 +61,30 @@ def test_d1_lookback_is_pushed_into_url():
     url = build_feed_url("https://share.garmin.com/Feed/Share/", "XYZ", "2024-01-01T00:00:00+00:00")
     assert url == "https://share.garmin.com/Feed/Share/XYZ?d1=2024-01-01T00:00:00+00:00"
     assert build_feed_url("https://h/f/", "XYZ", None) == "https://h/f/XYZ"
+
+
+def test_streaming_poll_source(spark, feed_dir, tmp_path_factory):
+    """readStream over the feed source: one poll round per micro-batch
+    (scheduled-invocation analog), error isolation preserved."""
+    spark.dataSource.register(KMLFeedDataSource)
+    shares = [{"share_id": "AAA"}, {"share_id": "MISSING"}]
+    stream = (
+        spark.readStream.format("kml_feed")
+        .option("shares", json.dumps(shares))
+        .option("base_url", f"file://{feed_dir}/")
+        .option("lookback_minutes", "0")
+        .load()
+    )
+    ckpt = tmp_path_factory.mktemp("ckpt_stream_src")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("feed_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["share_id"]: r for r in spark.sql("SELECT * FROM feed_stream").collect()}
+    assert rows["AAA"]["body"] == GOOD_FEED and rows["AAA"]["error"] is None
+    assert rows["MISSING"]["body"] is None and rows["MISSING"]["error"]
