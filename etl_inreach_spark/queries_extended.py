@@ -145,7 +145,10 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of normalized text + polynomial
-    rolling hash of the first 200 chars (both engine-portable)."""
+    rolling hash of the first 200 chars (both engine-portable; the
+    interpreted per-char fold measures FASTER here than an
+    explode+groupBy closed form — a 200-element fold per row beats
+    shuffling a million 1-char rows; see spark-perf notes)."""
     tune(spark)
     from etl_inreach_spark.functions.text import fingerprint_md5, rolling_hash
 
