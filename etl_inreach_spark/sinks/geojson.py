@@ -109,3 +109,15 @@ def parse_feature_collection(doc: str) -> list[dict]:
     parsed = json.loads(doc)
     assert parsed["type"] == "FeatureCollection"
     return parsed["features"]
+
+
+def write_features_parquet(
+    features: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("share_id",),
+    mode: str = "overwrite",
+) -> None:
+    """Silver-table sink: columnar parquet partitioned by source share
+    (SURVEY.md §2.2 sinks row). Partitioning by share keeps per-feed
+    reads pruned; at scale add a date partition from `time`."""
+    features.write.partitionBy(*partition_by).mode(mode).parquet(path)

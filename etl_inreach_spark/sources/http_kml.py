@@ -65,10 +65,14 @@ def fetch_one(
     timeout_s: float = 30.0,
 ) -> tuple[str, str | None, str | None, str]:
     """Fetch a single share feed. Never raises — errors come back as
-    data (feed-granular isolation)."""
+    data (feed-granular isolation). Logs one line per request and per
+    failure, executor-side (reference O23: task.ts:76,166)."""
+    import logging
     import urllib.request
 
+    log = logging.getLogger("etl_inreach_spark.feeds")
     url = build_feed_url(base, share_id, d1_iso)
+    log.info("ok - requesting %s", share_id)
     req = urllib.request.Request(url)
     if password:
         # ":password" — empty username, exactly the reference's header
@@ -80,6 +84,7 @@ def fetch_one(
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
             return share_id, resp.read().decode("utf-8", errors="replace"), None, now
     except Exception as e:  # noqa: BLE001 — isolation is the contract
+        log.warning("feed %s failed: %s", share_id, e)
         return share_id, None, f"{type(e).__name__}: {e}", now
 
 

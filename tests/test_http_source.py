@@ -88,3 +88,21 @@ def test_streaming_poll_source(spark, feed_dir, tmp_path_factory):
     rows = {r["share_id"]: r for r in spark.sql("SELECT * FROM feed_stream").collect()}
     assert rows["AAA"]["body"] == GOOD_FEED and rows["AAA"]["error"] is None
     assert rows["MISSING"]["body"] is None and rows["MISSING"]["error"]
+
+
+def test_feed_observation_metrics(spark, feed_dir):
+    from etl_inreach_spark.observability import observe_feed_metrics
+
+    spark.dataSource.register(KMLFeedDataSource)
+    shares = [{"share_id": "AAA"}, {"share_id": "MISSING"}]
+    feeds = (
+        spark.read.format("kml_feed")
+        .option("shares", json.dumps(shares))
+        .option("base_url", f"file://{feed_dir}/")
+        .option("lookback_minutes", "0")
+        .load()
+    )
+    observed, obs = observe_feed_metrics(feeds)
+    observed.write.format("noop").mode("overwrite").save()  # one action
+    m = obs.get
+    assert m["n_feeds"] == 2 and m["n_errors"] == 1 and m["n_empty_bodies"] == 0
