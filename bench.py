@@ -47,6 +47,15 @@ def main() -> None:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM and the Arrow Python workers once so the first
+    # pandas-UDF query doesn't pay worker spin-up inside its timing.
+    import pandas as _pd  # noqa: F401
+
+    warm = spark.range(cpus * 2).repartition(cpus)
+    warm.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     qs = all_queries()
     timings: dict[str, float] = {}
     for name in sorted(qs):

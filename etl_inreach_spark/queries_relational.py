@@ -588,3 +588,56 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "unpivot_order_flags",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice,
+               CAST(o_custkey AS DOUBLE) AS custkey
+        FROM orders
+    ) UNPIVOT (val FOR metric IN (totalprice, custkey))
+    """,
+)
+def unpivot_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 — UNPIVOT/melt (wide->long): numeric order columns to
+    (key, metric, value) rows. Pure narrow generator, no shuffle."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+    )
+
+
+@query(
+    "sliding_1h_user_activity",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS n_last_hour
+    FROM events
+    """,
+)
+def sliding_1h_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 window functions — RANGE (value-based) frame: per-user
+    event count over the trailing hour at each event. Value frames are
+    the sliding-window primitive the reference's 30-min lookback
+    generalizes to."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
