@@ -1,0 +1,187 @@
+"""Cross-run latest-position state (SURVEY.md §2.2 "Streaming:
+stateful ops"): the reference rebuilds its dedup map every scheduled
+run (task.ts:92), so a device's latest KNOWN position is forgotten
+between runs. This operator strengthens that: a
+``transformWithStateInPandas`` stateful processor keeps one row of
+state per device across micro-batches and emits a device's row only
+when its latest position CHANGES — the true streaming argmax, with the
+reference's exact comparison semantics (strict ``>``, NULL time ==
+epoch 0; SURVEY.md §2.3.1-2).
+
+State size is one fixed-width row per device — the minimum possible —
+and the state store shuffles by device id, so a 100 TB feed history
+costs state proportional to the FLEET size, not the event count.
+
+Two renderings, same semantics:
+  * ``latest_position_stream`` — transformWithStateInPandas + RocksDB
+    state store (the preferred cluster path; needs google.protobuf on
+    the workers, absent in this container, so its test is skip-gated).
+  * ``latest_position_foreachbatch`` — foreachBatch merging each
+    micro-batch into a parquet state table with the SAME batch argmax
+    operator; fully portable, tested here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("time_us", LongType(), True),
+        StructField("arrival_idx", LongType(), True),
+        StructField("lon", DoubleType(), True),
+        StructField("lat", DoubleType(), True),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), True),
+        StructField("time", TimestampType(), True),
+        StructField("lon", DoubleType(), True),
+        StructField("lat", DoubleType(), True),
+    ]
+)
+
+
+def _ts_to_us(v) -> int:
+    """NULL time compares as epoch 0 (reference `time ?? 0`,
+    task.ts:154)."""
+    if v is None or pd.isna(v):
+        return 0
+    return int(pd.Timestamp(v).value // 1000)
+
+
+class LatestPositionProcessor(StatefulProcessor):
+    """Per-device argmax over (time, -arrival_idx) carried ACROSS
+    micro-batches. Emits one row per device per batch IF the latest
+    position changed; quiet devices emit nothing (delta stream)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("latest", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
+        best = None  # (time_us, -arrival_idx) max under strict > replace
+        if self._state.exists():
+            t_us, arr, lon, lat = self._state.get()
+            best = {"time_us": t_us, "arrival_idx": arr, "lon": lon, "lat": lat}
+        changed = False
+        for pdf in rows:
+            for r in pdf.itertuples():
+                t_us = _ts_to_us(r.time)
+                arr = int(r.arrival_idx)
+                # strict >: equal timestamps keep the EARLIER-SEEN row
+                # (task.ts:154) — rows arrive in arrival order within a
+                # batch and batches arrive in order, so no extra tiebreak
+                if best is None or t_us > best["time_us"]:
+                    best = {
+                        "time_us": t_us,
+                        "arrival_idx": arr,
+                        "lon": float(r.lon) if r.lon is not None else None,
+                        "lat": float(r.lat) if r.lat is not None else None,
+                    }
+                    changed = True
+        if changed and best is not None:
+            self._state.update(
+                (best["time_us"], best["arrival_idx"], best["lon"], best["lat"])
+            )
+            yield pd.DataFrame(
+                {
+                    "id": [key[0]],
+                    "time": [
+                        pd.Timestamp(best["time_us"] * 1000)
+                        if best["time_us"] > 0
+                        else pd.NaT
+                    ],
+                    "lon": [best["lon"]],
+                    "lat": [best["lat"]],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def latest_position_stream(features: DataFrame) -> DataFrame:
+    """Streaming (id, time, arrival_idx, lon, lat) -> delta stream of
+    per-device latest positions with cross-batch state."""
+    return (
+        features.select("id", "time", "arrival_idx", "lon", "lat")
+        .groupBy("id")
+        .transformWithStateInPandas(
+            statefulProcessor=LatestPositionProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
+def latest_position_foreachbatch(
+    features: DataFrame,
+    state_dir: str,
+    emit,
+) -> "DataStreamWriter":
+    """Portable cross-run state without transformWithState (which
+    needs protobuf on the workers): each micro-batch is merged with a
+    parquet state table via the same keyed-argmax used in batch, the
+    state is rewritten, and rows whose latest position CHANGED are
+    handed to ``emit``. Exactly the reference's dedup map made durable.
+
+    The merge is the one-shuffle argmax (operators/dedup.py) over
+    state ∪ batch — state size is one row per device, so the rewrite
+    cost tracks fleet size, not history. For very large fleets swap
+    the parquet rewrite for a Delta/Iceberg MERGE; the dataflow shape
+    is identical.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_inreach_spark.operators.dedup import latest_by_key
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = ["id", "time", "arrival_idx", "lon", "lat"]
+        batch = batch_df.select(*cols)
+        try:
+            state = spark.read.parquet(state_dir).select(*cols)
+        except Exception:  # first batch: no state yet
+            state = None
+        if state is not None:
+            # state rows take arrival_idx -1 so the first-seen-wins
+            # tie-break prefers EXISTING state on equal timestamps
+            merged_src = state.withColumn("arrival_idx", F.lit(-1).cast("long")).unionByName(batch)
+        else:
+            merged_src = batch
+        merged = latest_by_key(merged_src, ["id"], "time", arrival_col="arrival_idx")
+        merged.write.mode("overwrite").parquet(state_dir + ".next")
+        next_state = spark.read.parquet(state_dir + ".next")
+        if state is not None:
+            prev = state.select(
+                F.col("id").alias("_pid"), F.col("time").alias("_ptime")
+            )
+            changed = next_state.join(prev, next_state["id"] == prev["_pid"], "left").filter(
+                F.col("_ptime").isNull() | (F.col("time") > F.col("_ptime"))
+            ).select(*cols)
+        else:
+            changed = next_state
+        emit(changed)
+        # atomic-enough swap for local/posix; object stores use rename
+        # or a manifest — same logic
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(state_dir + ".next", state_dir)
+
+    return features.writeStream.outputMode("append").foreachBatch(handle)

@@ -108,3 +108,111 @@ def test_foreachbatch_sink_posts_feature_collections(spark, feed_dir, tmp_path):
     geom = {f["id"]: f["geometry"] for f in feats}
     assert geom["inreach-222"]["type"] == "Point"
     assert geom["inreach-222"]["coordinates"][:2] == [10.0, 20.0]
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _write_position_batches(d):
+    import json as _json
+
+    b1 = [
+        {"id": "dev-1", "time": "2024-01-01T00:10:00", "arrival_idx": 0, "lon": 1.0, "lat": 1.0},
+        {"id": "dev-2", "time": "2024-01-01T00:05:00", "arrival_idx": 1, "lon": 2.0, "lat": 2.0},
+    ]
+    b2 = [
+        # dev-1: LATER -> state updates, re-emitted with new position
+        {"id": "dev-1", "time": "2024-01-01T00:20:00", "arrival_idx": 0, "lon": 9.0, "lat": 9.0},
+        # dev-2: EARLIER than state -> suppressed entirely
+        {"id": "dev-2", "time": "2024-01-01T00:01:00", "arrival_idx": 1, "lon": 0.0, "lat": 0.0},
+    ]
+    for i, batch in enumerate([b1, b2]):
+        f = d / f"b{i}.json"
+        f.write_text("\n".join(_json.dumps(r) for r in batch))
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf on workers",
+)
+def test_stateful_latest_position_across_batches(spark, tmp_path):
+    """transformWithStateInPandas: per-device latest position carried
+    ACROSS micro-batches; stale updates are suppressed, fresher ones
+    re-emit the device."""
+    from etl_inreach_spark.streaming.stateful import latest_position_stream
+
+    d = tmp_path / "posfeed"
+    d.mkdir()
+    _write_position_batches(d)
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    feeds = (
+        spark.readStream.schema(
+            "id string, time timestamp, arrival_idx long, lon double, lat double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = latest_position_stream(feeds)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_pos")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM latest_pos ORDER BY id, time").collect()
+    emitted = [(r["id"], r["lon"]) for r in rows]
+    # dev-1 emitted twice (initial + fresher update), dev-2 once (stale
+    # second report suppressed by cross-batch state)
+    assert emitted == [("dev-1", 1.0), ("dev-1", 9.0), ("dev-2", 2.0)]
+
+
+def test_foreachbatch_state_latest_position(spark, tmp_path):
+    """Portable cross-run state: parquet state table merged with each
+    micro-batch via the batch argmax; only changed devices are
+    emitted."""
+    from etl_inreach_spark.streaming.stateful import latest_position_foreachbatch
+
+    d = tmp_path / "posfeed2"
+    d.mkdir()
+    _write_position_batches(d)
+
+    feeds = (
+        spark.readStream.schema(
+            "id string, time timestamp, arrival_idx long, lon double, lat double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    emitted = []
+
+    def emit(changed_df):
+        emitted.extend(
+            (r["id"], r["lon"]) for r in changed_df.orderBy("id").collect()
+        )
+
+    writer = latest_position_foreachbatch(
+        feeds, str(tmp_path / "state"), emit
+    ).option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    # batch1 emits both devices; batch2 re-emits only dev-1 (fresher);
+    # dev-2's stale report is absorbed by state
+    assert emitted == [("dev-1", 1.0), ("dev-2", 2.0), ("dev-1", 9.0)]
+    final = {r["id"]: r["lon"] for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    assert final == {"dev-1": 9.0, "dev-2": 2.0}
