@@ -61,16 +61,21 @@ def extract_features(
     out_schema = f"{id_col} bigint, mime string, n_bytes int, first_byte int, byte_sum_mod int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        null_feats = {"n_bytes": None, "first_byte": None, "byte_sum_mod": None}
         for pdf in batches:
             media = pdf[media_col]
+            # a NULL media struct (left joins, missing uploads) yields a
+            # NULL feature row rather than a TypeError on the executor
             feats = [
-                decode_stub(m["bytes"] if m["bytes"] is not None else b"", m["mime"])
+                null_feats
+                if m is None
+                else decode_stub(m["bytes"] if m["bytes"] is not None else b"", m["mime"])
                 for m in media
             ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "mime": [m["mime"] for m in media],
+                    "mime": [None if m is None else m["mime"] for m in media],
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "first_byte": [f["first_byte"] for f in feats],
                     "byte_sum_mod": [f["byte_sum_mod"] for f in feats],
@@ -114,6 +119,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, sizes, sums = [], [], [], []
             for rid, m in zip(pdf[id_col], pdf[media_col]):
+                if m is None:  # NULL media struct -> no frames
+                    continue
                 payload = m["bytes"] if m["bytes"] is not None else b""
                 n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                 for fi in range(0, n_frames, stride):

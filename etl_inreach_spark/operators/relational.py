@@ -79,11 +79,21 @@ def asof_join(
     does not. Right rows sort BEFORE left rows on timestamp ties, so
     an exactly-simultaneous right row is visible (<= semantics).
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    # All right value columns travel as ONE struct carried by a single
+    # last(ignorenulls): left rows hold a NULL struct (skipped whole),
+    # right rows a non-null struct even when individual FIELDS are
+    # NULL — so the carried values always come from one right row,
+    # never a per-column mix of different rows.
+    vals_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_value_cols]
+    )
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_value_cols],
+        F.lit(None).cast(vals_type).alias("_vals"),
         F.col(left_ts).alias("_ts"),
     )
     tagged_right = right.select(
@@ -92,31 +102,30 @@ def asof_join(
             for k in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("_vals"),
         F.col(right_ts).alias("_ts"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Tie-break among right rows sharing a timestamp: order by the
-    # carried value columns so `last` is deterministic (left rows have
-    # NULLs there and are already separated by _side).
+    # carried struct so `last` is deterministic (left rows have a NULL
+    # struct and are already separated by _side).
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(
-            F.col("_ts").asc(),
-            F.col("_side").asc(),
-            *[F.col(f"{prefix}{c}").asc_nulls_first() for c in right_value_cols],
-        )
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_vals").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("_side"),
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_value_cols
-        ],
+        F.last(F.col("_vals"), ignorenulls=True).over(w).alias("_vals"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in lcols],
+            *[F.col(f"_vals.{c}").alias(f"{prefix}{c}") for c in right_value_cols],
+        )
+    )
 
 
 def salted_agg(

@@ -79,7 +79,8 @@ def lsh_signatures(
     planes generated from a fixed seed on each executor (deterministic,
     no broadcast needed — planes are derived, not shipped).
     """
-    out_schema = f"{id_col} bigint, {vec_col} array<float>, bucket int"
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} bigint, {vec_col} {vec_t}, bucket int"
 
     def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = np.random.RandomState(seed).randn(dim, num_planes)
@@ -172,8 +173,6 @@ def cosine_pairs_exact(
     Choose B ~ sqrt(desired parallelism). For corpora with cluster
     structure prefer LSH/IVF candidates + this verify step.
     """
-    import pandas as pd  # noqa: F811 (re-import for executor pickling)
-
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -197,9 +196,8 @@ def cosine_pairs_exact(
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = int(pdf["_cell"].iloc[0]["i"]), int(pdf["_cell"].iloc[0]["j"])
-        x = pdf[pdf["_blk"] == i]
         mat = np.vstack(pdf["_v"].to_numpy()).astype("float64")
-        norms = np.linalg.norm(mat, axis=1)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
         unit = mat / norms[:, None]
         ids = pdf["_id"].to_numpy()
         if i == j:
@@ -207,13 +205,12 @@ def cosine_pairs_exact(
             ai, bj = np.nonzero(np.triu(sims >= margin, k=1))
             id_a, id_b = ids[ai], ids[bj]
         else:
-            y = pdf[pdf["_blk"] == j]
-            xm = unit[(pdf["_blk"] == i).to_numpy()]
-            ym = unit[(pdf["_blk"] == j).to_numpy()]
-            sims = xm @ ym.T
+            in_i = (pdf["_blk"] == i).to_numpy()
+            in_j = (pdf["_blk"] == j).to_numpy()
+            sims = unit[in_i] @ unit[in_j].T
             ai, bj = np.nonzero(sims >= margin)
-            id_a = x["_id"].to_numpy()[ai]
-            id_b = y["_id"].to_numpy()[bj]
+            id_a = ids[in_i][ai]
+            id_b = ids[in_j][bj]
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
         keep = lo != hi
@@ -244,11 +241,14 @@ def train_ivf_centroids(
     """Coarse k-means quantizer trained on a BOUNDED sample (Lloyd's
     iterations in numpy on the driver — the sample size, not the
     corpus size, bounds driver memory; standard IVF practice)."""
-    frac = None  # take first sample_size rows deterministically
     sample = np.vstack(
         [r[0] for r in df.select(vec_col).limit(sample_size).collect()]
     ).astype("float64")
-    sample /= np.linalg.norm(sample, axis=1)[:, None]
+    if sample.shape[1] != dim:
+        raise ValueError(f"embedding dim {sample.shape[1]} != declared dim {dim}")
+    norms = np.maximum(np.linalg.norm(sample, axis=1), 1e-12)  # zero-vector safe
+    sample /= norms[:, None]
+    nlist = min(nlist, len(sample))  # tiny corpora: one cell per vector
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), nlist, replace=False)]
     for _ in range(iters):
@@ -257,7 +257,7 @@ def train_ivf_centroids(
             members = sample[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
-        centroids /= np.linalg.norm(centroids, axis=1)[:, None]
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1), 1e-12)[:, None]
     return centroids
 
 
@@ -272,16 +272,16 @@ def ivf_assign(
     indexes the corpus; nprobe>1 explodes a query into the cells it
     probes. Arrow-vectorized matmul per batch; centroids ride into the
     closure (KBs)."""
-    out_schema = f"{id_col} bigint, {vec_col} array<float>, cell int"
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} bigint, {vec_col} {vec_t}, cell int"
     cent = centroids.astype("float64")
 
     def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            mat /= np.linalg.norm(mat, axis=1)[:, None]
+            mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
             sims = mat @ cent.T
             top = np.argsort(-sims, axis=1)[:, :nprobe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy().repeat(nprobe),

@@ -18,7 +18,9 @@ def tumbling_bucket(ts: Column, width_seconds: int) -> Column:
     key with partial aggregation, and cheap to compute in codegen.
     """
     secs = F.unix_timestamp(ts)
-    return F.timestamp_seconds((secs - secs % width_seconds))
+    # pmod, not %: Spark's % follows the dividend's sign, so pre-1970
+    # timestamps would bucket AFTER the event instead of flooring
+    return F.timestamp_seconds(secs - F.pmod(secs, F.lit(width_seconds)))
 
 
 def tumbling_agg(

@@ -77,15 +77,26 @@ class LatestPositionProcessor(StatefulProcessor):
         if self._state.exists():
             t_us, arr, lon, lat = self._state.get()
             best = {"time_us": t_us, "arrival_idx": arr, "lon": lon, "lat": lat}
+        from_state = best is not None
         changed = False
         for pdf in rows:
             for r in pdf.itertuples():
                 t_us = _ts_to_us(r.time)
                 arr = int(r.arrival_idx)
-                # strict >: equal timestamps keep the EARLIER-SEEN row
-                # (task.ts:154) — rows arrive in arrival order within a
-                # batch and batches arrive in order, so no extra tiebreak
-                if best is None or t_us > best["time_us"]:
+                # strict > vs state: equal timestamps keep the
+                # EARLIER-SEEN (stored) row (task.ts:154). Within this
+                # batch, row delivery order is NOT guaranteed, so ties
+                # break deterministically on the smaller arrival_idx.
+                replaces = (
+                    best is None
+                    or t_us > best["time_us"]
+                    or (
+                        not from_state
+                        and t_us == best["time_us"]
+                        and arr < best["arrival_idx"]
+                    )
+                )
+                if replaces:
                     best = {
                         "time_us": t_us,
                         "arrival_idx": arr,
@@ -93,6 +104,7 @@ class LatestPositionProcessor(StatefulProcessor):
                         "lat": float(r.lat) if r.lat is not None else None,
                     }
                     changed = True
+                    from_state = False  # ties now break on arrival_idx
         if changed and best is not None:
             self._state.update(
                 (best["time_us"], best["arrival_idx"], best["lon"], best["lat"])
@@ -151,13 +163,22 @@ def latest_position_foreachbatch(
     from etl_inreach_spark.operators.dedup import latest_by_key
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         cols = ["id", "time", "arrival_idx", "lon", "lat"]
         batch = batch_df.select(*cols)
-        try:
-            state = spark.read.parquet(state_dir).select(*cols)
-        except Exception:  # first batch: no state yet
-            state = None
+        state = None
+        if os.path.exists(state_dir):
+            try:
+                state = spark.read.parquet(state_dir).select(*cols)
+            except AnalysisException:
+                # empty/unreadable catalog path on a genuinely fresh dir;
+                # any OTHER failure (corrupt files, IO errors) must raise
+                # rather than silently discard accumulated state
+                state = None
         if state is not None:
             # state rows take arrival_idx -1 so the first-seen-wins
             # tie-break prefers EXISTING state on equal timestamps
@@ -168,15 +189,32 @@ def latest_position_foreachbatch(
         merged.write.mode("overwrite").parquet(state_dir + ".next")
         next_state = spark.read.parquet(state_dir + ".next")
         if state is not None:
+            # presence marker: _seen distinguishes "no prior state row"
+            # from "prior state row with NULL time" (a NULL-time device
+            # must not re-emit forever)
             prev = state.select(
-                F.col("id").alias("_pid"), F.col("time").alias("_ptime")
+                F.col("id").alias("_pid"),
+                F.col("time").alias("_ptime"),
+                F.lit(1).alias("_seen"),
             )
-            changed = next_state.join(prev, next_state["id"] == prev["_pid"], "left").filter(
-                F.col("_ptime").isNull() | (F.col("time") > F.col("_ptime"))
-            ).select(*cols)
+            epoch0 = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+            changed = (
+                next_state.join(prev, next_state["id"] == prev["_pid"], "left")
+                .filter(
+                    F.col("_seen").isNull()
+                    | (
+                        F.coalesce(F.col("time"), epoch0)
+                        > F.coalesce(F.col("_ptime"), epoch0)
+                    )
+                )
+                .select(*cols)
+            )
         else:
             changed = next_state
-        emit(changed)
+        # cut lineage BEFORE the state swap: `changed` reads the files
+        # deleted/moved below, so it must be materialized now, not
+        # whenever the caller happens to act on it
+        emit(changed.localCheckpoint(eager=True))
         # atomic-enough swap for local/posix; object stores use rename
         # or a manifest — same logic
         import shutil

@@ -169,3 +169,21 @@ def test_resize_stub_and_frame_sampler(spark):
     assert set(got) == {(1, 0), (1, 2)}
     assert got[(1, 0)] == (32, (97 * 32) % 997)
     assert got[(1, 2)] == (6, (97 * 6) % 997)
+
+
+def test_multimodal_null_media_rows(spark):
+    from etl_inreach_spark.operators.multimodal import extract_features, sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, payload string"
+    ).selectExpr(
+        "doc_id",
+        "CASE WHEN payload IS NOT NULL THEN "
+        "named_struct('uri', 'mem://x', 'mime', 'text/plain', "
+        "'bytes', encode(payload, 'UTF-8'), 'meta', map('k','v')) END AS media",
+    )
+    feats = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert feats[1]["n_bytes"] == 5
+    assert feats[2]["mime"] is None and feats[2]["n_bytes"] is None
+    frames = sample_frames(df).collect()
+    assert {r["doc_id"] for r in frames} == {1}

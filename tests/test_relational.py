@@ -74,3 +74,36 @@ def test_sessionize_gap(spark):
     out = sessionize(df, ["k"], "ts", 1800, "arr")
     got = {r["arr"]: r["session_id"] for r in out.collect()}
     assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_asof_join_no_torn_rows(spark):
+    """A NULL field in the newest right row must NOT resurrect an older
+    right row's value — carried values always come from ONE right row."""
+    from etl_inreach_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, 10.0, 5), ("k", 2, None, 7)],
+        "key string, ts int, px double, qty int",
+    )
+    left = spark.createDataFrame([("k", 3)], "key string, ts int")
+    out = asof_join(left, right, ["key"], "ts", "ts", ["px", "qty"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # latest right row is (px=NULL, qty=7): px must be NULL, not 10.0
+    assert r["asof_px"] is None and r["asof_qty"] == 7
+
+
+def test_tumbling_bucket_floors_pre_epoch(spark):
+    from etl_inreach_spark.operators.windows import tumbling_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:55",), ("1970-01-01 00:00:05",)], "t string"
+    )
+    got = [
+        str(r["b"])
+        for r in df.select(
+            tumbling_bucket(F.to_timestamp("t"), 60).alias("b")
+        ).collect()
+    ]
+    assert got == ["1969-12-31 23:59:00", "1970-01-01 00:00:00"]
