@@ -61,6 +61,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     — identical truncation to DuckDB, so oracle hashes agree. The
     conversion is a narrow projection fused into the scan stage by
     whole-stage codegen; no extra pass.
+
+    The nanosAsLong conf intentionally stays set on the session: scan
+    EXECUTION (not just planning) reads it, so restoring it after this
+    call would break the returned DataFrame. Net effect on other reads
+    of nanos parquet: raw int64 instead of a hard PARQUET_TYPE_ILLEGAL
+    error — route them through load_table.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -24,9 +24,24 @@ def coord(arr: Column, i: int) -> Column:
 
 def eav_to_map(entries: Column, key_field: str = "name", value_field: str = "value") -> Column:
     """O12 (task.ts:109-112) — fold array<struct<name,value>> EAV pairs
-    into map<string,string> for by-name lookups."""
+    into map<string,string> for by-name lookups.
+
+    Duplicate keys are LAST-WINS (the reference assigns
+    ``extended[name] = value`` per pair, task.ts:111). A plain
+    map_from_entries would throw DUPLICATED_MAP_KEY under Spark's
+    default dedup policy and kill the whole job on one bad feed —
+    violating feed-granular isolation — so later-duplicated entries are
+    filtered out first (entry i survives iff no later entry shares its
+    key; quadratic in the per-row entry count, which is ~10)."""
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later[key_field] == e[key_field],
+        ),
+    )
     return F.map_from_entries(
-        F.transform(entries, lambda e: F.struct(e[key_field], e[value_field]))
+        F.transform(deduped, lambda e: F.struct(e[key_field], e[value_field]))
     )
 
 
@@ -37,12 +52,19 @@ def map_get(m: Column, key: str) -> Column:
 
 
 def point_geometry(lon: Column, lat: Column, alt: Column | None = None) -> Column:
-    """GeoJSON Point geometry struct (task.ts:145-148)."""
-    coords = (
-        F.array(lon, lat)
-        if alt is None
-        else F.filter(F.array(lon, lat, alt), lambda c: c.isNotNull())
-    )
+    """GeoJSON Point geometry struct (task.ts:145-148).
+
+    Coordinates are POSITIONAL: a malformed lon/lat stays as NULL in
+    its position (the reference emits NaN -> JSON null there) — it is
+    never filtered out, which would shift latitude into the longitude
+    slot. Only the optional altitude is dropped when absent
+    (task.ts:105-107 pushes the third element conditionally)."""
+    if alt is None:
+        coords = F.array(lon, lat)
+    else:
+        coords = F.when(alt.isNotNull(), F.array(lon, lat, alt)).otherwise(
+            F.array(lon, lat)
+        )
     return F.struct(F.lit("Point").alias("type"), coords.alias("coordinates"))
 
 

@@ -21,8 +21,13 @@ def normalize_share_id(share_id: Column) -> Column:
 
 
 def default_fill(primary: Column, fallback: Column) -> Column:
-    """O3 (task.ts:75) — CallSign defaults to ShareId when absent."""
-    return F.coalesce(primary, fallback)
+    """O3 (task.ts:75) — CallSign defaults to ShareId when absent.
+
+    The reference tests JS falsiness (`if (!share.CallSign)`), so an
+    EMPTY STRING falls back too, not just NULL."""
+    return F.when(
+        primary.isNull() | (primary == F.lit("")), fallback
+    ).otherwise(primary)
 
 
 def share_feed_url(share_id: Column) -> Column:
@@ -39,8 +44,11 @@ def surrogate_key(imei: Column, prefix: str = "inreach-") -> Column:
     """O13 (task.ts:114) — device-identity surrogate key.
 
     IMEI, not message Id (reference CHANGELOG.md:122-124, v3.7.3).
-    """
-    return F.concat(F.lit(prefix), imei)
+    A missing IMEI yields the literal key 'inreach-undefined' (JS
+    string concat with undefined, task.ts:114) — NOT NULL, which would
+    both vanish from the GeoJSON id field and collapse with every
+    other NULL under a dedup key."""
+    return F.concat(F.lit(prefix), F.coalesce(imei, F.lit("undefined")))
 
 
 def strip_unit(value: Column) -> Column:

@@ -47,10 +47,14 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     sequence+substring keeps it JVM-side; distinct so Jaccard is a
     set measure.
     """
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))),
-            lambda i: F.substring(text, i, F.lit(k)),
+    # guard: sequence(1, 0) steps DOWNWARD to [1, 0] in Spark, so a
+    # text shorter than k must short-circuit to an empty set
+    return F.when(F.length(text) < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+                lambda i: F.substring(text, i, F.lit(k)),
+            )
         )
     )
 

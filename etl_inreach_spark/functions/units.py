@@ -10,9 +10,9 @@ from pyspark.sql import functions as F
 # (SURVEY.md §2.3.3).
 KMH_TO_MS = 0.277778
 
-# ISO-8601 with microseconds, the engine's canonical wire format
-# (reference emits Date.toISOString(), task.ts:122-123,142).
-ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+# ISO-8601 with MILLISECONDS — exactly Date.toISOString()'s shape
+# (reference task.ts:122-123,142 emits 3 fractional digits).
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
 
 def kmh_to_ms(speed_kmh: Column) -> Column:
@@ -20,7 +20,7 @@ def kmh_to_ms(speed_kmh: Column) -> Column:
 
 
 def to_iso8601(ts: Column) -> Column:
-    """O16 — render a timestamp as ISO-8601 (UTC, microsecond)."""
+    """O16 — render a timestamp as ISO-8601 (UTC, millisecond)."""
     return F.date_format(ts, ISO_FMT)
 
 

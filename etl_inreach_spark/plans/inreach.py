@@ -92,9 +92,16 @@ def placemarks_to_features(placemarks: DataFrame, shares: DataFrame) -> DataFram
 
 
 def dedup_features(features: DataFrame) -> DataFrame:
-    """O18: one feature per device id — latest time, first-seen wins on
-    ties, NULL time counts as epoch 0 (task.ts:151-159)."""
-    return latest_by_key(features, ["id"], "time", arrival_col="arrival_idx")
+    """O18: one feature per device id PER SHARE — latest time,
+    first-seen wins on ties, NULL time counts as epoch 0
+    (task.ts:151-159). The reference's dedup map lives inside the
+    per-share closure (task.ts:92), so the same device appearing in
+    two configured shares emits one feature per share; keying on
+    share_id also keeps the arrival_idx tie-break well-defined
+    (arrival order restarts per feed)."""
+    return latest_by_key(
+        features, ["share_id", "id"], "time", arrival_col="arrival_idx"
+    )
 
 
 def inreach_pipeline(shares: DataFrame, feeds: DataFrame) -> DataFrame:

@@ -259,8 +259,8 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timestamp_normalize",
     oracle="""
     SELECT event_id,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso,
-           ts AS parsed_back
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso,
+           date_trunc('ms', ts) AS parsed_back
     FROM events
     """,
 )

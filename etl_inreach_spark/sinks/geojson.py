@@ -50,7 +50,7 @@ def features_to_json(features: DataFrame, id_col: str = "id") -> DataFrame:
             F.lit("r-u").alias("relation"),
             F.lit("text/html").alias("mime"),
             F.col("link_url").alias("url"),
-            F.lit("inReach Share Link").alias("remarks"),
+            F.lit("Garmin Portal").alias("remarks"),  # task.ts:129
         )
     )
     properties = F.struct(

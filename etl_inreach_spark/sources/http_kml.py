@@ -49,11 +49,22 @@ FEED_SCHEMA = StructType(
 DEFAULT_BASE = "https://share.garmin.com/Feed/Share/"
 
 
+def _utc_iso_ms(dt: datetime) -> str:
+    """Date.toISOString() shape: milliseconds + 'Z' (task.ts:80-82)."""
+    return dt.astimezone(timezone.utc).isoformat(timespec="milliseconds").replace(
+        "+00:00", "Z"
+    )
+
+
 def build_feed_url(base: str, share_id: str, d1_iso: str | None) -> str:
     url = f"{base}{share_id}"
     if d1_iso is not None:
+        from urllib.parse import quote
+
+        # percent-encode: a raw '+' in an ISO offset would decode as a
+        # SPACE server-side and silently break the lookback filter
         sep = "&" if "?" in url else "?"
-        url = f"{url}{sep}d1={d1_iso}"
+        url = f"{url}{sep}d1={quote(d1_iso, safe='')}"
     return url
 
 
@@ -103,9 +114,9 @@ class KMLFeedReader(DataSourceReader):
         if options.get("d1"):
             self.d1 = options["d1"]
         elif self.lookback_minutes > 0:
-            self.d1 = (
+            self.d1 = _utc_iso_ms(
                 datetime.now(timezone.utc) - timedelta(minutes=self.lookback_minutes)
-            ).isoformat()
+            )
         else:
             self.d1 = None
 
@@ -141,7 +152,7 @@ class KMLFeedStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         d1 = (
-            (datetime.now(timezone.utc) - timedelta(minutes=self.lookback_minutes)).isoformat()
+            _utc_iso_ms(datetime.now(timezone.utc) - timedelta(minutes=self.lookback_minutes))
             if self.lookback_minutes > 0
             else None
         )

@@ -58,9 +58,19 @@ def test_source_feeds_the_pipeline(spark, feed_dir):
 
 
 def test_d1_lookback_is_pushed_into_url():
-    url = build_feed_url("https://share.garmin.com/Feed/Share/", "XYZ", "2024-01-01T00:00:00+00:00")
-    assert url == "https://share.garmin.com/Feed/Share/XYZ?d1=2024-01-01T00:00:00+00:00"
+    # percent-encoded: '+' in a query string decodes as a space
+    url = build_feed_url("https://share.garmin.com/Feed/Share/", "XYZ", "2024-01-01T00:00:00.000Z")
+    assert url == "https://share.garmin.com/Feed/Share/XYZ?d1=2024-01-01T00%3A00%3A00.000Z"
     assert build_feed_url("https://h/f/", "XYZ", None) == "https://h/f/XYZ"
+
+
+def test_d1_is_millisecond_z_format():
+    from datetime import datetime, timezone
+
+    from etl_inreach_spark.sources.http_kml import _utc_iso_ms
+
+    s = _utc_iso_ms(datetime(2024, 1, 2, 3, 4, 5, 678901, tzinfo=timezone.utc))
+    assert s == "2024-01-02T03:04:05.678Z"  # Date.toISOString() shape
 
 
 def test_streaming_poll_source(spark, feed_dir, tmp_path_factory):
