@@ -60,9 +60,11 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """|A ∩ B| / |A ∪ B| over distinct-element arrays."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+    """|A ∩ B| / |A ∪ B| over distinct-element arrays (the union size
+    is derived from the intersection so the intersect is computed
+    once)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
 
 
 def punct_count(text: Column) -> Column:

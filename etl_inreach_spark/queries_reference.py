@@ -298,3 +298,37 @@ def time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_recent(ev, "ts", "30 minutes").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "string_functions_showcase",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           reverse(c_name) AS name_rev,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+           replace(c_name, '#', '-') AS name_dashed,
+           split_part(c_name, '#', 1) AS name_stem,
+           levenshtein(c_name, upper(c_name)) AS lev_to_upper,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 string functions beyond the reference's own surface
+    (split/regexp/concat are covered by the O-queries): case mapping,
+    reverse, padding, replace, split_part, edit distance — every one a
+    codegen built-in with an exact DuckDB twin."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("name_upper"),
+        F.reverse(name).alias("name_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.replace(name, F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.split_part(name, F.lit("#"), F.lit(1)).alias("name_stem"),
+        F.levenshtein(name, F.upper(name)).alias("lev_to_upper"),
+        F.length(name).alias("name_len"),
+    )

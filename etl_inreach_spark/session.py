@@ -24,6 +24,9 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow batches for the few pandas-UDF operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # MIN/MAX/COUNT answered from parquet footer statistics when the
+    # plan allows (off by default upstream; harmless otherwise).
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 
