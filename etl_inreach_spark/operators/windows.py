@@ -55,7 +55,12 @@ def sessionize(
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds),
+        # microsecond diff: a floor-seconds diff would misclassify gaps
+        # that cross the threshold inside one wall-clock second
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+            > gap_seconds * 1_000_000
+        ),
         F.lit(1),
     ).otherwise(F.lit(0))
     running = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(

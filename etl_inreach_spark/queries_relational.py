@@ -633,10 +633,12 @@ def sliding_1h_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes to."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
+    # microsecond ordering: unix_timestamp would floor to seconds and
+    # make sub-second neighbors spurious frame peers (oracle divergence)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")

@@ -104,9 +104,17 @@ def build_kml(placemarks: Column) -> Column:
     pm_xml = F.transform(
         placemarks,
         lambda p: F.concat(
-            F.lit("<Placemark><TimeStamp><when>"),
-            p["timestamp_when"],
-            F.lit("</when></TimeStamp>"),
+            F.lit("<Placemark>"),
+            # NULL-safe: concat null-propagates, so an unguarded NULL
+            # `when` would silently erase the ENTIRE placemark
+            F.when(
+                p["timestamp_when"].isNotNull(),
+                F.concat(
+                    F.lit("<TimeStamp><when>"),
+                    p["timestamp_when"],
+                    F.lit("</when></TimeStamp>"),
+                ),
+            ).otherwise(F.lit("")),
             F.when(
                 p["point_coordinates"].isNotNull(),
                 F.concat(
