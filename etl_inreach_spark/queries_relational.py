@@ -51,10 +51,12 @@ def broadcast_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
-                    (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+                    (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,8))
+               AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
                     (1 - CAST(l_discount AS DECIMAL(6,4))) *
-                    (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+                    (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(30,12))
+               AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
@@ -77,8 +79,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
-        F.sum(price_d * (F.lit(1) - disc_d)).cast("double").alias("sum_disc_price"),
-        F.sum(price_d * (F.lit(1) - disc_d) * (F.lit(1) + tax_d)).cast("double").alias("sum_charge"),
+        # these two columns STAY decimal end-to-end: the exact sums are
+        # identical in both engines, while any double cast diverges —
+        # DuckDB double-rounds wide-scale decimals (1-ULP skew) and a
+        # scale reduction first hits half-way ties that the engines
+        # round differently (HALF_UP vs HALF_EVEN)
+        F.sum(price_d * (F.lit(1) - disc_d))
+        .cast("decimal(30,8)")
+        .alias("sum_disc_price"),
+        F.sum(price_d * (F.lit(1) - disc_d) * (F.lit(1) + tax_d))
+        .cast("decimal(30,12)")
+        .alias("sum_charge"),
         (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
         (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
