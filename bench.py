@@ -23,19 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession  # noqa: E402
 
 from etl_inreach_spark.queries import all_queries  # noqa: E402
+from etl_inreach_spark.session import get_spark  # noqa: E402
 
 
 def build_spark(cpus: int) -> SparkSession:
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("etl-inreach-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # the library session builder — bench must run under the same
+    # profile as every other consumer so recorded numbers track tuning
+    return get_spark("etl-inreach-spark-bench", cpus=cpus)
 
 
 def main() -> None:
@@ -70,9 +64,9 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             except Exception as e:  # keep the bench line parseable on failure
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-                best = -1.0
-                break
-        timings[name] = best
+                # a later transient failure must not discard a valid
+                # earlier timing; only an all-repeats failure is -1
+        timings[name] = best if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -29,9 +29,20 @@ def observe_feed_metrics(
     out = feeds.observe(
         obs,
         F.count(F.lit(1)).alias("n_feeds"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
-        F.sum(
-            F.when(F.col("error").isNull() & (F.trim(F.coalesce(F.col("body"), F.lit(""))) == ""), 1).otherwise(0)
+        # coalesce: SUM over zero rows is NULL, and an empty feed set
+        # must report 0 errors, not None
+        F.coalesce(
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_errors"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("error").isNull()
+                    & (F.trim(F.coalesce(F.col("body"), F.lit(""))) == ""),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_empty_bodies"),
     )
     return out, obs

@@ -53,17 +53,13 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from etl_inreach_spark import queries_reference  # noqa: F401
-    try:
-        from etl_inreach_spark import queries_relational  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from etl_inreach_spark import queries_extended  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from etl_inreach_spark import queries_kml  # noqa: F401
-    except ImportError:
-        pass
+    # unconditional: a broken query module must fail LOUDLY, not
+    # silently shrink the correctness surface the driver checks
+    from etl_inreach_spark import (  # noqa: F401
+        queries_extended,
+        queries_kml,
+        queries_reference,
+        queries_relational,
+    )
+
     _LOADED = True

@@ -16,6 +16,13 @@ import os
 import sys
 import time
 
+# PySpark's non-Arrow collect() renders timestamps via the OS local
+# timezone (not spark.sql.session.timeZone); pin the process to UTC so
+# comparisons against DuckDB's naive-UTC values are host-independent.
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
@@ -45,15 +52,26 @@ def normalize_cell(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(normalize_cell(x) for x in v)
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     return v
+
+
+def _sort_cell_key(x):
+    """Row-alignment sort key. Floats collapse to 9 significant digits
+    so cross-engine ULP differences sort IDENTICALLY on both sides —
+    otherwise ULP-different values could interleave differently and the
+    positional zip would compare unrelated rows. Comparison itself
+    stays exact (see compare())."""
+    if isinstance(x, float):
+        return (False, "float", f"{x:.9e}")
+    return (x is None, str(type(x)), str(x))
 
 
 def sorted_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(normalize_cell(r[i]) for i in idx) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    out.sort(key=lambda r: tuple(_sort_cell_key(x) for x in r))
     return [cols[i] for i in idx], out
 
 
@@ -97,6 +115,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     qs, oracles = all_queries(), all_oracles()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # emulate the DRIVER's session: bare builder, no engine confs —
         # queries must self-tune via session.tune(spark)
