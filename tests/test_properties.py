@@ -93,3 +93,47 @@ def test_dedup_union_invariance(spark, data, split):
         for r in run_dedup(run_dedup(a).unionByName(run_dedup(b))).collect()
     }
     assert staged == whole
+
+
+def _brute_jaccard_pairs(docs: list[tuple[int, str]], k: int, t: float):
+    """Pure-Python reference: exact k-gram Jaccard pairs at >= t."""
+    sets = {
+        i: {s[j : j + k] for j in range(len(s) - k + 1)}
+        for i, s in docs
+        if len(s) >= k
+    }
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            if inter and inter / (len(a) + len(b) - inter) >= t:
+                out.add((ids[x], ids[y]))
+    return out
+
+
+doc_text = st.text(alphabet="abcd ", min_size=0, max_size=40)
+doc_corpus = st.lists(doc_text, min_size=2, max_size=10)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_corpus)
+def test_ngram_jaccard_matches_python_reference(spark, texts):
+    """The PPJoin-filtered exact operator equals a brute-force Python
+    reference on arbitrary tiny corpora (tiny alphabet => frequent
+    shingle collisions, the prefix filter's hardest regime)."""
+    from etl_inreach_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 0.6, shingle_k=3).collect()
+    }
+    want = _brute_jaccard_pairs(docs, 3, 0.6)
+    assert got == want
