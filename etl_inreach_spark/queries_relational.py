@@ -654,3 +654,32 @@ def sliding_1h_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
+
+
+# One ANSI-SQL text, two engines: runs verbatim under spark.sql (over
+# catalog.register_views) AND as the DuckDB oracle — exercising the
+# engine's SQL entry point (SURVEY.md §3.4) rather than the DataFrame
+# DSL.
+_ANSI_REVENUE_SQL = """
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_revenue_by_nation", oracle=_ANSI_REVENUE_SQL)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4 SQL entry point: the SAME ANSI text runs on spark.sql over
+    registered temp views and on DuckDB — Catalyst plans it exactly
+    like the DataFrame DSL (broadcast the nation dim, partial+final
+    agg), proving the two surfaces are one engine."""
+    tune(spark)
+    from etl_inreach_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(_ANSI_REVENUE_SQL)
