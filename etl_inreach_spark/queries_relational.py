@@ -50,12 +50,14 @@ def broadcast_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
-                    (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,8))
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(18,6))
+                AS DOUBLE)
                AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
                     (1 - CAST(l_discount AS DECIMAL(6,4))) *
-                    (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(30,12))
+                    (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(18,6))
+                AS DOUBLE)
                AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -79,16 +81,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
-        # these two columns STAY decimal end-to-end: the exact sums are
-        # identical in both engines, while any double cast diverges —
-        # DuckDB double-rounds wide-scale decimals (1-ULP skew) and a
-        # scale reduction first hits half-way ties that the engines
-        # round differently (HALF_UP vs HALF_EVEN)
+        # double out, via an EXACT narrow-decimal step: the true sums have
+        # scale <= 6 (2dp price x 2dp discount x 2dp tax), so the
+        # decimal(18,6) cast is lossless in both engines, and an
+        # int64-backed decimal -> double conversion is a single correct
+        # rounding on both sides (DuckDB double-rounds only int128-backed
+        # wide decimals; a decimal-typed output column instead trips the
+        # harness normalizer, which renders engine decimals differently)
         F.sum(price_d * (F.lit(1) - disc_d))
-        .cast("decimal(30,8)")
+        .cast("decimal(18,6)")
+        .cast("double")
         .alias("sum_disc_price"),
         F.sum(price_d * (F.lit(1) - disc_d) * (F.lit(1) + tax_d))
-        .cast("decimal(30,12)")
+        .cast("decimal(18,6)")
+        .cast("double")
         .alias("sum_charge"),
         (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
         (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
@@ -306,9 +312,13 @@ def window_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts, session_id FROM (
         SELECT event_id, user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts ASC, event_id ASC
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               -- CAST: DuckDB SUM(int) is HUGEINT (int128); harness value
+               -- normalizers render HUGEINT unlike Spark's bigint, which
+               -- breaks the value hash even when the numbers are equal
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)
                    AS session_id
         FROM (
             SELECT event_id, user_id, ts,

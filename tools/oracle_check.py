@@ -90,8 +90,22 @@ def compare(name, spark_cols, spark_rows, duck_cols, duck_rows) -> list[str]:
     max_float_diff = 0.0
     n_exact_mismatch = 0
     example = None
+    type_skew = None
     for sr, dr in zip(srows, drows):
         for a, b in zip(sr, dr):
+            # numerically-equal but differently-TYPED cells (Decimal vs
+            # float vs int — e.g. DuckDB HUGEINT from SUM(int), or a
+            # decimal-typed Spark column) stringify differently and break
+            # the driver's value hash even though == passes here
+            if (
+                type_skew is None
+                and a is not None
+                and b is not None
+                and type(a) is not type(b)
+                and not isinstance(a, str)
+                and not isinstance(b, str)
+            ):
+                type_skew = (type(a).__name__, type(b).__name__, a, b)
             if a == b:
                 continue
             if isinstance(a, float) and isinstance(b, float):
@@ -108,6 +122,12 @@ def compare(name, spark_cols, spark_rows, duck_cols, duck_rows) -> list[str]:
         problems.append(f"{n_exact_mismatch} value mismatches, e.g. {example}")
     elif max_float_diff > 0:
         problems.append(f"FLOAT-ULP-ONLY diffs (max abs {max_float_diff:.3e}) — hash would FAIL")
+    if type_skew and not problems:
+        problems.append(
+            f"TYPE-SKEW spark={type_skew[0]} duck={type_skew[1]} "
+            f"(e.g. {type_skew[2]!r} vs {type_skew[3]!r}) — equal values but "
+            "the driver hash stringifies them differently"
+        )
     return problems
 
 
