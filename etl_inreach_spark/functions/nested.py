@@ -51,16 +51,32 @@ def map_get(m: Column, key: str) -> Column:
     return F.try_element_at(m, F.lit(key))
 
 
-def point_geometry(lon: Column, lat: Column, alt: Column | None = None) -> Column:
+def point_geometry(
+    lon: Column,
+    lat: Column,
+    alt: Column | None = None,
+    ncomp: Column | None = None,
+) -> Column:
     """GeoJSON Point geometry struct (task.ts:145-148).
 
     Coordinates are POSITIONAL: a malformed lon/lat stays as NULL in
     its position (the reference emits NaN -> JSON null there) — it is
     never filtered out, which would shift latitude into the longitude
-    slot. Only the optional altitude is dropped when absent
-    (task.ts:105-107 pushes the third element conditionally)."""
+    slot. The reference maps EVERY CSV component through parseFloat
+    (task.ts:105-107), so a 3-component string whose third part fails
+    to parse yields ``[lon, lat, null]`` — the trailing null is KEPT;
+    the altitude slot is absent only when the string had fewer than 3
+    components. Callers that know the original component count pass it
+    as ``ncomp`` to get that distinction; without it the approximation
+    drops the slot whenever alt is NULL (which conflates the two
+    cases). Components beyond the third are not represented in the
+    flat feature table and are capped at 3 here."""
     if alt is None:
         coords = F.array(lon, lat)
+    elif ncomp is not None:
+        coords = F.when(ncomp >= F.lit(3), F.array(lon, lat, alt)).otherwise(
+            F.array(lon, lat)
+        )
     else:
         coords = F.when(alt.isNotNull(), F.array(lon, lat, alt)).otherwise(
             F.array(lon, lat)

@@ -10,14 +10,28 @@ from pyspark.sql import functions as F
 
 # Reference operator O2 (task.ts:70-74): a ShareId may arrive as a bare
 # id, as "https://<host>/<id>", or as "share.garmin.com/<id>".
-SHARE_URL_PREFIX_RE = r"^https://[^/]+/|^share\.garmin\.com/"
-
 GARMIN_SHARE_BASE = "https://share.garmin.com/"
 
 
 def normalize_share_id(share_id: Column) -> Column:
-    """O2 — strip URL prefixes down to the bare share key."""
-    return F.regexp_replace(share_id, SHARE_URL_PREFIX_RE, "")
+    """O2 — strip URL prefixes down to the bare share key.
+
+    Two distinct branches, mirroring task.ts:71-74 exactly:
+
+    - ``https://...`` -> ``new URL(s).pathname`` minus one leading
+      ``/``: host, query string AND fragment are all stripped (URL
+      pathname never contains ``?query`` / ``#fragment``).
+    - ``share.garmin.com/...`` -> only that literal prefix is removed
+      (plain ``String.replace``, no URL parse) — a query/fragment
+      SURVIVES in this branch.
+    - anything else passes through unchanged.
+    """
+    pathname = F.regexp_replace(
+        F.regexp_replace(share_id, r"^https://[^/?#]*", ""), r"[?#].*$", ""
+    )
+    return F.when(
+        share_id.startswith("https://"), F.regexp_replace(pathname, r"^/", "")
+    ).otherwise(F.regexp_replace(share_id, r"^share\.garmin\.com/", ""))
 
 
 def default_fill(primary: Column, fallback: Column) -> Column:
@@ -58,6 +72,13 @@ def strip_unit(value: Column) -> Column:
 
 
 def strip_unit_to_double(value: Column) -> Column:
-    """O14 + cast. try_cast so malformed values yield NULL instead of
-    failing the job under ANSI mode (per-row error isolation)."""
-    return strip_unit(value).try_cast("double")
+    """O14 + cast, with the reference's ``Number()`` semantics
+    (task.ts:119-120): ``Number('') === 0``, so a value that is empty —
+    or whitespace-only, which the unit strip reduces to empty — casts
+    to 0.0, NOT NULL (SURVEY.md §2.3.5). Other unparseable values ->
+    NULL via try_cast (the NaN analog; ANSI-safe), and NULL in -> NULL
+    out (missing key, §2.3.6)."""
+    stripped = strip_unit(value)
+    return F.when(stripped == F.lit(""), F.lit(0.0)).otherwise(
+        stripped.try_cast("double")
+    )

@@ -88,6 +88,11 @@ def placemarks_to_features(placemarks: DataFrame, shares: DataFrame) -> DataFram
         coord(coords, 1).alias("lon"),
         coord(coords, 2).alias("lat"),
         coord(coords, 3).alias("alt"),
+        # component count of the raw coordinate CSV: the GeoJSON sink
+        # needs it to tell 'no third component' (2-element geometry)
+        # from 'third component unparseable' ([lon, lat, null] — the
+        # reference parseFloat-maps every component, task.ts:105-107)
+        F.size(coords).cast("int").alias("n_coords"),
     )
 
 

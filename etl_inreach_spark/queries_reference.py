@@ -53,22 +53,33 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH shares AS (
         SELECT c_custkey,
-               CASE c_custkey % 3
+               CASE c_custkey % 4
                    WHEN 0 THEN 'https://share.garmin.com/' || c_name
-                   WHEN 1 THEN 'share.garmin.com/' || c_name
+                   WHEN 1 THEN 'https://share.garmin.com/' || c_name || '?d1=2024-01-01T00:00:00Z'
+                   WHEN 2 THEN 'share.garmin.com/' || c_name
                    ELSE c_name
                END AS share_id_raw,
                CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS callsign_raw
         FROM customer
+    ),
+    norm AS (
+        -- https branch = URL.pathname (query/fragment stripped, one
+        -- leading slash removed); garmin branch = plain prefix replace
+        SELECT c_custkey, callsign_raw,
+               CASE WHEN share_id_raw LIKE 'https://%'
+                    THEN regexp_replace(regexp_replace(regexp_replace(
+                             share_id_raw, '^https://[^/?#]*', ''),
+                             '[?#].*$', ''), '^/', '')
+                    ELSE regexp_replace(share_id_raw, '^share\\.garmin\\.com/', '')
+               END AS share_id
+        FROM shares
     )
     SELECT c_custkey,
-           regexp_replace(share_id_raw, '^https://[^/]+/|^share\\.garmin\\.com/', '') AS share_id,
-           coalesce(callsign_raw,
-                    regexp_replace(share_id_raw, '^https://[^/]+/|^share\\.garmin\\.com/', '')) AS callsign,
-           'inreach-' || regexp_replace(share_id_raw, '^https://[^/]+/|^share\\.garmin\\.com/', '') AS feature_id,
-           'https://share.garmin.com/' ||
-               regexp_replace(share_id_raw, '^https://[^/]+/|^share\\.garmin\\.com/', '') AS link_url
-    FROM shares
+           share_id,
+           coalesce(callsign_raw, share_id) AS callsign,
+           'inreach-' || share_id AS feature_id,
+           'https://share.garmin.com/' || share_id AS link_url
+    FROM norm
     """,
 )
 def share_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,8 +98,16 @@ def share_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     raw = c.select(
         "c_custkey",
-        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.lit("https://share.garmin.com/"), F.col("c_name")))
-        .when(F.col("c_custkey") % 3 == 1, F.concat(F.lit("share.garmin.com/"), F.col("c_name")))
+        F.when(F.col("c_custkey") % 4 == 0, F.concat(F.lit("https://share.garmin.com/"), F.col("c_name")))
+        .when(
+            F.col("c_custkey") % 4 == 1,
+            F.concat(
+                F.lit("https://share.garmin.com/"),
+                F.col("c_name"),
+                F.lit("?d1=2024-01-01T00:00:00Z"),
+            ),
+        )
+        .when(F.col("c_custkey") % 4 == 2, F.concat(F.lit("share.garmin.com/"), F.col("c_name")))
         .otherwise(F.col("c_name"))
         .alias("share_id_raw"),
         F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
@@ -110,15 +129,25 @@ def share_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH raw AS (
         SELECT l_orderkey, l_linenumber,
-               CAST(l_partkey % 360 AS VARCHAR) || '.5 ° True' AS course_raw,
+               -- every 7th row: EMPTY course (JS Number('') === 0)
+               CASE WHEN l_orderkey % 7 = 0 THEN ''
+                    ELSE CAST(l_partkey % 360 AS VARCHAR) || '.5 ° True'
+               END AS course_raw,
                CAST(l_suppkey % 200 AS VARCHAR) || '.0 km/h' AS velocity_raw
         FROM lineitem
+    ),
+    stripped AS (
+        SELECT l_orderkey, l_linenumber,
+               regexp_replace(course_raw, '\\s.*$', '') AS course_s,
+               regexp_replace(velocity_raw, '\\s.*$', '') AS velocity_s
+        FROM raw
     )
     SELECT l_orderkey, l_linenumber,
-           TRY_CAST(regexp_replace(course_raw, '\\s.*$', '') AS DOUBLE) AS course,
-           TRY_CAST(regexp_replace(velocity_raw, '\\s.*$', '') AS DOUBLE) AS speed_kmh,
-           TRY_CAST(regexp_replace(velocity_raw, '\\s.*$', '') AS DOUBLE) * 0.277778 AS speed_ms
-    FROM raw
+           CASE WHEN course_s = '' THEN 0.0
+                ELSE TRY_CAST(course_s AS DOUBLE) END AS course,
+           TRY_CAST(velocity_s AS DOUBLE) AS speed_kmh,
+           TRY_CAST(velocity_s AS DOUBLE) * 0.277778 AS speed_ms
+    FROM stripped
     """,
 )
 def unit_strip_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +162,9 @@ def unit_strip_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.concat((F.col("l_partkey") % 360).cast("string"), F.lit(".5 ° True")).alias("course_raw"),
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(""))
+        .otherwise(F.concat((F.col("l_partkey") % 360).cast("string"), F.lit(".5 ° True")))
+        .alias("course_raw"),
         F.concat((F.col("l_suppkey") % 200).cast("string"), F.lit(".0 km/h")).alias("velocity_raw"),
     )
     speed_kmh = strip_unit_to_double(F.col("velocity_raw"))

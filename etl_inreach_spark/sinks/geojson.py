@@ -46,7 +46,9 @@ def features_to_json(features: DataFrame, id_col: str = "id") -> DataFrame:
     )
     links = F.array(
         F.struct(
-            F.col("inreach_id").alias("uid"),
+            # the self-link uid is the FEATURE's own id ('inreach-<IMEI>',
+            # task.ts:114,125: `uid: id`), not the inReach message id
+            F.col(id_col).alias("uid"),
             F.lit("r-u").alias("relation"),
             F.lit("text/html").alias("mime"),
             F.col("link_url").alias("url"),
@@ -63,7 +65,9 @@ def features_to_json(features: DataFrame, id_col: str = "id") -> DataFrame:
         metadata.alias("metadata"),
     )
     feature = feature_struct(
-        F.col(id_col), properties, point_geometry(F.col("lon"), F.col("lat"), F.col("alt"))
+        F.col(id_col),
+        properties,
+        point_geometry(F.col("lon"), F.col("lat"), F.col("alt"), F.col("n_coords")),
     )
     return features.select(F.col(id_col), _drop_null_fields(feature).alias("feature_json"))
 

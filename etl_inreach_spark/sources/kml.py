@@ -8,9 +8,17 @@ the ``ExtendedData.Data[]`` name/value pairs (task.ts:98-111).
 
 Here: ``from_xml`` with an explicit schema (Spark 4 native XML — no
 UDF, stays in the JVM), then explode + map pivot. Error semantics
-match the reference's FEED granularity (SURVEY.md §2.3.7): a feed
-whose XML fails to parse becomes one NULL row (PERMISSIVE) and is
-dropped whole; sibling feeds are unaffected (task.ts:165-168).
+match the reference's FEED granularity (SURVEY.md §2.3.7) at BOTH
+levels: a feed whose XML fails to parse becomes one NULL row
+(PERMISSIVE) and is dropped whole, and a feed containing any
+Point-bearing placemark that would throw inside the reference's
+per-share closure — missing coordinates, missing/empty ExtendedData,
+missing Course or Velocity key (``undefined.replace`` TypeError,
+task.ts:119-120), missing TimeStamp, or an unparseable ``when``
+(``Invalid Date.toISOString()`` RangeError, task.ts:122-123) — is
+dropped whole too; sibling feeds are unaffected (task.ts:165-168).
+One deliberate divergence: date parseability is judged by Spark's
+``try_to_timestamp`` grammar, not JS ``new Date()``'s.
 """
 
 from __future__ import annotations
@@ -56,6 +64,45 @@ def parse_kml(body: Column) -> Column:
     return F.from_xml(body, KML_SCHEMA)
 
 
+def placemark_feed_error(placemarks_arr: Column) -> Column:
+    """TRUE when any Point-bearing placemark in the feed's placemark
+    array would throw inside the reference's per-share closure and so
+    drop the WHOLE feed (task.ts:103-142, isolation task.ts:165-168):
+
+    - ``Point.coordinates`` absent (``undefined.split`` TypeError)
+    - ``ExtendedData``/``Data`` absent or empty (``for..of undefined``)
+    - no ``Course`` / ``Velocity`` entry (``undefined.replace``)
+    - ``TimeStamp.when`` absent, or unparseable as a timestamp
+      (``Invalid Date.toISOString()`` RangeError; judged here by
+      Spark's grammar — see module docstring)
+
+    Point-LESS placemarks are skipped before any of those reads
+    (task.ts:104 ``continue``), so they can never poison a feed.
+    Pure column expressions over the nested array (exists/HOF) — no
+    UDF; runs pre-explode so the verdict is per-feed by construction.
+    """
+
+    def throws(p: Column) -> Column:
+        data = p["ExtendedData"]["Data"]
+
+        def has_key(k: str) -> Column:
+            return F.coalesce(
+                F.exists(data, lambda d: d["_name"] == F.lit(k)), F.lit(False)
+            )
+
+        when_s = p["TimeStamp"]["when"]
+        return p["Point"].isNotNull() & (
+            p["Point"]["coordinates"].isNull()
+            | data.isNull()
+            | ~has_key("Course")
+            | ~has_key("Velocity")
+            | when_s.isNull()
+            | F.try_to_timestamp(when_s).isNull()
+        )
+
+    return F.coalesce(F.exists(placemarks_arr, throws), F.lit(False))
+
+
 def kml_to_placemarks(
     feeds: DataFrame,
     body_col: str = "body",
@@ -71,6 +118,9 @@ def kml_to_placemarks(
       empty-body short-circuit (O7, task.ts:95)
       -> from_xml (O8); malformed feed -> NULL -> dropped whole (O19)
       -> Document missing -> dropped (task.ts:98 throw-per-feed)
+      -> feed-granular placemark validation (placemark_feed_error):
+         any Point-bearing placemark that would throw in the
+         reference's closure drops its WHOLE feed (SURVEY.md §2.3.7)
       -> first Folder, explode Placemark with position (O9)
       -> EAV pivot of ExtendedData (O12)
     The null-Point filter (O10) is NOT applied here — it belongs to the
@@ -79,13 +129,13 @@ def kml_to_placemarks(
     nonempty = feeds.filter(F.trim(F.col(body_col)) != "")
     parsed = nonempty.withColumn("_kml", parse_kml(F.col(body_col)))
     valid = parsed.filter(F.col("_kml.Document").isNotNull())
+    # first folder only (Document[0].Folder[0], task.ts:101); missing
+    # Folder -> NULL array -> no feed error, and posexplode yields no rows
+    pm_arr = F.try_element_at(F.col("_kml.Document.Folder"), F.lit(1))["Placemark"]
+    valid = valid.filter(~placemark_feed_error(pm_arr))
     placemarks = valid.select(
         *[F.col(c) for c in keep_cols],
-        F.posexplode(
-            # first folder only (Document[0].Folder[0], task.ts:101);
-            # missing Folder -> NULL -> posexplode yields no rows
-            F.try_element_at(F.col("_kml.Document.Folder"), F.lit(1))["Placemark"]
-        ).alias("arrival_idx", "_pm"),
+        F.posexplode(pm_arr).alias("arrival_idx", "_pm"),
     )
     return placemarks.select(
         *[F.col(c) for c in keep_cols],

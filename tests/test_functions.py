@@ -25,6 +25,16 @@ def test_normalize_share_id_variants(spark):
         "https://example.com/abc": "abc",
         "share.garmin.com/abc": "abc",
         "abc": "abc",
+        # https branch is URL.pathname: query/fragment stripped
+        # (task.ts:71); host-only URL -> '' (pathname '/')
+        "https://share.garmin.com/abc?d1=2024-01-01#frag": "abc",
+        "https://example.com/a/b?x=1": "a/b",
+        "https://example.com": "",
+        # garmin branch is a plain String.replace: query SURVIVES
+        # (task.ts:73)
+        "share.garmin.com/abc?x=1": "abc?x=1",
+        # startsWith match but no trailing slash: replace is a no-op
+        "share.garmin.com": "share.garmin.com",
     }
     for raw, want in cases.items():
         assert one(spark, normalize_share_id(F.col("s")), s=raw) == want
@@ -36,9 +46,16 @@ def test_strip_unit_variants(spark):
     assert one(spark, strip_unit_to_double(F.col("s")), s="12.0 km/h") == 12.0
     # no unit at all
     assert one(spark, strip_unit_to_double(F.col("s")), s="7.25") == 7.25
-    # empty / junk -> NULL, never an ANSI error (SURVEY.md §2.3.5)
-    assert one(spark, strip_unit_to_double(F.col("s")), s="") is None
+    # empty (or whitespace-only) -> 0.0: JS Number('') === 0
+    # (task.ts:119-120, SURVEY.md §2.3.5)
+    assert one(spark, strip_unit_to_double(F.col("s")), s="") == 0.0
+    assert one(spark, strip_unit_to_double(F.col("s")), s="  ") == 0.0
+    # junk -> NULL (NaN analog), never an ANSI error
     assert one(spark, strip_unit_to_double(F.col("s")), s="N/A knots") is None
+    # NULL in (missing key, §2.3.6) -> NULL out
+    assert (
+        one(spark, strip_unit_to_double(F.lit(None).cast("string"))) is None
+    )
 
 
 def test_kmh_constant_is_reference_exact(spark):

@@ -33,6 +33,10 @@ def pm(when=None, coords=None, **data) -> str:
     return out + "</Placemark>"
 
 
+# Every Point-bearing placemark MUST carry Course/Velocity/TimeStamp/
+# ExtendedData — the reference throws (and drops the whole feed)
+# otherwise (task.ts:110-142); only Point-LESS placemarks may omit them
+# (the `continue` at task.ts:104 runs first).
 GOOD_FEED = kml_doc(
     pm(
         when="2024-01-01T00:00:00Z",
@@ -51,6 +55,8 @@ GOOD_FEED = kml_doc(
         IMEI="111",
         Name="Alpha",
         Id="msg-2",
+        Course="90.0 ° True",
+        Velocity="6.0 km/h",
         Device_Type="inReach Mini",
         Device_Identifier="dev-1",
     )
@@ -60,18 +66,52 @@ GOOD_FEED = kml_doc(
         IMEI="111",
         Name="Alpha",
         Id="msg-3",
+        Course="10.0 ° True",
+        Velocity="1.0 km/h",
         Device_Type="inReach Mini",
         Device_Identifier="dev-1",
     )
-    + pm(  # no Point: filtered (O10)
+    + pm(  # no Point: filtered (O10), exempt from the required keys
         when="2024-01-01T00:20:00Z", IMEI="111", Id="msg-4"
     )
-    + pm(  # second device, missing optional keys + empty Course
+    + pm(  # second device: EMPTY Course/Velocity (Number('') === 0)
+        # and a malformed third coordinate (parseFloat -> NaN -> null)
         when="2024-01-01T00:05:00Z",
-        coords="10.0,20.0,30.0",
+        coords="10.0,20.0,bogus",
         IMEI="222",
         Name="Bravo",
         Course="",
+        Velocity="",
+    )
+)
+
+# One bad Point-placemark (no Velocity key) poisons the WHOLE feed —
+# the sibling good placemark (device 444) must vanish with it.
+POISONED_FEED = kml_doc(
+    pm(
+        when="2024-01-01T00:00:00Z",
+        coords="1.0,2.0",
+        IMEI="333",
+        Course="1.0 ° True",
+    )
+    + pm(
+        when="2024-01-01T00:01:00Z",
+        coords="3.0,4.0",
+        IMEI="444",
+        Course="2.0 ° True",
+        Velocity="2.0 km/h",
+    )
+)
+
+# Unparseable TimeStamp.when: Invalid Date .toISOString() throws in the
+# reference (task.ts:122-123) -> whole feed dropped.
+BAD_DATE_FEED = kml_doc(
+    pm(
+        when="not-a-date",
+        coords="5.0,6.0",
+        IMEI="555",
+        Course="1.0 ° True",
+        Velocity="1.0 km/h",
     )
 )
 
@@ -81,6 +121,8 @@ SHARES = [
     Row(share_id="CCC", callsign="CHARLIE", password=None),
     Row(share_id="DDD", callsign="DELTA", password=None),
     Row(share_id="EEE", callsign="ECHO", password=None),
+    Row(share_id="FFF", callsign="FOX", password=None),
+    Row(share_id="GGG", callsign="GOLF", password=None),
 ]
 
 FEEDS = [
@@ -92,6 +134,8 @@ FEEDS = [
         share_id="EEE",
         body='<?xml version="1.0"?><kml><Document></Document></kml>',
     ),
+    Row(share_id="FFF", body=POISONED_FEED),  # missing Velocity key
+    Row(share_id="GGG", body=BAD_DATE_FEED),  # unparseable when
 ]
 
 
@@ -106,7 +150,9 @@ def result(spark):
 
 
 def test_feed_isolation_and_dedup(result):
-    # only the good feed contributes; one row per device
+    # only the good feed contributes; one row per device. The poisoned
+    # feed's GOOD placemark (device 444) vanished with its feed, and the
+    # bad-date feed dropped whole — feed-granular isolation (§2.3.7)
     assert set(result) == {"inreach-111", "inreach-222"}
 
 
@@ -116,19 +162,24 @@ def test_argmax_keeps_latest_first_seen_on_tie(result):
     assert r["inreach_id"] == "msg-2"
     assert (r["lon"], r["lat"]) == (-105.2, 39.8)
     assert r["alt"] is None  # 2-element coordinates
+    assert r["n_coords"] == 2
     assert r["callsign"] == "ALPHA"
     assert r["link_url"] == "https://share.garmin.com/AAA"
 
 
 def test_unit_strip_and_convert(result):
     r = result["inreach-222"]
-    assert r["course"] is None  # empty Course -> NULL (pinned: §2.3.5)
-    assert r["speed"] is None  # no Velocity key -> NULL propagation
+    # EMPTY Course/Velocity -> 0, the JS Number('') semantics
+    # (task.ts:119-120, SURVEY.md §2.3.5)
+    assert r["course"] == 0.0
+    assert r["speed"] == 0.0
     assert r["inreach_text"] is None  # missing optional key
-    assert (r["lon"], r["lat"], r["alt"]) == (10.0, 20.0, 30.0)
+    # third coordinate unparseable: NULL alt but the slot EXISTS
+    assert (r["lon"], r["lat"], r["alt"]) == (10.0, 20.0, None)
+    assert r["n_coords"] == 3
     a = result["inreach-111"]
-    # msg-2 carries no Course/Velocity -> NULL even though msg-1 had them
-    assert a["course"] is None and a["speed"] is None
+    assert a["course"] == 90.0
+    assert a["speed"] == 6.0 * 0.277778
 
 
 def test_placemark_arrival_order(spark):
@@ -166,9 +217,16 @@ def test_geojson_sink_shape(spark):
     assert f["geometry"] == {"type": "Point", "coordinates": [-105.2, 39.8]}
     assert f["properties"]["metadata"]["inreachIMEI"] == "111"
     assert f["properties"]["links"][0]["url"] == "https://share.garmin.com/AAA"
+    # the self-link uid is the feature's own id (task.ts:114,125)
+    assert f["properties"]["links"][0]["uid"] == f["id"]
     # absent optionals are OMITTED from JSON (ignoreNullFields), like
     # undefined keys in the reference's JS serialization
     assert "inreachText" not in f["properties"]["metadata"]
+    # 3-component coords with unparseable third: trailing null KEPT
+    # ([lon, lat, null], the reference parseFloat-maps every component)
+    g = by_id["inreach-222"]
+    assert g["geometry"]["coordinates"] == [10.0, 20.0, None]
+    assert g["properties"]["links"][0]["uid"] == "inreach-222"
 
 
 def test_parquet_sink_partitioned(spark, tmp_path):

@@ -15,19 +15,25 @@ from tests.test_kml_pipeline import kml_doc, pm
 
 SHARES = [Row(share_id="AAA", callsign="ALPHA", password=None)]
 
+# Course/Velocity are REQUIRED on Point placemarks — a feed missing
+# them is dropped whole (feed-granular isolation, SURVEY.md §2.3.7)
 BATCH1 = kml_doc(
     pm(when="2024-01-01T00:00:00Z", coords="-105.1,39.7,1650.0", IMEI="111",
-       Name="Alpha", Id="m1", Device_Type="Mini", Device_Identifier="d1")
+       Name="Alpha", Id="m1", Course="45.5 ° True", Velocity="12.0 km/h",
+       Device_Type="Mini", Device_Identifier="d1")
     + pm(when="2024-01-01T00:05:00Z", coords="10.0,20.0", IMEI="222",
-         Name="Bravo", Id="m2", Device_Type="Mini", Device_Identifier="d2")
+         Name="Bravo", Id="m2", Course="90.0 ° True", Velocity="5.0 km/h",
+         Device_Type="Mini", Device_Identifier="d2")
 )
 # second micro-batch re-delivers device 111 (overlap re-fetch) and a
 # new device
 BATCH2 = kml_doc(
     pm(when="2024-01-01T00:06:00Z", coords="-105.2,39.8", IMEI="111",
-       Name="Alpha", Id="m3", Device_Type="Mini", Device_Identifier="d1")
+       Name="Alpha", Id="m3", Course="10.0 ° True", Velocity="1.0 km/h",
+       Device_Type="Mini", Device_Identifier="d1")
     + pm(when="2024-01-01T00:07:00Z", coords="30.0,40.0", IMEI="333",
-         Name="Charlie", Id="m4", Device_Type="Mini", Device_Identifier="d3")
+         Name="Charlie", Id="m4", Course="20.0 ° True", Velocity="2.0 km/h",
+         Device_Type="Mini", Device_Identifier="d3")
 )
 
 
