@@ -233,16 +233,66 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_near_dup")
+def _simhash_oracle() -> str:
+    """Brute-force DuckDB rendering of the 30-bit portable SimHash:
+    same 9-gram polynomial hash (poly_gram_hash_sql — generated from
+    the SAME loop as the Spark Column), same majority-bit sketch, all
+    pairs at Hamming <= 3. The Spark side bands 30 bits into 5x6 for
+    blocking, which by pigeonhole is LOSSLESS for distance <= 4 — so
+    banded Spark output == brute-force oracle output, exactly."""
+    from etl_inreach_spark.operators.text_dedup import poly_gram_hash_sql
+
+    bits = 30
+    bit_sums = ",\n           ".join(
+        f"SUM((h >> {i}) & 1) AS c{i}" for i in range(bits)
+    )
+    sim = " + ".join(f"CASE WHEN c{i} * 2 > cnt THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, {poly_gram_hash_sql('g', 9)} AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, length(text) - 8),
+                                         i -> substr(text, i, 9))) AS g
+            FROM documents WHERE length(text) >= 9
+        )
+    ),
+    bitsums AS (
+        SELECT doc_id, COUNT(*) AS cnt,
+           {bit_sums}
+        FROM grams GROUP BY doc_id
+    ),
+    sims AS (SELECT doc_id, CAST({sim} AS BIGINT) AS sim FROM bitsums)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """
+
+
+@query("simhash_near_dup", oracle=_simhash_oracle())
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3 over 64-bit sketches,
-    banded blocking). No SQL oracle (xxhash64 is Spark-specific);
-    pytest pins that it finds the planted near-dup pairs."""
+    """SimHash near-dup pairs (Hamming <= 3, banded blocking over a
+    30-bit portable-hash sketch: 5 bands x 6 bits, lossless for
+    d <= 4 by pigeonhole). The polynomial gram hash makes the sketch
+    value-reproducible in DuckDB, so this is a FULL value-hash oracle
+    of sketch + banding + Hamming verify — not a rows-only check.
+    (The operator defaults to xxhash64/64-bit for production use;
+    pytest additionally pins planted near-dup recall on that path.)"""
     tune(spark)
-    from etl_inreach_spark.operators.text_dedup import simhash_pairs
+    from etl_inreach_spark.operators.text_dedup import poly_gram_hasher, simhash_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3, shingle_k=9)
+    return simhash_pairs(
+        d,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        shingle_k=9,
+        bits=30,
+        bands=5,
+        gram_hash=poly_gram_hasher(9),
+    ).withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 @query(

@@ -397,12 +397,71 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path when exact distinct's expand-shuffle is too big).
     No SQL oracle: DuckDB's approx sketch differs; driver does the
     rows-only check, pytest asserts the estimate is within 5% of
-    exact."""
+    exact. (kmv_distinct_users below is the value-oracled rendering
+    of the same capability.)"""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
+
+
+# KMV (k-minimum-values) sketch parameters — shared by the Spark query
+# and its DuckDB oracle below. Hash is (A*u + B) mod the Mersenne prime
+# 2^31-1: portable integer arithmetic both engines compute identically.
+_KMV_K = 64
+_KMV_A = 1103515245
+_KMV_B = 12345
+_KMV_M = (1 << 31) - 1
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH dh AS (
+        SELECT DISTINCT event_type,
+               ({_KMV_A} * user_id + {_KMV_B}) % {_KMV_M} AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+        FROM dh
+    ),
+    agg AS (
+        SELECT event_type, COUNT(*) AS nd,
+               MAX(CASE WHEN rn <= {_KMV_K} THEN h END) AS kth
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type,
+           CASE WHEN nd >= {_KMV_K} THEN ({float(_KMV_K - 1)} * {_KMV_M}) / kth
+                ELSE CAST(nd AS DOUBLE) END AS kmv_users
+    FROM agg
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 aggregation — the VALUE-ORACLED approximate-distinct: a
+    k-minimum-values sketch (Bar-Yossef et al.) with a portable
+    universal hash, so DuckDB reproduces the estimate bit-for-bit
+    (unlike HLL, whose sketch is engine-internal). Distributed shape:
+    one distinct (partial-agg groupBy) over narrow (type, hash) pairs,
+    then a per-type top-k window on k=64 rows/group — the sketch
+    merges associatively, so the same plan holds at 100 TB."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = (F.lit(_KMV_A) * F.col("user_id") + F.lit(_KMV_B)) % F.lit(_KMV_M)
+    dh = ev.select("event_type", h.alias("_h")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("_h").asc())
+    ranked = dh.withColumn("_rn", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.max(F.when(F.col("_rn") <= _KMV_K, F.col("_h"))).alias("_kth"),
+    )
+    est = F.when(
+        F.col("_nd") >= _KMV_K,
+        F.lit(float(_KMV_K - 1) * _KMV_M) / F.col("_kth"),
+    ).otherwise(F.col("_nd").cast("double"))
+    return agg.select("event_type", est.alias("kmv_users"))
 
 
 @query(

@@ -47,6 +47,41 @@ def test_simhash_finds_planted_dups(docs, exact_pairs):
     assert len(got) >= len(exact_pairs) * 0.5
 
 
+def test_simhash_portable_hash_variant(docs, exact_pairs):
+    """The 30-bit/5-band portable-hash configuration (the oracled
+    query) must behave like the 64-bit one on planted dups: subset of
+    true j>=0.8 pairs aside from sketch collisions, decent recall."""
+    from etl_inreach_spark.operators.text_dedup import poly_gram_hasher, simhash_pairs
+
+    got = pairs(
+        simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3, shingle_k=9,
+            bits=30, bands=5, gram_hash=poly_gram_hasher(9),
+        )
+    )
+    assert len(got & exact_pairs) >= len(exact_pairs) * 0.5
+    # 30-bit sketches collide more than 64-bit; false pairs must stay
+    # a small minority, not dominate
+    assert len(got - exact_pairs) <= max(5, len(exact_pairs))
+
+
+def test_kmv_estimate_close_to_exact(spark, sf_dir):
+    from etl_inreach_spark.queries_relational import kmv_distinct_users
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {r["event_type"]: r["kmv_users"] for r in kmv_distinct_users(spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        # k=64 KMV: relative sigma ~ 1/sqrt(k-2) ~ 13%; allow 4 sigma
+        assert abs(est[t] - n) <= max(4 * n / (62 ** 0.5), 3), (t, est[t], n)
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     from etl_inreach_spark.operators.similarity import brute_force_topk, lsh_topk
 
