@@ -234,22 +234,27 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    """Brute-force DuckDB rendering of the 30-bit portable SimHash:
-    same 9-gram polynomial hash (poly_gram_hash_sql — generated from
-    the SAME loop as the Spark Column), same majority-bit sketch, all
-    pairs at Hamming <= 3. The Spark side bands 30 bits into 5x6 for
-    blocking, which by pigeonhole is LOSSLESS for distance <= 4 — so
-    banded Spark output == brute-force oracle output, exactly."""
-    from etl_inreach_spark.operators.text_dedup import poly_gram_hash_sql
+    """Brute-force DuckDB rendering of the 60-bit portable SimHash:
+    same 9-gram polynomial+affine hash (poly_gram_hash60_sql —
+    generated from the SAME loop as the Spark Column), same
+    frequency-weighted majority-bit sketch (gram MULTISET, no
+    DISTINCT), all pairs at Hamming <= 3. The Spark side bands 60
+    bits into 4x15 for blocking, which by pigeonhole is LOSSLESS for
+    distance <= 3 — so banded Spark output == brute-force oracle
+    output, exactly."""
+    from etl_inreach_spark.operators.text_dedup import poly_gram_hash60_sql
 
-    bits = 30
+    bits = 60
     bit_sums = ",\n           ".join(
         f"SUM((h >> {i}) & 1) AS c{i}" for i in range(bits)
     )
-    sim = " + ".join(f"CASE WHEN c{i} * 2 > cnt THEN {1 << i} ELSE 0 END" for i in range(bits))
+    sim = " + ".join(
+        f"CASE WHEN c{i} * 2 > cnt THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
     return f"""
     WITH grams AS (
-        SELECT DISTINCT doc_id, {poly_gram_hash_sql('g', 9)} AS h
+        SELECT doc_id, {poly_gram_hash60_sql('g', 9)} AS h
         FROM (
             SELECT doc_id,
                    unnest(list_transform(generate_series(1, length(text) - 8),
@@ -273,14 +278,14 @@ def _simhash_oracle() -> str:
 @query("simhash_near_dup", oracle=_simhash_oracle())
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3, banded blocking over a
-    30-bit portable-hash sketch: 5 bands x 6 bits, lossless for
-    d <= 4 by pigeonhole). The polynomial gram hash makes the sketch
-    value-reproducible in DuckDB, so this is a FULL value-hash oracle
-    of sketch + banding + Hamming verify — not a rows-only check.
-    (The operator defaults to xxhash64/64-bit for production use;
-    pytest additionally pins planted near-dup recall on that path.)"""
+    60-bit portable-hash sketch: 4 bands x 15 bits, lossless for
+    d <= 3 by pigeonhole). The polynomial+affine gram hash makes the
+    sketch value-reproducible in DuckDB, so this is a FULL value-hash
+    oracle of sketch + banding + Hamming verify — not a rows-only
+    check. (The operator defaults to xxhash64/64-bit for production
+    use; pytest additionally pins planted near-dup recall there.)"""
     tune(spark)
-    from etl_inreach_spark.operators.text_dedup import poly_gram_hasher, simhash_pairs
+    from etl_inreach_spark.operators.text_dedup import poly_gram_hasher60, simhash_pairs
 
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(
@@ -289,9 +294,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         max_hamming=3,
         shingle_k=9,
-        bits=30,
-        bands=5,
-        gram_hash=poly_gram_hasher(9),
+        bits=60,
+        bands=4,
+        gram_hash=poly_gram_hasher60(9),
     ).withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
