@@ -148,6 +148,180 @@ def lsh_topk(
     return top.select(query_id_col, id_col, "rank", "cos")
 
 
+# Portable-hash family shared by the oracle-able ANN variants below:
+# an affine hash mod the Mersenne prime 2^31-1 that both Spark and
+# DuckDB compute with identical integer arithmetic. Same family as the
+# KMV sketch (queries_relational) and the MinHash signatures.
+PORTABLE_A = 1103515245
+PORTABLE_B = 12345
+PORTABLE_M = (1 << 31) - 1
+
+
+def _rademacher_sign(plane: int, j: int, dim: int) -> float:
+    """Deterministic ±1 hyperplane entry for (plane, component j),
+    j 1-based — the parity bit of the portable affine hash."""
+    return 1.0 if ((PORTABLE_A * (plane * dim + j) + PORTABLE_B) % PORTABLE_M) & 1 else -1.0
+
+
+def portable_lsh_bucket(vec, dim: int, num_planes: int):
+    """Rademacher-hyperplane LSH bucket as a Column, bit-reproducible
+    in portable SQL (``portable_lsh_bucket_sql`` renders the same
+    computation for DuckDB).
+
+    bit_p = (sum_j vec[j] * s(p, j) > 0) with s in {-1, +1} from the
+    portable hash. Multiplying a double by ±1.0 is EXACT, so the only
+    rounding is in the additions — and the sum is a sequential
+    left-to-right fold on both engines, hence bit-identical signs.
+    Rademacher projections are a standard hyperplane-LSH family
+    (signs of a random ±1 matrix approximate Gaussian projections by
+    CLT), so this is a real LSH, not just an oracle trick."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        signs = F.array(*[F.lit(_rademacher_sign(p, j, dim)) for j in range(1, dim + 1)])
+        proj = F.aggregate(
+            F.zip_with(vd, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def portable_lsh_bucket_sql(vec_expr: str, dim: int, num_planes: int) -> str:
+    """DuckDB rendering of ``portable_lsh_bucket`` — same signs, same
+    sequential fold, bit-identical bucket ids."""
+    terms = []
+    for p in range(num_planes):
+        sign = (
+            f"(CASE WHEN (({PORTABLE_A} * ({p * dim} + j) + {PORTABLE_B})"
+            f" % {PORTABLE_M}) & 1 = 1"
+            " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+        )
+        proj = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec_expr}[j] AS DOUBLE) * {sign})), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0.0 THEN {1 << p} ELSE 0 END)")
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """``lsh_topk`` with the portable Rademacher signature — the
+    value-oracle-able rendering (the numpy/Gaussian path stays the
+    production default; same split as SimHash's portable variant).
+
+    No candidate dedup is needed: each corpus vector owns exactly ONE
+    bucket and a query's probe set {b, b^1, b^2, ...} is distinct
+    values, so a (query, corpus) pair matches at most once."""
+    b = portable_lsh_bucket(F.col(vec_col), dim, num_planes)
+    c_sig = corpus.select(F.col(id_col), F.col(vec_col), b.alias("bucket"))
+    q_sig = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_probe_buckets(b, num_planes)).alias("bucket"),
+    )
+    cand = c_sig.join(F.broadcast(q_sig), on="bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("_qvec"), F.col(vec_col)).alias("cos")
+    )
+    top = topk_by_key(
+        scored, [query_id_col], [F.col("cos").desc(), F.col(id_col).asc()], k, rank_col="rank"
+    )
+    return top.select(query_id_col, id_col, "rank", "cos")
+
+
+def portable_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, _cvec): the ``nlist`` corpus vectors minimizing the
+    portable hash of their id — a deterministic, SQL-expressible
+    pseudo-random sample serving as IVF coarse centroids (k-means
+    sampling init without the Lloyd refinement; the k-means-trained
+    quantizer stays the production default in ``ivf_topk``).
+
+    The hash sort is a global top-nlist: at scale this is a partial
+    per-partition top-k + tiny driver merge (Spark's TakeOrdered),
+    not a full sort."""
+    h = (F.lit(PORTABLE_A) * F.col(id_col) + F.lit(PORTABLE_B)) % F.lit(PORTABLE_M)
+    picked = (
+        corpus.select(
+            h.alias("_h"), F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        )
+        .orderBy("_h", "_cid")
+        .limit(nlist)
+    )
+    w = Window.orderBy("_h", "_cid")
+    return picked.select(F.row_number().over(w).alias("cell"), "_cvec")
+
+
+def _nearest_cells(
+    df: DataFrame,
+    cent: DataFrame,
+    n: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rank the broadcast centroids by cosine per vector, keep the top
+    ``n`` cells (ties broken by cell asc — exact double comparison,
+    identical on both engines)."""
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("_cvec")).alias("_cc")
+    )
+    return topk_by_key(
+        scored, [id_col], [F.col("_cc").desc(), F.col("cell").asc()], n, rank_col="_crn"
+    ).select(id_col, vec_col, "cell")
+
+
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """``ivf_topk`` with the portable hash-sampled coarse quantizer —
+    fully value-oracle-able: centroid choice, cell assignment (argmax
+    of the sequential-fold cosine), probing, and re-rank all reproduce
+    bit-for-bit in portable SQL.
+
+    A corpus vector owns exactly one cell and a query probes nprobe
+    DISTINCT cells, so no candidate dedup is needed."""
+    cent = portable_centroids(corpus, nlist, id_col, vec_col)
+    c_cells = _nearest_cells(corpus, cent, 1, id_col, vec_col)
+    q_cells = _nearest_cells(queries, cent, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"), "cell"
+    )
+    cand = c_cells.join(F.broadcast(q_cells), on="cell").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("_qvec"), F.col(vec_col)).alias("cos")
+    )
+    top = topk_by_key(
+        scored, [query_id_col], [F.col("cos").desc(), F.col(id_col).asc()], k, rank_col="rank"
+    )
+    return top.select(query_id_col, id_col, "rank", "cos")
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float,

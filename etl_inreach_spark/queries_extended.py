@@ -329,17 +329,54 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), 5)
 
 
-@query("ann_lsh_topk")
+def _ann_lsh_oracle() -> str:
+    """DuckDB rendering of the portable Rademacher-LSH top-k: same
+    bucket bits (sequential-fold signed sums — see
+    portable_lsh_bucket_sql), same radius-1 multi-probe, same
+    list_cosine_similarity re-rank as embedding_topk's oracle."""
+    from etl_inreach_spark.operators.similarity import portable_lsh_bucket_sql
+
+    bucket = portable_lsh_bucket_sql("embedding", 64, 4)
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(4)])
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               {bucket} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+               unnest([{probe_list}]) AS bucket
+        FROM sig WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT p.q_id, s.vec_id,
+               list_cosine_similarity(p.qv, CAST(s.embedding AS DOUBLE[])) AS cos
+        FROM sig s JOIN probes p USING (bucket)
+        WHERE s.vec_id != p.q_id
+    )
+    SELECT q_id, vec_id, rank, cos FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH (multi-probe,
-    exact re-rank in buckets). Rows-only check; pytest pins achieved
-    recall vs brute force on the fixed data (see
-    operators/similarity.lsh_topk scaling note)."""
+    """Approximate top-5 via hyperplane LSH (multi-probe radius 1,
+    exact re-rank in buckets), in the portable-Rademacher-plane
+    rendering whose buckets AND scores DuckDB reproduces bit-for-bit
+    — a FULL value-hash oracle of signature + probing + re-rank.
+    (The operator's production default stays the numpy Gaussian-plane
+    mapInPandas path — lsh_topk — whose recall pytest pins; see
+    operators/similarity.lsh_topk scaling note.)"""
     tune(spark)
-    from etl_inreach_spark.operators.similarity import lsh_topk
+    from etl_inreach_spark.operators.similarity import lsh_topk_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), 5, dim=64)
+    return lsh_topk_portable(emb, emb.filter(F.col("vec_id") < 8), 5, dim=64)
 
 
 @query(
@@ -425,16 +462,66 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(emb, 0.4, num_blocks=8)
 
 
-@query("ann_ivf_topk")
+def _ann_ivf_oracle() -> str:
+    """DuckDB rendering of the portable IVF top-k: hash-sampled
+    centroids, argmax-cosine cell assignment (ties -> lowest cell),
+    nprobe=4 probing, exact re-rank — all over the same sequential-fold
+    cosine as embedding_topk's oracle."""
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+    )
+
+    return f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY _h, _cid) AS cell, cvec FROM (
+            SELECT ({PORTABLE_A} * vec_id + {PORTABLE_B}) % {PORTABLE_M} AS _h,
+                   vec_id AS _cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings ORDER BY 1, 2 LIMIT 16
+        )
+    ),
+    asg AS (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), cvec) DESC,
+                            cell ASC
+               ) AS crn
+        FROM embeddings, cent
+    ),
+    casg AS (SELECT vec_id, embedding, cell FROM asg WHERE crn = 1),
+    qasg AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, cell
+             FROM asg WHERE crn <= 4 AND vec_id < 8),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM casg c JOIN qasg q USING (cell)
+        WHERE c.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, rank, cos FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_ivf_topk", oracle=_ann_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via IVF (16-cell coarse quantizer,
-    4-probe): rows-only check; pytest pins recall vs brute force at
-    both nprobe extremes."""
+    4-probe), in the portable rendering: centroids are the 16 corpus
+    vectors minimizing a portable affine hash of vec_id (deterministic
+    sampling init), assignment/probing/re-rank are argmax of the
+    sequential-fold cosine — every stage reproduces bit-for-bit in the
+    DuckDB oracle. (The k-means-trained quantizer stays the operator's
+    production default — ivf_topk — with pytest pinning recall at both
+    nprobe extremes.)"""
     tune(spark)
-    from etl_inreach_spark.operators.similarity import ivf_topk
+    from etl_inreach_spark.operators.similarity import ivf_topk_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), 5, dim=64, nlist=16, nprobe=4)
+    return ivf_topk_portable(emb, emb.filter(F.col("vec_id") < 8), 5, nlist=16, nprobe=4)
 
 
 @query(

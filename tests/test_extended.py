@@ -96,6 +96,34 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert all(len(t) == 2 for t in approx)
 
 
+def test_ann_portable_variants_recall(spark, sf_dir):
+    """The value-oracled portable renderings (Rademacher-LSH buckets,
+    hash-sampled IVF centroids) must behave like the production numpy
+    paths on the fixed data: real recall, exact probe-all behavior."""
+    from etl_inreach_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_portable,
+        lsh_topk_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, q, 5).collect()}
+    lsh = {(r["q_id"], r["vec_id"]) for r in lsh_topk_portable(emb, q, 5, dim=64).collect()}
+    assert len(lsh & exact) / len(exact) >= 0.2
+    ivf = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk_portable(emb, q, 5, nlist=16, nprobe=4).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.2
+    # probing every cell must reproduce brute force exactly
+    full = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk_portable(emb, q, 5, nlist=16, nprobe=16).collect()
+    }
+    assert full == exact
+
+
 def test_lang_id_deterministic_and_sane(spark):
     from etl_inreach_spark.functions.text import lang_id
 
