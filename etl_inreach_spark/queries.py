@@ -58,6 +58,7 @@ def _load_all() -> None:
     from etl_inreach_spark import (  # noqa: F401
         queries_extended,
         queries_kml,
+        queries_pipeline,
         queries_reference,
         queries_relational,
     )

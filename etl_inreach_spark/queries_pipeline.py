@@ -1,0 +1,295 @@
+"""Training-data-pipeline and remaining relational-surface queries:
+deterministic hash split/sampling, composite quality filtering, exact
+moment statistics, GROUPING SETS, distribution windows, and a
+generated date dimension.
+
+The hash split/sample queries are the 100 TB-reproducibility pattern:
+membership decided by a pure function of the row key (affine hash mod
+a Mersenne prime), so the same row lands in the same split on any
+cluster, any partitioning, any engine — which is also exactly why a
+DuckDB oracle can value-hash them.
+
+Float discipline matches queries_relational: sums accumulate in
+DECIMAL (exact, order-insensitive), doubles appear only in final
+scalar formulas written with identical structure on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.queries import query
+from etl_inreach_spark.session import tune
+
+# Same portable affine-hash family as the ANN/KMV/MinHash operators.
+_A = 1103515245
+_B = 12345
+_M = (1 << 31) - 1
+
+
+@query(
+    "hash_split_documents",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               ({_A} * doc_id + {_B}) % {_M} AS h
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN h % 10 < 8 THEN 'train'
+                WHEN h % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN (h // 10) % 100 <
+                     (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)
+                THEN TRUE ELSE FALSE END AS sampled
+    FROM h
+    """,
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) plus stratified
+    subsampling (keep 50% of 'en', 100% of minority languages) — both
+    pure functions of doc_id via the portable affine hash. This is how
+    a 100 TB corpus is split reproducibly: no RNG state, no shuffle,
+    no driver coordination; membership survives repartitioning and
+    recomputation. Distinct hash digits (units for the split, the next
+    two for sampling) keep the two decisions independent."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.lit(_A) * F.col("doc_id") + F.lit(_B)) % F.lit(_M)
+    split = (
+        F.when(h % 10 < 8, F.lit("train"))
+        .when(h % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(100))
+    sampled = (F.floor(h / 10) % 100 < rate)
+    return d.select(
+        "doc_id", "lang", split.alias("split"), sampled.alias("sampled")
+    )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                   AS n_tokens,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS punct_cnt,
+               len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                             x -> x != '')),
+                   ['the','a','of','and','is'])) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CASE
+             WHEN n_tokens < 5 THEN 'too_short'
+             WHEN n_tokens > 500 THEN 'too_long'
+             WHEN CAST(punct_cnt AS DOUBLE) / n_chars > 0.1 THEN 'too_much_punct'
+             WHEN stop_hits = 0 THEN 'no_stopwords'
+             ELSE 'ok'
+           END AS verdict,
+           CASE
+             WHEN n_tokens < 5 THEN FALSE
+             WHEN n_tokens > 500 THEN FALSE
+             WHEN CAST(punct_cnt AS DOUBLE) / n_chars > 0.1 THEN FALSE
+             WHEN stop_hits = 0 THEN FALSE
+             ELSE TRUE
+           END AS keep
+    FROM t
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality gate (the filter stage of a training
+    pipeline): first failing rule wins — length bounds, punctuation
+    density, stopword presence. One narrow codegen projection; the
+    keep-rate per reason is the side-channel a pipeline would monitor."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import (
+        LANG_MARKERS,
+        marker_hits,
+        punct_count,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    punct_ratio = punct_count(F.col("text")).cast("double") / F.col("n_chars")
+    stop_hits = marker_hits(F.array_distinct(toks), LANG_MARKERS["en"])
+    verdict = (
+        F.when(n_tokens < 5, F.lit("too_short"))
+        .when(n_tokens > 500, F.lit("too_long"))
+        .when(punct_ratio > 0.1, F.lit("too_much_punct"))
+        .when(stop_hits == 0, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        verdict.alias("verdict"),
+        (verdict == "ok").alias("keep"),
+    )
+
+
+@query(
+    "corr_price_quantity",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(32,4)) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+                             CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(32,4)) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+                             CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price
+    FROM s
+    """,
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact second-moment statistics (correlation, sample covariance,
+    sample stddevs) per return flag. Spark's corr()/covar_samp()
+    accumulate doubles in partition order — not value-hash-stable — so
+    the moments are computed from DECIMAL sums (exact, associative,
+    order-insensitive) and only the final closed-form formulas run in
+    DOUBLE, with identical expression structure on both engines. This
+    is also the right 100 TB shape: one partial-aggregated groupBy
+    carrying five exact sums, no second pass."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def d32(c):
+        return F.sum(c).cast("decimal(32,4)").cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d32(x).alias("sx"),
+        d32(y).alias("sy"),
+        d32(x * x).alias("sxx"),
+        d32(y * y).alias("syy"),
+        d32(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+         ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_samp"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("stddev_qty"),
+        F.sqrt((syy - sy * sy / n) / (n - F.lit(1))).alias("stddev_price"),
+    )
+
+
+@query(
+    "grouping_sets_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 aggregation — explicit GROUPING SETS with a shape neither
+    ROLLUP nor CUBE can express: per-returnflag totals and
+    per-linestatus totals in ONE hash aggregation (Catalyst expands to
+    a single Expand + partial agg, not two scans)."""
+    tune(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "ntile_customer_value",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 windows — distribution functions (ntile / percent_rank /
+    cume_dist) over a TOTAL order made deterministic by the unique
+    key tie-break. A single global window is the one window shape that
+    does NOT scale (one partition); acceptable for a per-entity
+    ranking report, and the deterministic-ordering discipline is the
+    point under test. Values are exact: rank arithmetic over unique
+    orderings divides identically on both engines."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "date_dim_generate",
+    oracle="""
+    SELECT CAST(d AS DATE) AS d,
+           year(CAST(d AS DATE)) AS y,
+           quarter(CAST(d AS DATE)) AS q,
+           month(CAST(d AS DATE)) AS m,
+           isodow(CAST(d AS DATE)) - 1 AS weekday,
+           isodow(CAST(d AS DATE)) >= 6 AS is_weekend
+    FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY) t(d)
+    """,
+)
+def date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generator coverage: a date dimension materialized from
+    nothing (sequence + explode) — the standard broadcast-side
+    calendar for range joins. Weekday is pinned to ISO (0=Monday) on
+    both engines since their native dayofweek conventions differ."""
+    tune(spark)
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    return days.select(
+        "d",
+        F.year("d").alias("y"),
+        F.quarter("d").alias("q"),
+        F.month("d").alias("m"),
+        F.weekday("d").cast("int").alias("weekday"),
+        (F.weekday("d") >= 5).alias("is_weekend"),
+    )
