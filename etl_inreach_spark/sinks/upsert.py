@@ -1,0 +1,117 @@
+"""Keyed-upsert (MERGE) parquet sink: maintain a "latest row per key"
+silver table across batches — the persistent generalization of the
+reference's per-run featuresmap upsert (task.ts:92,151-159), which
+rebuilds its dedup state every invocation and forgets it on exit.
+
+Two renderings:
+
+* ``upsert_latest`` — whole-table merge: read current, union the
+  update batch, keep the reference-semantics argmax per key, swap the
+  table directory atomically. Correct anywhere, rewrite cost O(table).
+
+* ``upsert_latest_partitioned`` — dynamic-partition merge: only the
+  partitions PRESENT IN THE BATCH are read (partition-pruned scan)
+  and rewritten (``partitionOverwriteMode=dynamic``). This is the
+  100 TB shape: cost scales with the touched slice, not the table.
+  The partition column must be a stable function of the KEY (e.g.
+  ``pmod(xxhash64(key), N)``) so a key's old and new versions land in
+  the same partition and merge locally.
+
+On a production deployment the same dataflow runs against a
+transactional table format (Delta/Iceberg MERGE INTO); plain parquet
+directories stand in here because those libraries are not available
+in-container. The merge PLAN (co-shuffle by key, partial-agg argmax,
+prune untouched partitions) is the part that transfers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.operators.dedup import latest_by_key
+
+
+def _merge(
+    current: DataFrame | None,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    arrival_col: str | None,
+) -> DataFrame:
+    """Union current+updates and keep the reference-semantics latest
+    row per key (strict ``>``: existing rows win timestamp ties, so
+    current MUST sort before updates in arrival order)."""
+    if current is None:
+        merged = updates
+    else:
+        merged = current.unionByName(updates)
+    return latest_by_key(merged, key_cols, ts_col, arrival_col=arrival_col)
+
+
+def upsert_latest(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    arrival_col: str | None = None,
+) -> None:
+    """Whole-table keyed upsert with an atomic directory swap.
+
+    The merged result is written to a sibling temp dir first and
+    renamed over the table, so a failed job never leaves a
+    half-written table (rename is atomic on one filesystem)."""
+    current = spark.read.parquet(path) if os.path.exists(path) else None
+    merged = _merge(current, updates, key_cols, ts_col, arrival_col)
+    tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        old = f"{path}__old_{uuid.uuid4().hex}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+
+
+def upsert_latest_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    partition_col: str,
+    arrival_col: str | None = None,
+) -> None:
+    """Partition-pruned keyed upsert: merge and rewrite ONLY the
+    partitions the update batch touches.
+
+    ``partition_col`` must already exist on ``updates`` and be a
+    function of the key. The current-table scan is filtered to the
+    touched partition values (partition pruning keeps untouched data
+    unread), and ``partitionOverwriteMode=dynamic`` makes the write
+    replace exactly the partitions present in the merged result."""
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return
+    if os.path.exists(path):
+        current = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(touched)
+        )
+    else:
+        current = None
+    merged = _merge(current, updates, key_cols, ts_col, arrival_col)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
