@@ -65,6 +65,73 @@ def brute_force_topk(
     return top.select(query_id_col, id_col, "rank", "cos")
 
 
+def brute_force_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors, two-phase partial-top-k rendering
+    — the shape that survives LARGE query sets where
+    ``brute_force_topk``'s shuffle does not.
+
+    ``brute_force_topk`` shuffles the full scored cross product
+    (|corpus| x |queries| rows) into the per-query window. Here:
+
+      phase 1 (map-side, no shuffle): each corpus partition scores all
+        queries with ONE float64 GEMM (Arrow batch -> numpy matmul)
+        and keeps only its LOCAL top-k per query — the partial top-k
+        aggregation Spark SQL lacks. Emitted rows are bounded by
+        |partitions| x |queries| x k, independent of corpus size.
+      phase 2: global top-k window over that bounded intermediate.
+
+    The query matrix rides into the closure (requires queries to fit
+    driver memory — same contract as the broadcast in
+    ``brute_force_topk``). Self-matches excluded; ties broken by
+    neighbor id ascending, identical to ``brute_force_topk`` — pytest
+    pins set-equality between the two on the fixed data. Scores come
+    from the matmul, so they are not bit-identical to the
+    sequential-fold path (use brute_force_topk where the value-hash
+    oracle needs bit-exact cos)."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.vstack([r[1] for r in q_rows]).astype("float64")
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)[:, None]
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+            ids = pdf[id_col].to_numpy()
+            sims = q_mat @ mat.T  # (n_q, n_batch)
+            sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self-matches
+            take = min(k, sims.shape[1])
+            # argpartition: O(n) local top-k, exact ordering deferred
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            rows = np.repeat(np.arange(len(q_ids)), take)
+            cols = part.reshape(-1)
+            keep = np.isfinite(sims[rows, cols])
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[rows[keep]],
+                    id_col: ids[cols[keep]],
+                    "cos": sims[rows[keep], cols[keep]],
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, f"{query_id_col} bigint, {id_col} bigint, cos double"
+    )
+    top = topk_by_key(
+        partial, [query_id_col], [F.col("cos").desc(), F.col(id_col).asc()], k, rank_col="rank"
+    )
+    return top.select(query_id_col, id_col, "rank", "cos")
+
+
 def lsh_signatures(
     df: DataFrame,
     dim: int,

@@ -96,6 +96,22 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert all(len(t) == 2 for t in approx)
 
 
+def test_gemm_topk_matches_fold_topk(spark, sf_dir):
+    """The two-phase partial-top-k GEMM rendering must return the SAME
+    neighbor sets and ranks as the windowed fold rendering (scores may
+    differ by matmul-vs-fold rounding only)."""
+    from etl_inreach_spark.operators.similarity import brute_force_topk, brute_force_topk_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r["q_id"], r["vec_id"], r["rank"]) for r in brute_force_topk(emb, q, 5).collect()}
+    gemm_rows = brute_force_topk_gemm(emb, q, 5).collect()
+    gemm = {(r["q_id"], r["vec_id"], r["rank"]) for r in gemm_rows}
+    assert gemm == exact
+    ref = {(r["q_id"], r["vec_id"]): r["cos"] for r in brute_force_topk(emb, q, 5).collect()}
+    assert all(abs(ref[(r["q_id"], r["vec_id"])] - r["cos"]) < 1e-9 for r in gemm_rows)
+
+
 def test_ann_portable_variants_recall(spark, sf_dir):
     """The value-oracled portable renderings (Rademacher-LSH buckets,
     hash-sampled IVF centroids) must behave like the production numpy

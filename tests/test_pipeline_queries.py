@@ -118,6 +118,42 @@ def test_grouping_sets_shape(spark, sf_dir):
     assert flags == {"A", "N", "R"} and statuses == {"F", "O"}
 
 
+def _physical_ops(df):
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    return [
+        re.match(r"^\(\d+\) (\S+)", line).group(1)
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\)", line)
+    ]
+
+
+def test_plan_shapes(spark, sf_dir):
+    """Plan regressions for the pipeline queries: the split is a pure
+    no-shuffle projection; corr is ONE partial+final aggregation pair;
+    grouping sets is a single Expand (one scan, not one per set)."""
+    from etl_inreach_spark.queries_pipeline import (
+        corr_price_quantity,
+        grouping_sets_pricing,
+        hash_split_documents,
+    )
+
+    split_ops = _physical_ops(hash_split_documents(spark, sf_dir))
+    assert "Exchange" not in split_ops and "HashAggregate" not in split_ops
+
+    corr_ops = _physical_ops(corr_price_quantity(spark, sf_dir))
+    assert corr_ops.count("HashAggregate") == 2  # partial + final
+    assert corr_ops.count("Exchange") == 1
+    assert corr_ops.count("Scan") == 1
+
+    gs_ops = _physical_ops(grouping_sets_pricing(spark, sf_dir))
+    assert gs_ops.count("Expand") == 1
+    assert gs_ops.count("Scan") == 1
+
+
 def test_ntile_quartiles_balanced(spark, sf_dir):
     from etl_inreach_spark.queries_pipeline import ntile_customer_value
 
