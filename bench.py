@@ -51,6 +51,12 @@ def main() -> None:
     ).save()
 
     qs = all_queries()
+    # streaming_dedup_ids drains a Structured Streaming checkpoint over
+    # a per-run parquet fixture: its wall-clock is dominated by fixture
+    # construction + state-store machinery, not query execution, so it
+    # stays under the sf0.01 correctness gate but out of the batch
+    # throughput headline.
+    qs.pop("streaming_dedup_ids", None)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -96,3 +96,58 @@ def kml_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "callsign", "course", "speed", "time", "lon", "lat", "inreach_id", "inreach_text"
     )
+
+
+@query(
+    "streaming_dedup_ids",
+    oracle="""
+    SELECT DISTINCT 'inreach-' || CAST(user_id AS VARCHAR) AS id
+    FROM events
+    """,
+)
+def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the correctness gate: the same KML
+    feeds as kml_pipeline_roundtrip are drained through the REAL
+    streaming pipeline (readStream parquet -> parse/project ->
+    withWatermark -> dropDuplicatesWithinWatermark -> availableNow
+    memory sink), and the emitted DEVICE-ID SET is compared to the
+    oracle. Only the id set is asserted: which physical row the
+    streaming dedup keeps first is partition-order-dependent, but the
+    set of in-watermark device ids is deterministic. The final
+    distinct() also absorbs re-emission of an id across micro-batches
+    once its watermark state expires (availableNow may split batches).
+    """
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    feeds = events_as_kml_feeds(ev)
+    shares = ev.select("user_id").distinct().select(
+        F.concat(F.lit("S"), F.col("user_id")).alias("share_id"),
+        F.concat(F.lit("CS-"), F.col("user_id")).alias("callsign"),
+        F.lit(None).cast("string").alias("password"),
+    )
+    run = uuid.uuid4().hex[:12]
+    in_dir = f"/tmp/spark_graft_stream/{run}/in"
+    cp_dir = f"/tmp/spark_graft_stream/{run}/cp"
+    feeds.write.mode("overwrite").parquet(in_dir)
+
+    from etl_inreach_spark.streaming.pipeline import stream_features
+
+    sdf = spark.readStream.schema(feeds.schema).parquet(in_dir)
+    # week-long fixture timelines: a wide watermark keeps every event
+    # inside one dedup horizon so the emitted set is exactly one row
+    # per device before the closing distinct()
+    feat = stream_features(sdf, shares, watermark="365 days")
+    table = f"stream_ids_{run}"
+    q = (
+        feat.select("id")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).distinct()
