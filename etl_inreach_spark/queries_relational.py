@@ -184,6 +184,29 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "cross_join_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           (r.r_regionkey = n.n_regionkey) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 joins — explicit CROSS JOIN (cartesian) of two small dims:
+    the only join shape without a key. Physical plan is a broadcast
+    nested-loop join — the one place BNLJ is the RIGHT plan; anything
+    non-dim-sized must never reach this operator."""
+    tune(spark)
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(F.broadcast(nation)).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+    )
+
+
+@query(
     "range_join_ship_within_90d",
     oracle="""
     SELECT o_orderpriority,
