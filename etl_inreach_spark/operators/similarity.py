@@ -104,14 +104,20 @@ def brute_force_topk_gemm(
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
             ids = pdf[id_col].to_numpy()
+            # sort the batch by id so the stable sims-sort below breaks
+            # exact-cosine ties (duplicate vectors!) by id ASC — the
+            # same tie-break as the global window; argpartition would
+            # pick arbitrarily at the boundary and could locally drop
+            # the id the global contract keeps
+            by_id = np.argsort(ids, kind="stable")
+            ids = ids[by_id]
+            mat = np.vstack(pdf[vec_col].to_numpy()[by_id]).astype("float64")
+            mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
             sims = q_mat @ mat.T  # (n_q, n_batch)
             sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self-matches
             take = min(k, sims.shape[1])
-            # argpartition: O(n) local top-k, exact ordering deferred
-            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :take]
             rows = np.repeat(np.arange(len(q_ids)), take)
             cols = part.reshape(-1)
             keep = np.isfinite(sims[rows, cols])

@@ -112,6 +112,27 @@ def test_gemm_topk_matches_fold_topk(spark, sf_dir):
     assert all(abs(ref[(r["q_id"], r["vec_id"])] - r["cos"]) < 1e-9 for r in gemm_rows)
 
 
+def test_gemm_topk_tie_break_on_duplicate_vectors(spark):
+    """Exact-cosine ties (duplicate vectors) must resolve by neighbor
+    id ASC in BOTH phases: the local top-k may not discard the id the
+    global window keeps."""
+    import numpy as np
+
+    from etl_inreach_spark.operators.similarity import brute_force_topk, brute_force_topk_gemm
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 8).astype("float32")
+    rows = []
+    # ids 0..11: each base vector duplicated three times
+    for i in range(12):
+        rows.append((i, [float(x) for x in base[i % 4]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(6)
+    q = df.filter(F.col("vec_id") < 2)
+    exact = {(r["q_id"], r["vec_id"], r["rank"]) for r in brute_force_topk(df, q, 3).collect()}
+    gemm = {(r["q_id"], r["vec_id"], r["rank"]) for r in brute_force_topk_gemm(df, q, 3).collect()}
+    assert gemm == exact
+
+
 def test_ann_portable_variants_recall(spark, sf_dir):
     """The value-oracled portable renderings (Rademacher-LSH buckets,
     hash-sampled IVF centroids) must behave like the production numpy
