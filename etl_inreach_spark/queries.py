@@ -61,6 +61,7 @@ def _load_all() -> None:
         queries_pipeline,
         queries_reference,
         queries_relational,
+        queries_training,
     )
 
     _LOADED = True

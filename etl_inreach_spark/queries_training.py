@@ -1,0 +1,205 @@
+"""Training-data assembly queries: sequence packing (concat-and-chunk
+and next-fit bins), benchmark-contamination detection, and
+Gopher-style repetition gating — the corpus-to-training-batches tail
+of an LLM data pipeline, each value-oracled against DuckDB.
+
+Packing determinism note: both packers are pure functions of
+(doc_id, token_count) under a total doc_id order, so their output is
+reproducible on any cluster/partitioning — and the next-fit recurrence
+is exactly a recursive CTE, which is how DuckDB value-checks an
+operator whose Spark implementation is an applyInPandas grouped map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.queries import query
+from etl_inreach_spark.session import tune
+
+# Portable whitespace token count (identical semantics both engines;
+# same rendering as the quality_filter_pipeline oracle).
+_DUCK_TOK = (
+    "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT)"
+)
+
+_PACK_CAPACITY = 512
+_PACK_BUCKETS = 16
+
+
+@query(
+    "seq_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
+    ), o AS (
+        SELECT doc_id, tok,
+               COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_offset
+        FROM t WHERE tok > 0
+    )
+    SELECT doc_id, tok AS n_tokens, tok_offset,
+           tok_offset // {_PACK_CAPACITY} AS chunk_start,
+           (tok_offset + tok - 1) // {_PACK_CAPACITY} AS chunk_end,
+           (tok_offset + tok - 1) // {_PACK_CAPACITY}
+             - tok_offset // {_PACK_CAPACITY} + 1 AS n_chunks
+    FROM o
+    """,
+)
+def seq_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing of the documents table into
+    512-token context windows. The oracle states the spec (ONE global
+    running sum); the Spark side computes the identical offsets with a
+    two-level distributed prefix sum so no stage ever funnels the
+    corpus through a single partition (see operators/packing.py)."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import token_count
+    from etl_inreach_spark.operators.packing import pack_chunks
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_tokcnt", token_count(F.col("text"))
+    )
+    return pack_chunks(d, "doc_id", "_tokcnt", capacity=_PACK_CAPACITY)
+
+
+@query(
+    "seq_pack_bins",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket, tok,
+               row_number() OVER (PARTITION BY doc_id % {_PACK_BUCKETS}
+                                  ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id, {_DUCK_TOK} AS tok FROM documents)
+        WHERE tok > 0
+    ), pack AS (
+        SELECT bucket, rn, doc_id, tok,
+               CAST(1 AS BIGINT) AS bin_seq, tok AS bin_fill
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT d.bucket, d.rn, d.doc_id, d.tok,
+               CASE WHEN p.bin_fill + d.tok <= {_PACK_CAPACITY}
+                    THEN p.bin_seq ELSE p.bin_seq + 1 END,
+               CASE WHEN p.bin_fill + d.tok <= {_PACK_CAPACITY}
+                    THEN p.bin_fill + d.tok ELSE d.tok END
+        FROM pack p JOIN t d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, bucket, tok AS n_tokens, bin_seq, bin_fill FROM pack
+    """,
+)
+def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit bin packing (documents never split) into 512-token
+    bins, 16 independent hash buckets packed in parallel via an
+    Arrow-batched applyInPandas grouped map. The DuckDB oracle runs the
+    same recurrence as a recursive CTE — a FULL value check on a
+    non-relational (sequential) operator."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import token_count
+    from etl_inreach_spark.operators.packing import pack_bins_nextfit
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_tokcnt", token_count(F.col("text"))
+    )
+    return pack_bins_nextfit(
+        d, "doc_id", "_tokcnt", capacity=_PACK_CAPACITY, num_buckets=_PACK_BUCKETS
+    )
+
+
+def _contamination_oracle() -> str:
+    from etl_inreach_spark.operators.text_dedup import poly_gram_hash60_sql
+
+    return f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, {poly_gram_hash60_sql('g', 9)} AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, length(text) - 8),
+                                         i -> substr(text, i, 9))) AS g
+            FROM documents WHERE length(text) >= 9
+        )
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 50 = 0),
+    corpus AS (SELECT * FROM grams WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS contamination,
+           CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) >= 0.5 AS contaminated
+    FROM corpus c LEFT JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id
+    """
+
+
+@query("contamination_check", oracle=_contamination_oracle())
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: every 50th document plays the eval set;
+    each remaining document reports what fraction of its distinct
+    9-gram hashes appear in the eval set. The eval gram set is
+    broadcast (bounded by construction); grams travel as portable
+    60-bit hashes so the DuckDB oracle reproduces them bit-for-bit."""
+    tune(spark)
+    from etl_inreach_spark.operators.corpus import contamination_ngrams
+    from etl_inreach_spark.operators.text_dedup import poly_gram_hasher60
+
+    d = load_table(spark, sf_dir, "documents")
+    return contamination_ngrams(
+        d,
+        "doc_id",
+        "text",
+        bench_pred=F.pmod(F.col("doc_id"), F.lit(50)) == 0,
+        shingle_k=9,
+        gram_hash=poly_gram_hasher60(9),
+        flag_threshold=0.5,
+    )
+
+
+@query(
+    "repetition_profile",
+    oracle="""
+    WITH t2 AS (
+        SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ts
+            FROM documents
+        ) WHERE len(ts) >= 2
+    ), wc AS (
+        SELECT doc_id, n, w, COUNT(*) AS c
+        FROM (SELECT doc_id, n, unnest(ts) AS w FROM t2)
+        GROUP BY doc_id, n, w
+    ), word_stats AS (
+        SELECT doc_id, n, CAST(MAX(c) AS BIGINT) AS top,
+               CAST(COUNT(*) AS BIGINT) AS uniq
+        FROM wc GROUP BY doc_id, n
+    ), bgu AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT bg) AS BIGINT) AS bguniq
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ts) - 1),
+                                         i -> ts[i] || ' ' || ts[i + 1])) AS bg
+            FROM t2
+        ) GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n AS n_tokens,
+           CAST(w.top AS DOUBLE) / w.n AS top_word_frac,
+           CAST(w.n - w.uniq AS DOUBLE) / w.n AS dup_word_frac,
+           CAST(w.n - 1 - b.bguniq AS DOUBLE) / (w.n - 1) AS dup_2gram_frac,
+           (CAST(w.top AS DOUBLE) / w.n <= 0.1
+            AND CAST(w.n - 1 - b.bguniq AS DOUBLE) / (w.n - 1) <= 0.6) AS keep
+    FROM word_stats w JOIN bgu b USING (doc_id)
+    """,
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: top-word occupancy, duplicate-word
+    fraction, duplicate-bigram fraction per document, and the keep
+    decision (top_word_frac <= 0.1 AND dup_2gram_frac <= 0.6)."""
+    tune(spark)
+    from etl_inreach_spark.operators.corpus import repetition_profile as rp
+
+    d = load_table(spark, sf_dir, "documents")
+    return rp(d, "doc_id", "text", max_top_word_frac=0.1, max_dup_2gram_frac=0.6)

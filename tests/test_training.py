@@ -1,0 +1,181 @@
+"""Tests for the training-data assembly operators: sequence packing,
+contamination detection, repetition profiling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+CAP = 100
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def toks(n):
+    return " ".join(f"w{i}" for i in range(n))
+
+
+class TestPackChunks:
+    def test_offsets_match_serial_prefix_sum(self, spark):
+        from etl_inreach_spark.operators.packing import pack_chunks
+
+        sizes = [7, 50, 100, 3, 260, 1, 99, 42]
+        df = _docs(spark, [(i, toks(s)) for i, s in enumerate(sizes)]).withColumn(
+            "tok", F.size(F.split("text", " "))
+        )
+        # tiny bucket count forces multi-doc buckets; the two-level
+        # prefix sum must still equal the serial one
+        out = (
+            pack_chunks(df, "doc_id", "tok", capacity=CAP, num_buckets=3)
+            .orderBy("doc_id")
+            .collect()
+        )
+        offset = 0
+        for row, s in zip(out, sizes):
+            assert row.tok_offset == offset
+            assert row.chunk_start == offset // CAP
+            assert row.chunk_end == (offset + s - 1) // CAP
+            assert row.n_chunks == row.chunk_end - row.chunk_start + 1
+            offset += s
+
+    def test_zero_token_docs_dropped(self, spark):
+        from etl_inreach_spark.operators.packing import pack_chunks
+
+        df = spark.createDataFrame(
+            [(0, 5), (1, 0), (2, 3)], "doc_id bigint, tok int"
+        )
+        out = pack_chunks(df, "doc_id", "tok", capacity=CAP).orderBy("doc_id").collect()
+        assert [r.doc_id for r in out] == [0, 2]
+        assert [r.tok_offset for r in out] == [0, 5]
+
+    def test_partitioning_invariance(self, spark):
+        from etl_inreach_spark.operators.packing import pack_chunks
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 90 + 1) for i in range(200)], "doc_id bigint, tok int"
+        )
+        a = pack_chunks(df, "doc_id", "tok", CAP).orderBy("doc_id").collect()
+        b = (
+            pack_chunks(df.repartition(7), "doc_id", "tok", CAP)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert a == b
+
+
+class TestPackBinsNextfit:
+    def test_nextfit_semantics_single_bucket(self, spark):
+        from etl_inreach_spark.operators.packing import pack_bins_nextfit
+
+        # capacity 100: [60, 30, 20, 150, 10] -> bins [1,1,2,3,4]
+        sizes = [60, 30, 20, 150, 10]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], "doc_id bigint, tok int"
+        )
+        out = (
+            pack_bins_nextfit(df, "doc_id", "tok", capacity=100, num_buckets=1)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert [r.bin_seq for r in out] == [1, 1, 2, 3, 4]
+        assert [r.bin_fill for r in out] == [60, 90, 20, 150, 10]
+
+    def test_fill_respects_capacity_unless_oversized(self, spark):
+        from etl_inreach_spark.operators.packing import pack_bins_nextfit
+
+        df = spark.createDataFrame(
+            [(i, (i * 53) % 140 + 1) for i in range(300)], "doc_id bigint, tok int"
+        )
+        out = pack_bins_nextfit(df, "doc_id", "tok", capacity=100, num_buckets=8)
+        bad = out.filter((F.col("bin_fill") > 100) & (F.col("n_tokens") <= 100))
+        assert bad.count() == 0
+
+    def test_bin_seq_contiguous_per_bucket(self, spark):
+        from etl_inreach_spark.operators.packing import pack_bins_nextfit
+
+        df = spark.createDataFrame(
+            [(i, (i * 29) % 80 + 1) for i in range(200)], "doc_id bigint, tok int"
+        )
+        out = pack_bins_nextfit(df, "doc_id", "tok", capacity=100, num_buckets=4)
+        per = (
+            out.groupBy("bucket")
+            .agg(F.max("bin_seq").alias("mx"), F.count_distinct("bin_seq").alias("n"))
+            .collect()
+        )
+        for r in per:
+            assert r.mx == r.n  # 1..n with no gaps
+
+
+class TestContamination:
+    def test_planted_duplicate_is_fully_contaminated(self, spark):
+        from etl_inreach_spark.operators.corpus import contamination_ngrams
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        clean_text = "one two three four five six seven eight nine ten eleven"
+        df = _docs(
+            spark,
+            [
+                (0, bench_text),  # benchmark doc
+                (1, bench_text),  # exact copy -> contamination 1.0
+                (2, clean_text),  # disjoint -> contamination 0.0
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in contamination_ngrams(
+                df, "doc_id", "text", bench_pred=F.col("doc_id") == 0, shingle_k=9
+            ).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1].contamination == 1.0 and out[1].contaminated
+        assert out[2].contamination == 0.0 and not out[2].contaminated
+
+    def test_partial_overlap_bounded(self, spark):
+        from etl_inreach_spark.operators.corpus import contamination_ngrams
+
+        df = _docs(
+            spark,
+            [
+                (0, "shared prefix words here then bench tail words"),
+                (1, "shared prefix words here then other tail stuff"),
+            ],
+        )
+        out = contamination_ngrams(
+            df, "doc_id", "text", bench_pred=F.col("doc_id") == 0, shingle_k=9
+        ).collect()
+        (r,) = out
+        assert 0.0 < r.contamination < 1.0
+
+
+class TestRepetitionProfile:
+    def test_hand_computed_fractions(self, spark):
+        from etl_inreach_spark.operators.corpus import repetition_profile
+
+        # "a b a b a": n=5, top(a)=3, uniq=2; bigrams: ab,ba,ab,ba ->
+        # uniq 2 of 4 -> dup_2gram = 0.5
+        df = _docs(spark, [(0, "a b a b a")])
+        (r,) = repetition_profile(df, "doc_id", "text").collect()
+        assert r.n_tokens == 5
+        assert r.top_word_frac == pytest.approx(3 / 5)
+        assert r.dup_word_frac == pytest.approx(3 / 5)
+        assert r.dup_2gram_frac == pytest.approx(0.5)
+        assert not r.keep  # top_word_frac 0.6 > 0.1
+
+    def test_all_distinct_keeps(self, spark):
+        from etl_inreach_spark.operators.corpus import repetition_profile
+
+        df = _docs(spark, [(0, toks(20))])
+        (r,) = repetition_profile(df, "doc_id", "text").collect()
+        assert r.top_word_frac == pytest.approx(1 / 20)
+        assert r.dup_word_frac == 0.0
+        assert r.dup_2gram_frac == 0.0
+        assert r.keep
+
+    def test_single_token_docs_dropped(self, spark):
+        from etl_inreach_spark.operators.corpus import repetition_profile
+
+        df = _docs(spark, [(0, "solo"), (1, "two words")])
+        out = repetition_profile(df, "doc_id", "text").collect()
+        assert [r.doc_id for r in out] == [1]
