@@ -27,6 +27,14 @@ RUNTIME_CONF: dict[str, str] = {
     # MIN/MAX/COUNT answered from parquet footer statistics when the
     # plan allows (off by default upstream; harmless otherwise).
     "spark.sql.parquet.aggregatePushdown": "true",
+    # The default generated-class cache (100 entries) thrashes across
+    # this library's large unrolled plans (polynomial hash chains,
+    # lane-packed sketch sums): successive heavy queries evicted each
+    # other's classes and paid multi-second recompiles. Applied at
+    # builder time for our own sessions; best-effort via tune() on the
+    # driver's session (the cache reads the conf when the JVM first
+    # compiles, which is after the first tune() call).
+    "spark.sql.codegen.cache.maxEntries": "5000",
 }
 
 
