@@ -72,14 +72,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = table_path(sf_dir, name)
     ns_cols = _nanos_ts_cols(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # `div` = integer division: nanos are ~1.8e18, beyond double's
         # 53-bit exactness, so float division would corrupt low digits.
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP.
+
+    The driver's parquet stores isAdjustedToUTC=false timestamps; a
+    session that never saw our ``inferTimestampNTZ=false`` conf (the
+    conf is read at scan planning) resolves them as TIMESTAMP_NTZ,
+    which breaks ``unix_micros``-style arithmetic downstream (round-2
+    driver failure: sessionize_events / sliding_1h_user_activity).
+    Every query pins session tz to UTC via ``tune()`` before loading,
+    so the cast is value-exact; for sessions already reading TIMESTAMP
+    this is a no-op projection fused into the scan.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -55,11 +55,14 @@ def sessionize(
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = F.when(
         prev_ts.isNull()
-        # microsecond diff: a floor-seconds diff would misclassify gaps
-        # that cross the threshold inside one wall-clock second
+        # timestamp subtraction yields a microsecond-precision
+        # day-time interval — exact (a floor-seconds diff would
+        # misclassify gaps crossing the threshold inside one second)
+        # and type-agnostic: works for TIMESTAMP and TIMESTAMP_NTZ
+        # alike, where unix_micros() rejects NTZ input.
         | (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
-            > gap_seconds * 1_000_000
+            F.col(ts_col) - prev_ts
+            > F.expr(f"INTERVAL '{int(gap_seconds)}' SECOND")
         ),
         F.lit(1),
     ).otherwise(F.lit(0))

@@ -18,6 +18,13 @@ from pyspark.sql import SparkSession
 RUNTIME_CONF: dict[str, str] = {
     # Oracle parity: DuckDB timestamps are naive/UTC.
     "spark.sql.session.timeZone": "UTC",
+    # The driver's parquet carries isAdjustedToUTC=false timestamps;
+    # Spark 4 defaults to inferring those as TIMESTAMP_NTZ, which
+    # breaks time arithmetic (unix_micros etc.) that expects TIMESTAMP.
+    # Read them as TIMESTAMP (exact: session tz pinned UTC above).
+    # catalog.load_table also casts any residual NTZ column as a
+    # belt-and-braces for sessions this conf never reached.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -27,13 +34,16 @@ RUNTIME_CONF: dict[str, str] = {
     # MIN/MAX/COUNT answered from parquet footer statistics when the
     # plan allows (off by default upstream; harmless otherwise).
     "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+# STATIC SQL confs: settable only at builder time (spark.conf.set raises
+# CANNOT_MODIFY_STATIC_CONFIG). Externally-built sessions (the driver's)
+# keep the upstream defaults — do NOT rely on these for correctness.
+BUILDER_ONLY_CONF: dict[str, str] = {
     # The default generated-class cache (100 entries) thrashes across
     # this library's large unrolled plans (polynomial hash chains,
     # lane-packed sketch sums): successive heavy queries evicted each
-    # other's classes and paid multi-second recompiles. Applied at
-    # builder time for our own sessions; best-effort via tune() on the
-    # driver's session (the cache reads the conf when the JVM first
-    # compiles, which is after the first tune() call).
+    # other's classes and paid multi-second recompiles.
     "spark.sql.codegen.cache.maxEntries": "5000",
 }
 
@@ -73,6 +83,6 @@ def get_spark(app_name: str = "etl-inreach-spark", cpus: int | None = None) -> S
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )
-    for k, v in RUNTIME_CONF.items():
+    for k, v in {**RUNTIME_CONF, **BUILDER_ONLY_CONF}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
