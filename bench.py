@@ -57,6 +57,7 @@ def main() -> None:
     # stays under the sf0.01 correctness gate but out of the batch
     # throughput headline.
     qs.pop("streaming_dedup_ids", None)
+    qs.pop("streaming_stateful_latest", None)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(qs):

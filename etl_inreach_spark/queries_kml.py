@@ -151,3 +151,86 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(table).distinct()
+
+
+@query(
+    "streaming_stateful_latest",
+    oracle="""
+    SELECT id, time, lon, lat FROM (
+        SELECT 'inreach-' || CAST(user_id AS VARCHAR) AS id,
+               ts AS time,
+               CAST(event_id % 360 AS DOUBLE) AS lon,
+               CAST(user_id % 180 AS DOUBLE) AS lat,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming under the value-oracle gate: events become a
+    per-device position stream, split into TWO micro-batches (file
+    source, maxFilesPerTrigger=1), and drained through the cross-run
+    state operator (streaming/stateful.latest_position_foreachbatch —
+    the durable rendering of the reference's per-run dedup map,
+    task.ts:92). The FINAL STATE TABLE must equal the batch argmax the
+    oracle computes over all events at once — proving the cross-batch
+    state merge preserves the keyed-argmax semantics (strict >, ties
+    to the first-seen row) across micro-batch boundaries.
+
+    The batch split is by timestamp (first half / second half), so
+    equal-timestamp rows of one device always share a batch and the
+    tie-break stays the within-batch min-arrival rule — the merged
+    result is then independent of batch processing order.
+    """
+    import os
+    import time as _time
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        F.concat(F.lit("inreach-"), F.col("user_id")).alias("id"),
+        F.col("ts").alias("time"),
+        F.col("event_id").alias("arrival_idx"),
+        (F.col("event_id") % 360).cast("double").alias("lon"),
+        (F.col("user_id") % 180).cast("double").alias("lat"),
+    )
+    # midpoint split: bounded 1-row collect, deterministic in the data
+    lo, hi = feat.agg(F.min("time"), F.max("time")).first()
+    cutoff = lo + (hi - lo) / 2
+
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_stream/{run}"
+    in_dir, cp_dir, state_dir = f"{base}/in", f"{base}/cp", f"{base}/state"
+    os.makedirs(in_dir, exist_ok=True)
+    for i, half in enumerate(
+        (feat.filter(F.col("time") <= F.lit(cutoff)),
+         feat.filter(F.col("time") > F.lit(cutoff)))
+    ):
+        # one file per half => one micro-batch per half under
+        # maxFilesPerTrigger=1; the sleep orders file mtimes so the
+        # source replays halves chronologically (result is argmax-
+        # order-independent anyway; this keeps runs reproducible)
+        half.coalesce(1).write.mode("overwrite").parquet(f"{base}/stage{i}")
+        part = next(
+            f for f in os.listdir(f"{base}/stage{i}") if f.endswith(".parquet")
+        )
+        os.rename(f"{base}/stage{i}/{part}", f"{in_dir}/batch{i}.parquet")
+        _time.sleep(0.05)
+
+    from etl_inreach_spark.streaming.stateful import latest_position_foreachbatch
+
+    sdf = (
+        spark.readStream.schema(feat.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    writer = latest_position_foreachbatch(sdf, state_dir, emit=lambda df: df.count())
+    q = (
+        writer.option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).select("id", "time", "lon", "lat")

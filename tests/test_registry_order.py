@@ -1,0 +1,45 @@
+"""Registry-ordering invariants.
+
+The driver's correctness harness verifies only the FIRST 50 entries of
+``queries()`` (round-2 lesson: 13 queries silently got no verdict), so
+ordering is part of the correctness surface and is pinned here."""
+
+from __future__ import annotations
+
+from etl_inreach_spark import queries as Q
+
+DRIVER_WINDOW = 50
+
+
+def test_front_and_tail_names_exist():
+    names = set(Q.all_queries())
+    assert set(Q._FRONT) <= names, set(Q._FRONT) - names
+    assert set(Q._TAIL) <= names, set(Q._TAIL) - names
+    assert not set(Q._FRONT) & set(Q._TAIL)
+
+
+def test_every_non_tail_query_inside_driver_window():
+    """Anything not explicitly rotated to the tail (i.e. anything not
+    green in two straight rounds) must land where the driver checks it.
+    Fails when the registry grows past window + len(_TAIL): rotate more
+    stable greens into _TAIL."""
+    order = list(Q.all_queries())
+    outside = set(order[DRIVER_WINDOW:])
+    non_tail_outside = outside - set(Q._TAIL)
+    assert not non_tail_outside, (
+        f"queries outside the driver's first-{DRIVER_WINDOW} window that are "
+        f"not rotated tail entries: {sorted(non_tail_outside)}"
+    )
+
+
+def test_front_queries_lead_the_registry():
+    order = list(Q.all_queries())
+    assert order[: len(Q._FRONT)] == [n for n in Q._FRONT if n in set(order)]
+
+
+def test_oracles_subset_of_queries():
+    qs, os_ = Q.all_queries(), Q.all_oracles()
+    assert set(os_) <= set(qs)
+    # every query has an oracle except the documented rows-only ones
+    rows_only = {"approx_distinct_users"}
+    assert set(qs) - set(os_) == rows_only
