@@ -179,3 +179,118 @@ class TestRepetitionProfile:
         df = _docs(spark, [(0, "solo"), (1, "two words")])
         out = repetition_profile(df, "doc_id", "text").collect()
         assert [r.doc_id for r in out] == [1]
+
+
+class TestShingleParity:
+    """Fast (window-lead) path vs substring path of shingles_exploded
+    must be bit-identical — sets, multisets, and positions — including
+    len==k documents and non-ASCII text (ADVICE r2: this parity was
+    claimed but untested, and silently depended on split('') semantics
+    that changed in SPARK-40194)."""
+
+    K = 4
+
+    def _corpus(self, spark):
+        rows = [
+            (0, "hello world, this is a document"),
+            (1, "abcd"),                      # len == k: exactly one gram
+            (2, "abc"),                       # len < k: zero grams
+            (3, "aaaaaaaaaaaaaaaa"),          # degenerate repetition
+            (4, "héllo wörld — naïve café"),  # non-ASCII BMP
+            (5, "日本語のテキストです"),          # CJK
+            (6, "mississippi mississippi"),   # repeated grams (multiset != set)
+        ]
+        return _docs(spark, rows)
+
+    def _both(self, spark, distinct, keep_pos=False):
+        from etl_inreach_spark.operators import text_dedup as td
+
+        df = self._corpus(spark)
+        fast = td.shingles_exploded(
+            df, "doc_id", "text", self.K, distinct=distinct, keep_pos=keep_pos
+        )
+        # same hash WITHOUT the _poly60 marker -> legacy substring path
+        slow = td.shingles_exploded(
+            df, "doc_id", "text", self.K,
+            gram_hash=lambda g: td._poly60_of_h1(td.poly_gram_hash(g, self.K)),
+            distinct=distinct, keep_pos=keep_pos,
+        )
+        return fast, slow
+
+    def test_set_parity(self, spark):
+        fast, slow = self._both(spark, distinct=True)
+        a = sorted(map(tuple, fast.select("_id", "_h").collect()))
+        b = sorted(map(tuple, slow.select("_id", "_h").collect()))
+        assert a == b and len(a) > 0
+
+    def test_multiset_and_position_parity(self, spark):
+        fast, slow = self._both(spark, distinct=False, keep_pos=True)
+        a = sorted(map(tuple, fast.select("_id", "_p", "_h").collect()))
+        b = sorted(map(tuple, slow.select("_id", "_p", "_h").collect()))
+        assert a == b and len(a) > 0
+        # gram count per doc must be len-k+1 (char-count len, not bytes)
+        from collections import Counter
+
+        per_doc = Counter(t[0] for t in a)
+        texts = dict((r.doc_id, r.text) for r in self._corpus(spark).collect())
+        for did, text in texts.items():
+            expect = max(len(text) - self.K + 1, 0)
+            assert per_doc.get(did, 0) == expect, (did, text)
+
+
+class TestSimhashLaneOverflow:
+    """ADVICE r2 (high): a ~40k-char repetitive document overflowed a
+    15-bit lane and silently zeroed the sketch. The chunked
+    position-keyed aggregation must return the TRUE sketch; the
+    positionless lane path must raise rather than corrupt."""
+
+    K = 5
+    BITS = 60
+
+    def _sh(self, spark, keep_pos):
+        from etl_inreach_spark.operators import text_dedup as td
+
+        # every gram identical -> per-bit counts hit 40k-4 >> 2^15
+        df = _docs(spark, [(0, "a" * 40_000)])
+        return td.shingles_exploded(
+            df, "doc_id", "text", self.K,
+            gram_hash=td.poly_gram_hasher60(self.K),
+            distinct=False, keep_pos=keep_pos,
+        )
+
+    def test_chunked_sketch_is_exact(self, spark):
+        from etl_inreach_spark.operators import text_dedup as td
+
+        sk = td.simhash_sketch(self._sh(spark, keep_pos=True), bits=self.BITS)
+        [row] = sk.collect()
+        # all-identical shingles: majority vote reproduces the gram
+        # hash itself (every set bit wins n-0, every unset bit 0-n)
+        [expect] = (
+            self._sh(spark, keep_pos=True)
+            .select("_h").distinct().collect()
+        )
+        assert row._sim == expect._h != 0
+
+    def test_positionless_lane_path_raises(self, spark):
+        from pyspark.errors import SparkRuntimeException
+        from etl_inreach_spark.operators import text_dedup as td
+
+        sk = td.simhash_sketch(self._sh(spark, keep_pos=False), bits=self.BITS)
+        with pytest.raises(SparkRuntimeException, match="lane overflow"):
+            sk.collect()
+
+    def test_small_doc_paths_agree(self, spark):
+        from etl_inreach_spark.operators import text_dedup as td
+
+        df = _docs(spark, [(i, t) for i, t in enumerate(
+            ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "aaaaabbbbbaaaaabbbbb"])])
+        mk = lambda pos: td.shingles_exploded(  # noqa: E731
+            df, "doc_id", "text", self.K,
+            gram_hash=td.poly_gram_hasher60(self.K),
+            distinct=False, keep_pos=pos,
+        )
+        chunked = sorted(map(tuple, td.simhash_sketch(mk(True), bits=self.BITS).collect()))
+        single = sorted(map(tuple, td.simhash_sketch(mk(False), bits=self.BITS).collect()))
+        assert chunked == single
