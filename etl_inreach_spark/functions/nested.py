@@ -27,21 +27,19 @@ def eav_to_map(entries: Column, key_field: str = "name", value_field: str = "val
     into map<string,string> for by-name lookups.
 
     Duplicate keys are LAST-WINS (the reference assigns
-    ``extended[name] = value`` per pair, task.ts:111). A plain
-    map_from_entries would throw DUPLICATED_MAP_KEY under Spark's
-    default dedup policy and kill the whole job on one bad feed —
-    violating feed-granular isolation — so later-duplicated entries are
-    filtered out first (entry i survives iff no later entry shares its
-    key; quadratic in the per-row entry count, which is ~10)."""
-    deduped = F.filter(
-        entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + F.lit(2), F.size(entries)),
-            lambda later: later[key_field] == e[key_field],
-        ),
-    )
+    ``extended[name] = value`` per pair, task.ts:111), provided
+    natively by ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` — part of
+    ``session.RUNTIME_CONF``, so every query path (all of which call
+    ``tune``) gets it. This replaced a quadratic higher-order
+    dedup-filter: HOFs are CodegenFallback, and because interpreted
+    subtrees are also invisible to codegen's runtime subexpression
+    elimination, a consumer projecting N lookups re-built the map N
+    times — 5x the eav_pivot wall-clock. NULL-key entries are dropped
+    (map keys must be non-null; the reference's analog throws per-feed
+    on a name-less Data element, task.ts:111)."""
+    nonnull = F.filter(entries, lambda e: e[key_field].isNotNull())
     return F.map_from_entries(
-        F.transform(deduped, lambda e: F.struct(e[key_field], e[value_field]))
+        F.transform(nonnull, lambda e: F.struct(e[key_field], e[value_field]))
     )
 
 

@@ -34,6 +34,11 @@ RUNTIME_CONF: dict[str, str] = {
     # MIN/MAX/COUNT answered from parquet footer statistics when the
     # plan allows (off by default upstream; harmless otherwise).
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Reference EAV semantics: extended[name] = value is last-wins
+    # (task.ts:111). Native policy instead of a quadratic HOF dedup in
+    # eav_to_map — the default EXCEPTION policy would kill a job on
+    # one duplicate-key feed, violating feed-granular isolation.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 # STATIC SQL confs: settable only at builder time (spark.conf.set raises

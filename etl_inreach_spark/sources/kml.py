@@ -125,18 +125,48 @@ def kml_to_placemarks(
       -> EAV pivot of ExtendedData (O12)
     The null-Point filter (O10) is NOT applied here — it belongs to the
     feature projection so callers can observe raw placemarks.
+
+    Feed dropping is rendered as a NULL placemark array under
+    ``posexplode`` (zero rows) rather than Filter nodes, and the parsed
+    struct is BOUND TO A LAMBDA VARIABLE via a one-element transform():
+    predicate pushdown substitutes a filtered alias's definition into
+    each Filter, and CollapseProject inlines multiply-referenced
+    aliases, so the round-2 plan re-evaluated ``from_xml`` 3x (and a
+    naive no-filter rewrite 7x) per document — the
+    kml_pipeline_roundtrip regression. A lambda variable is evaluated
+    exactly once per element and no Catalyst rule can substitute
+    through it, so every document is parsed ONCE, the plan stays
+    narrow (no window/shuffle), and the same code serves the streaming
+    pipeline where a per-feed window verdict would be unsupported.
+    Pinned by tests/test_kml_pipeline.py::test_single_xml_parse_in_plan.
     """
     nonempty = feeds.filter(F.trim(F.col(body_col)) != "")
-    parsed = nonempty.withColumn("_kml", parse_kml(F.col(body_col)))
-    valid = parsed.filter(F.col("_kml.Document").isNotNull())
-    # first folder only (Document[0].Folder[0], task.ts:101); missing
-    # Folder -> NULL array -> no feed error, and posexplode yields no rows
-    pm_arr = F.try_element_at(F.col("_kml.Document.Folder"), F.lit(1))["Placemark"]
-    valid = valid.filter(~placemark_feed_error(pm_arr))
-    placemarks = valid.select(
+
+    def validated_placemarks(kml: Column) -> Column:
+        # first folder only (Document[0].Folder[0], task.ts:101);
+        # missing Folder -> NULL array -> no feed error, no rows
+        pm_arr = F.try_element_at(kml["Document"]["Folder"], F.lit(1))["Placemark"]
+        return F.when(
+            kml["Document"].isNotNull() & ~placemark_feed_error(pm_arr), pm_arr
+        )
+
+    staged = nonempty.select(
         *[F.col(c) for c in keep_cols],
-        F.posexplode(pm_arr).alias("arrival_idx", "_pm"),
+        F.element_at(
+            F.transform(F.array(parse_kml(F.col(body_col))), validated_placemarks),
+            1,
+        ).alias("_pms"),
     )
+    # OUTER explode + post-filter, not plain posexplode: for the
+    # non-outer form InferFiltersFromGenerate infers `size(_pms) > 0`
+    # and pushes it through the projection, re-parsing the XML inside
+    # the Filter. The outer generate admits no such inference; the
+    # null-row filter below reads only GENERATED columns, so it cannot
+    # be pushed past the parse.
+    placemarks = staged.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode_outer(F.col("_pms")).alias("arrival_idx", "_pm"),
+    ).filter(F.col("arrival_idx").isNotNull())
     return placemarks.select(
         *[F.col(c) for c in keep_cols],
         F.col("arrival_idx").cast("long").alias("arrival_idx"),

@@ -248,3 +248,16 @@ def test_parquet_sink_partitioned(spark, tmp_path):
     assert any(d.startswith("share_id=") for d in os.listdir(dest))
     back = spark.read.parquet(dest)
     assert sorted(r["id"] for r in back.collect()) == ["inreach-111", "inreach-222"]
+
+
+def test_single_xml_parse_in_plan(spark):
+    """The document must be parsed EXACTLY once: Catalyst inlines
+    multiply-referenced aliases (CollapseProject) and substitutes them
+    into pushed-down Filters, which round 2 showed re-evaluating
+    from_xml 3x per feed. The lambda-variable binding in
+    kml_to_placemarks pins it to one evaluation."""
+    feeds = spark.createDataFrame(
+        [Row(share_id="AAA", body=GOOD_FEED)], "share_id string, body string"
+    )
+    plan = kml_to_placemarks(feeds)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("from_xml") == 1, plan
