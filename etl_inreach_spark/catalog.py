@@ -45,6 +45,12 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    if os.path.isdir(path):
+        # Spark-written table: footer schema from any one part file
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            return ()
+        path = os.path.join(path, sorted(parts)[0])
     schema = pq.read_schema(path)
     return tuple(
         f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"

@@ -775,3 +775,72 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders", "customer", "nation"))
     return spark.sql(_ANSI_REVENUE_SQL)
+
+
+@query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p90,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 aggregation — EXACT ordered-set percentiles
+    (percentile_cont semantics: linear interpolation between closest
+    ranks) per order priority. Both engines interpolate as
+    lo + frac*(hi-lo) over doubles, so values hash-match bit-for-bit.
+    Exact percentile is a sort-based aggregate (per-group value
+    buffer); at 100 TB the same query shape swaps in
+    approx_percentile (t-digest sketch, partial-agg) — the KMV/HLL
+    trade recorded at approx_distinct_users applies verbatim."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(price, F.lit(0.5)).alias("p50"),
+        F.percentile(price, F.lit(0.9)).alias("p90"),
+        F.percentile(price, F.lit(0.99)).alias("p99"),
+    )
+
+
+@query(
+    "mode_ship_month",
+    oracle="""
+    SELECT l_returnflag, ship_month AS top_month, n FROM (
+        SELECT l_returnflag,
+               CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC,
+                                           CAST(month(l_shipdate) AS BIGINT) ASC) AS rn
+        FROM lineitem
+        GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def mode_ship_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 aggregation — per-group MODE (most frequent value) with a
+    DETERMINISTIC tie-break (smallest value wins), because engine-native
+    mode() tie-breaks are arbitrary and would never hash-match. Shape:
+    two-level partial-agg count (shuffle ~ |flag x shipmode| groups)
+    then a window over those few rows — the scalable mode rendering
+    (never a per-row window over the raw table)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").cast("bigint").alias("ship_month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("ship_month").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("ship_month").alias("top_month"), "n")
+    )
