@@ -844,3 +844,24 @@ def mode_ship_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("ship_month").alias("top_month"), "n")
     )
+
+
+@query("approx_order_percentiles")
+def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB rendering of order_value_percentiles:
+    approx_percentile is a mergeable quantile sketch, so the aggregate
+    is partial+final (shuffle ~ |groups| sketches) instead of a
+    per-group sorted value buffer. Sketch internals are
+    engine-specific, so like approx_distinct_users this entry is
+    rows-only for the driver; pytest pins each approximate quantile
+    within rel-error of the exact companion's value
+    (tests/test_relational.py::test_approx_percentiles_near_exact)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_percentile(price, F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile(price, F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.approx_percentile(price, F.lit(0.99), F.lit(10000)).alias("p99"),
+    )

@@ -59,3 +59,18 @@ def test_json_lines_roundtrip_with_explicit_schema(spark, tmp_path):
     first = open(part).readline()
     obj = _json.loads(first)
     assert obj["id"].startswith("inreach-")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink (gap-table scans/sinks row): columnar format
+    with predicate pushdown, same write->read->value contract as
+    parquet."""
+    out = _features(spark)
+    dest = str(tmp_path / "orc")
+    out.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    assert back.schema == out.schema
+    assert _key_rows(back) == _key_rows(out)
+    # pushdown reaches the ORC scan
+    plan = back.filter(back["id"] == "inreach-1")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "inreach-1" in plan

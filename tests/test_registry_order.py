@@ -41,5 +41,7 @@ def test_oracles_subset_of_queries():
     qs, os_ = Q.all_queries(), Q.all_oracles()
     assert set(os_) <= set(qs)
     # every query has an oracle except the documented rows-only ones
-    rows_only = {"approx_distinct_users"}
+    # (engine-specific sketches; each has a value-oracled exact or
+    # portable companion: kmv_distinct_users, order_value_percentiles)
+    rows_only = {"approx_distinct_users", "approx_order_percentiles"}
     assert set(qs) - set(os_) == rows_only

@@ -107,3 +107,18 @@ def test_tumbling_bucket_floors_pre_epoch(spark):
         ).collect()
     ]
     assert got == ["1969-12-31 23:59:00", "1970-01-01 00:00:00"]
+
+
+def test_approx_percentiles_near_exact(spark, sf_dir):
+    """The sketch path must track the exact ordered-set aggregate."""
+    from etl_inreach_spark.queries import all_queries
+
+    qs = all_queries()
+    exact = {r["o_orderpriority"]: r for r in qs["order_value_percentiles"](spark, sf_dir).collect()}
+    approx = {r["o_orderpriority"]: r for r in qs["approx_order_percentiles"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n"] == e["n"]
+        for q in ("p50", "p90", "p99"):
+            assert abs(a[q] - e[q]) <= 0.02 * abs(e[q]) + 1e-9, (k, q, a[q], e[q])
