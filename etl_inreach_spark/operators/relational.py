@@ -167,3 +167,42 @@ def salted_agg(
             for name, (_, merge) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: Sequence[str],
+    salt_buckets: int = 8,
+    salt_col: str = "_salt",
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the big side gets a
+    deterministic salt in [0, salt_buckets), the small side is
+    REPLICATED once per salt value, and the join runs on
+    (key, salt) — a hot key's rows spread over ``salt_buckets``
+    reducers instead of hammering one. Result is exactly the plain
+    join (salt-invariant: every big row meets every matching small row
+    exactly once, in its own salt slice).
+
+    Cost model: small side shuffles ``salt_buckets``x — worth it only
+    when the big side's key histogram is so degenerate that AQE's
+    skew-join splitting (which handles MOST skew for free and is on in
+    tune()) still leaves a straggler, and the small side is too big to
+    broadcast outright. ``how`` supports 'inner' and 'left' (for
+    'left', unmatched big rows survive in their salt slice).
+
+    The salt is a hash of the big side's whole row (xxhash64 over all
+    columns), not rand(): deterministic across retries/replays, which
+    straggler re-execution at 100 TB requires.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    big_s = big.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    )
+    small_r = small.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"))
+    )
+    on = [*key_cols, salt_col]
+    return big_s.join(small_r, on=on, how=how).drop(salt_col)

@@ -141,14 +141,19 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(32,4)) AS DOUBLE) AS sx,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS DOUBLE) AS sy,
-               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
-                             CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(32,4)) AS DOUBLE) AS sxx,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                             CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS DOUBLE) AS syy,
-               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
-                             CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS DOUBLE) AS sxy
+               -- VARCHAR hop: DuckDB converts int128-backed decimals to double
+               -- by dividing two doubles (double rounding), while Spark's
+               -- BigDecimal path rounds once; both engines parse a decimal
+               -- STRING with a single correct rounding, so the hop makes
+               -- wide-decimal -> double bit-identical (ULP diff at sf0.001)
+               CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(32,4)) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+                             CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(32,4)) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+                             CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(32,4)) AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem
         GROUP BY l_returnflag
     )
@@ -177,7 +182,9 @@ def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("l_extendedprice").cast("decimal(18,2)")
 
     def d32(c):
-        return F.sum(c).cast("decimal(32,4)").cast("double")
+        # string hop mirrors the oracle's VARCHAR hop (see oracle SQL):
+        # one correct rounding on both engines for int128-wide decimals
+        return F.sum(c).cast("decimal(32,4)").cast("string").cast("double")
 
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -865,3 +865,29 @@ def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile(price, F.lit(0.9), F.lit(10000)).alias("p90"),
         F.approx_percentile(price, F.lit(0.99), F.lit(10000)).alias("p99"),
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, CAST(e.value AS DOUBLE) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 joins — skew-safe salted equi-join
+    (operators/relational.salted_join): big side salted
+    deterministically, small side replicated per salt, join on
+    (key, salt). The oracle is the PLAIN join — proving salt
+    invariance, the operator's whole contract."""
+    tune(spark)
+    from etl_inreach_spark.operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    out = salted_join(ev, cust, ["user_id"], salt_buckets=8)
+    return out.select(
+        "event_id", "user_id", "c_name", F.col("value").cast("double").alias("value")
+    )

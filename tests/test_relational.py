@@ -122,3 +122,20 @@ def test_approx_percentiles_near_exact(spark, sf_dir):
         assert a["n"] == e["n"]
         for q in ("p50", "p90", "p99"):
             assert abs(a[q] - e[q]) <= 0.02 * abs(e[q]) + 1e-9, (k, q, a[q], e[q])
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = sorted(map(tuple, ev.join(cust, on="user_id").collect()))
+    for how in ("inner", "left"):
+        expect = plain if how == "inner" else sorted(
+            map(tuple, ev.join(cust, on="user_id", how="left").collect())
+        )
+        got = sorted(map(tuple, salted_join(ev, cust, ["user_id"], salt_buckets=5, how=how).collect()))
+        assert got == expect, how
