@@ -64,6 +64,7 @@ _FRONT: tuple[str, ...] = (
     "contamination_check",
     "repetition_profile",
     "streaming_stateful_latest",
+    "streaming_groupstate_latest",
     "global_top10_orders",
     "shipping_priority_top10",
     "pivot_event_counts",

@@ -234,3 +234,81 @@ def streaming_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state_dir).select("id", "time", "lon", "lat")
+
+
+@query(
+    "streaming_groupstate_latest",
+    oracle="""
+    SELECT id, time, lon, lat FROM (
+        SELECT 'inreach-' || CAST(user_id AS VARCHAR) AS id,
+               ts AS time,
+               CAST(event_id % 360 AS DOUBLE) AS lon,
+               CAST(user_id % 180 AS DOUBLE) AS lat,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_groupstate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE-state rendering of streaming_stateful_latest:
+    applyInPandasWithState keeps one argmax row per device in the
+    streaming state store across two micro-batches and emits a
+    device's row on change (update mode). The emitted delta stream is
+    reduced to its per-device final row (each device's emitted time is
+    strictly increasing — re-emission requires a strictly later
+    timestamp), which must hash-match the batch argmax over all
+    events. Same timestamp-split batches as streaming_stateful_latest,
+    so within-batch ties resolve by min arrival on both paths."""
+    import os
+    import time as _time
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        F.concat(F.lit("inreach-"), F.col("user_id")).alias("id"),
+        F.col("ts").alias("time"),
+        F.col("event_id").alias("arrival_idx"),
+        (F.col("event_id") % 360).cast("double").alias("lon"),
+        (F.col("user_id") % 180).cast("double").alias("lat"),
+    )
+    lo, hi = feat.agg(F.min("time"), F.max("time")).first()
+    cutoff = lo + (hi - lo) / 2
+
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_stream/{run}"
+    in_dir, cp_dir = f"{base}/in", f"{base}/cp"
+    os.makedirs(in_dir, exist_ok=True)
+    for i, half in enumerate(
+        (feat.filter(F.col("time") <= F.lit(cutoff)),
+         feat.filter(F.col("time") > F.lit(cutoff)))
+    ):
+        half.coalesce(1).write.mode("overwrite").parquet(f"{base}/stage{i}")
+        part = next(
+            f for f in os.listdir(f"{base}/stage{i}") if f.endswith(".parquet")
+        )
+        os.rename(f"{base}/stage{i}/{part}", f"{in_dir}/batch{i}.parquet")
+        _time.sleep(0.05)
+
+    from etl_inreach_spark.operators.dedup import latest_by_key
+    from etl_inreach_spark.streaming.stateful import latest_position_groupstate
+
+    sdf = (
+        spark.readStream.schema(feat.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    table = f"gs_latest_{run}"
+    q = (
+        latest_position_groupstate(sdf)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(table)
+    return latest_by_key(emitted, ["id"], "time").select("id", "time", "lon", "lat")

@@ -12,13 +12,18 @@ State size is one fixed-width row per device — the minimum possible —
 and the state store shuffles by device id, so a 100 TB feed history
 costs state proportional to the FLEET size, not the event count.
 
-Two renderings, same semantics:
+Three renderings, same semantics:
   * ``latest_position_stream`` — transformWithStateInPandas + RocksDB
     state store (the preferred cluster path; needs google.protobuf on
     the workers, absent in this container, so its test is skip-gated).
+  * ``latest_position_groupstate`` — applyInPandasWithState
+    (GroupState API): the same per-device argmax in the ENGINE's
+    state store, runnable in this environment (no protobuf
+    dependency); value-oracled via streaming_groupstate_latest.
   * ``latest_position_foreachbatch`` — foreachBatch merging each
     micro-batch into a parquet state table with the SAME batch argmax
-    operator; fully portable, tested here.
+    operator; fully portable, value-oracled via
+    streaming_stateful_latest.
 """
 
 from __future__ import annotations
@@ -77,34 +82,10 @@ class LatestPositionProcessor(StatefulProcessor):
         if self._state.exists():
             t_us, arr, lon, lat = self._state.get()
             best = {"time_us": t_us, "arrival_idx": arr, "lon": lon, "lat": lat}
-        from_state = best is not None
-        changed = False
-        for pdf in rows:
-            for r in pdf.itertuples():
-                t_us = _ts_to_us(r.time)
-                arr = int(r.arrival_idx)
-                # strict > vs state: equal timestamps keep the
-                # EARLIER-SEEN (stored) row (task.ts:154). Within this
-                # batch, row delivery order is NOT guaranteed, so ties
-                # break deterministically on the smaller arrival_idx.
-                replaces = (
-                    best is None
-                    or t_us > best["time_us"]
-                    or (
-                        not from_state
-                        and t_us == best["time_us"]
-                        and arr < best["arrival_idx"]
-                    )
-                )
-                if replaces:
-                    best = {
-                        "time_us": t_us,
-                        "arrival_idx": arr,
-                        "lon": float(r.lon) if r.lon is not None else None,
-                        "lat": float(r.lat) if r.lat is not None else None,
-                    }
-                    changed = True
-                    from_state = False  # ties now break on arrival_idx
+        # strict > vs state: equal timestamps keep the EARLIER-SEEN
+        # (stored) row (task.ts:154); within a batch ties break on the
+        # smaller arrival_idx (shared _merge_latest fold)
+        best, changed = _merge_latest(best, best is not None, rows)
         if changed and best is not None:
             self._state.update(
                 (best["time_us"], best["arrival_idx"], best["lon"], best["lat"])
@@ -124,6 +105,83 @@ class LatestPositionProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+def _merge_latest(best, from_state: bool, pdfs) -> tuple[dict | None, bool]:
+    """Fold micro-batch rows into the carried best-position dict with
+    the reference's exact semantics (strict ``>`` vs stored state,
+    NULL time == epoch 0, within-batch ties to the smallest arrival
+    index). Shared by the transformWithState processor and the
+    GroupState renderer so the two paths cannot drift."""
+    changed = False
+    for pdf in pdfs:
+        for r in pdf.itertuples():
+            t_us = _ts_to_us(r.time)
+            arr = int(r.arrival_idx)
+            replaces = (
+                best is None
+                or t_us > best["time_us"]
+                or (
+                    not from_state
+                    and t_us == best["time_us"]
+                    and arr < best["arrival_idx"]
+                )
+            )
+            if replaces:
+                best = {
+                    "time_us": t_us,
+                    "arrival_idx": arr,
+                    "lon": float(r.lon) if r.lon is not None else None,
+                    "lat": float(r.lat) if r.lat is not None else None,
+                }
+                changed = True
+                from_state = False
+    return best, changed
+
+
+def latest_position_groupstate(features: DataFrame) -> DataFrame:
+    """applyInPandasWithState rendering: per-device argmax state in the
+    engine's streaming state store, emitting a device's row only when
+    its latest position changes (update mode). Same state size story
+    as the processor path: one fixed-width row per device, shuffled by
+    device id."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        best, from_state = None, False
+        if state.exists:
+            t_us, arr, lon, lat = state.get
+            best = {"time_us": t_us, "arrival_idx": arr, "lon": lon, "lat": lat}
+            from_state = True
+        best, changed = _merge_latest(best, from_state, pdfs)
+        if changed and best is not None:
+            state.update(
+                (best["time_us"], best["arrival_idx"], best["lon"], best["lat"])
+            )
+            yield pd.DataFrame(
+                {
+                    "id": [key[0]],
+                    "time": [
+                        pd.Timestamp(best["time_us"] * 1000)
+                        if best["time_us"] > 0
+                        else pd.NaT
+                    ],
+                    "lon": [best["lon"]],
+                    "lat": [best["lat"]],
+                }
+            )
+
+    return (
+        features.select("id", "time", "arrival_idx", "lon", "lat")
+        .groupBy("id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def latest_position_stream(features: DataFrame) -> DataFrame:

@@ -222,3 +222,43 @@ def test_foreachbatch_state_latest_position(spark, tmp_path):
     assert emitted == [("dev-1", 1.0), ("dev-2", 2.0), ("dev-1", 9.0)]
     final = {r["id"]: r["lon"] for r in spark.read.parquet(str(tmp_path / "state")).collect()}
     assert final == {"dev-1": 9.0, "dev-2": 2.0}
+
+
+def test_groupstate_latest_position_across_batches(spark, tmp_path):
+    """applyInPandasWithState (GroupState): the SAME cross-batch
+    semantics as the transformWithState path, runnable without
+    protobuf — per-device state carried across micro-batches, stale
+    updates suppressed, fresher ones re-emitted."""
+    from etl_inreach_spark.streaming.stateful import latest_position_groupstate
+
+    d = tmp_path / "posfeed_gs"
+    d.mkdir()
+    _write_position_batches(d)
+
+    feeds = (
+        spark.readStream.schema(
+            "id string, time timestamp, arrival_idx long, lon double, lat double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = latest_position_groupstate(feeds)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gs_latest_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "gs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("gs_latest_test").collect()
+    # dev-1 emitted in both batches (update), dev-2 only in batch 1
+    per_dev = {}
+    for r in rows:
+        per_dev.setdefault(r["id"], []).append((r["time"], r["lon"], r["lat"]))
+    assert len(per_dev["dev-1"]) == 2
+    assert len(per_dev["dev-2"]) == 1
+    final = {k: max(v) for k, v in per_dev.items()}
+    assert final["dev-1"][1:] == (9.0, 9.0)
+    assert final["dev-2"][1:] == (2.0, 2.0)
