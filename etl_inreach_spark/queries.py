@@ -65,6 +65,7 @@ _FRONT: tuple[str, ...] = (
     "repetition_profile",
     "streaming_stateful_latest",
     "streaming_groupstate_latest",
+    "upsert_merge_roundtrip",
     "global_top10_orders",
     "shipping_priority_top10",
     "pivot_event_counts",

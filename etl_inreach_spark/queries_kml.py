@@ -312,3 +312,62 @@ def streaming_groupstate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     emitted = spark.table(table)
     return latest_by_key(emitted, ["id"], "time").select("id", "time", "lon", "lat")
+
+
+@query(
+    "upsert_merge_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, ts, CAST(value AS DOUBLE) AS value FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed-upsert (MERGE) sink under the value gate: events are
+    split by timestamp midpoint into two update batches and applied in
+    order through sinks.upsert.upsert_latest_partitioned (hash-of-key
+    partition column, dynamic partition overwrite, partition-pruned
+    current scan). The final silver table must hash-match the global
+    per-(user, event_type) argmax — proving the incremental MERGE
+    converges to the same answer as a one-shot batch, with the
+    arrival tie-break surviving the batch boundary."""
+    import shutil
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        "user_id", "event_type", "ts", "value", "event_id",
+        F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("bucket"),
+    )
+    lo, hi = feat.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+
+    from etl_inreach_spark.sinks.upsert import upsert_latest_partitioned
+
+    run = uuid.uuid4().hex[:12]
+    path = f"/tmp/spark_graft_upsert/{run}/silver"
+    try:
+        for half in (
+            feat.filter(F.col("ts") <= F.lit(cutoff)),
+            feat.filter(F.col("ts") > F.lit(cutoff)),
+        ):
+            upsert_latest_partitioned(
+                spark, path, half,
+                key_cols=["user_id", "event_type"],
+                ts_col="ts",
+                partition_col="bucket",
+                arrival_col="event_id",
+            )
+        out = spark.read.parquet(path).select(
+            "user_id", "event_type", "ts", F.col("value").cast("double").alias("value")
+        )
+        # the sink table is deleted on return; sever the plan's file
+        # dependency first
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(f"/tmp/spark_graft_upsert/{run}", ignore_errors=True)
+    return out
