@@ -66,6 +66,8 @@ _FRONT: tuple[str, ...] = (
     "streaming_stateful_latest",
     "streaming_groupstate_latest",
     "upsert_merge_roundtrip",
+    # changed in r3 (eav_to_map rewrite -> LAST_WIN map policy)
+    "eav_pivot",
     "global_top10_orders",
     "shipping_priority_top10",
     "pivot_event_counts",
@@ -92,7 +94,6 @@ _TAIL: tuple[str, ...] = (
     "share_normalize",
     "unit_strip_cast",
     "split_coordinates",
-    "eav_pivot",
     "json_props_extract",
     "timestamp_normalize",
     "time_window_filter",
