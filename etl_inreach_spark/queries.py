@@ -66,8 +66,10 @@ _FRONT: tuple[str, ...] = (
     "streaming_stateful_latest",
     "streaming_groupstate_latest",
     "upsert_merge_roundtrip",
-    # changed in r3 (eav_to_map rewrite -> LAST_WIN map policy)
+    # changed in r3 (eav_to_map rewrite -> LAST_WIN map policy;
+    # unit_strip_cast two-projection regex-once rendering)
     "eav_pivot",
+    "unit_strip_cast",
     "global_top10_orders",
     "shipping_priority_top10",
     "pivot_event_counts",
@@ -92,7 +94,6 @@ _TAIL: tuple[str, ...] = (
     "catalog_row_counts",
     "latest_per_key",
     "share_normalize",
-    "unit_strip_cast",
     "split_coordinates",
     "json_props_extract",
     "timestamp_normalize",

