@@ -371,3 +371,49 @@ def upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(f"/tmp/spark_graft_upsert/{run}", ignore_errors=True)
     return out
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation under the value gate: events
+    drained through readStream -> window(15 min) groupBy -> complete-
+    mode memory sink with availableNow. Complete mode re-emits the
+    full aggregate at the final trigger, so the sink table equals the
+    batch tumbling aggregation exactly — the streaming rendering of
+    tumbling_15min_counts (window().start == the epoch-aligned bucket
+    for widths that divide the hour)."""
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    run = uuid.uuid4().hex[:12]
+    in_dir = f"/tmp/spark_graft_stream/{run}/in"
+    cp_dir = f"/tmp/spark_graft_stream/{run}/cp"
+    ev.select("ts", "event_type").write.mode("overwrite").parquet(in_dir)
+
+    sdf = spark.readStream.schema("ts timestamp, event_type string").parquet(in_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+    table = f"stream_tumble_{run}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
