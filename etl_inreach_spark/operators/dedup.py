@@ -119,3 +119,60 @@ def exact_dedup(df: DataFrame, subset: Sequence[str], keep_min_col: str | None =
     picked = F.min_by(F.struct(*[F.col(c) for c in cols]), F.col(keep_min_col))
     out = df.groupBy(*[F.col(c) for c in subset]).agg(picked.alias("_row"))
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair relation —
+    the pairs -> clusters step every dedup pipeline ends with
+    (canonical representative = min id reachable from each node).
+
+    Iterative min-label propagation: symmetrize the edges, seed each
+    node's label with its own id, then repeatedly take the min of a
+    node's label and its neighbors' labels until a fixpoint. Each
+    round is one shuffle (join on node id + groupBy min) and the round
+    count is bounded by the graph diameter — duplicate-cluster graphs
+    are shallow (near-cliques), so convergence is fast. The iteration
+    is a driver LOOP over DataFrame ops with an eager localCheckpoint
+    per round: the checkpoint cuts the exponentially-growing lineage
+    and the convergence check is a bounded count(). For graphs with
+    genuinely long chains swap the propagation for large-star/
+    small-star (alternating min to root), which contracts diameter
+    logarithmically — same dataflow shape per round.
+
+    Returns (id, component) — every node that appears in ``edges``,
+    labeled with the smallest id in its component.
+    """
+    # materialize the (possibly expensive) edge relation ONCE — every
+    # round and every convergence count re-executes its plan otherwise
+    sym = edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m")).unionByName(
+        edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select("_n").distinct().select(F.col("_n").alias("id"), F.col("_n").alias("component"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels, sym["_m"] == labels["id"])
+            .select(F.col("_n").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(nb)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

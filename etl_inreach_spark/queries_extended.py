@@ -626,3 +626,53 @@ def catalog_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in TABLES
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_DUCK_CLUSTERS = (
+    # AS MATERIALIZED: sym references pairs twice and DuckDB inlines
+    # CTEs by default, which would run the expensive all-pairs Jaccard
+    # twice (~2x oracle wall)
+    "WITH RECURSIVE pairs AS MATERIALIZED (\n"
+    + _DUCK_JACCARD_PAIRS.format(block="AND abs(a.tlen - b.tlen) <= 32")
+    + """
+    ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT a AS id FROM sym
+    ), reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id,
+           CAST(min(b) AS BIGINT) AS component,
+           CAST(count(DISTINCT b) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY a
+    """
+)
+
+
+@query("dedup_clusters", oracle=_DUCK_CLUSTERS)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> CLUSTERS: connected components over the exact
+    near-dup pair relation (same blocked 9-gram Jaccard as
+    near_dup_jaccard), labeling every clustered document with its
+    canonical representative (min doc_id in the component) and the
+    component size. The oracle computes the same components via a
+    recursive transitive closure — feasible because duplicate
+    clusters are tiny; the Spark side is the iterative min-label
+    propagation that scales to corpus-size graphs
+    (operators/dedup.connected_components)."""
+    tune(spark)
+    from etl_inreach_spark.operators.dedup import connected_components
+    from etl_inreach_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", 0.8, length_block=32, shingle_k=9)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
+    )

@@ -97,3 +97,28 @@ def test_exact_dedup_deterministic_survivor(spark):
     )
     got = sorted(map(tuple, exact_dedup(df, ["txt"], keep_min_col="id").collect()))
     assert got == [("x", 2), ("y", 9)]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain a-b-c-d collapses to one component labeled by its min id;
+    a disjoint pair and an untouched node-pair stay separate."""
+    from etl_inreach_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11), (20, 21)], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 20-node path needs multiple propagation rounds (diameter
+    bound) — exercises the fixpoint loop, not just one round."""
+    from etl_inreach_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "id_a bigint, id_b bigint"
+    )
+    rows = connected_components(edges).collect()
+    assert {r["component"] for r in rows} == {1}
+    assert len(rows) == 20
