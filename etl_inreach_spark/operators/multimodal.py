@@ -137,3 +137,41 @@ def sample_frames(
             )
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch image resize over the media struct column — the same
+    Arrow mapInPandas plumbing a real PIL/opencv resize drops into
+    (swap resize_stub for the library call; schema, batching and
+    NULL handling are already production-shaped). Output carries the
+    resized payload plus its dimensions; NULL media yields NULL bytes.
+    """
+    out_schema = f"{id_col} bigint, width int, height int, resized binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf[media_col]
+            resized = [
+                None
+                if m is None
+                else resize_stub(
+                    m["bytes"] if m["bytes"] is not None else b"", width, height
+                )
+                for m in media
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized": resized,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, out_schema)

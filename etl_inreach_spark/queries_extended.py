@@ -676,3 +676,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, "component").select(
         F.col("id").alias("doc_id"), "component", "cluster_size"
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(substr(repeat(text, CAST(ceil(16.0 / length(text)) AS INT)), 1, 16)
+                AS BLOB) AS resized
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing under the value gate: text bytes
+    packed as media, resized 4x4 through the Arrow mapInPandas batch
+    op (stub: payload cycled to width*height bytes — the
+    deterministic stand-in for PIL). The oracle reproduces the cycled
+    BYTES themselves in SQL (pure-ASCII corpus: repeat+substr over
+    text equals the byte cycling), so the whole binary payload is
+    value-hashed, not just summary stats."""
+    tune(spark)
+    from etl_inreach_spark.operators.multimodal import media_struct, resize_images
+
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.select(
+        "doc_id",
+        media_struct(
+            F.concat(F.lit("mem://doc/"), F.col("doc_id")),
+            F.lit("image/x-fake"),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("media"),
+    )
+    return resize_images(with_media, 4, 4)
