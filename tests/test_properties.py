@@ -137,3 +137,43 @@ def test_ngram_jaccard_matches_python_reference(spark, texts):
     }
     want = _brute_jaccard_pairs(docs, 3, 0.6)
     assert got == want
+
+
+edge_list = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_list)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation equals a union-find reference on arbitrary
+    small graphs (cycles, self-merging stars, disjoint islands)."""
+    from etl_inreach_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
