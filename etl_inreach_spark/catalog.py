@@ -46,11 +46,18 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
     import pyarrow.types as pat
 
     if os.path.isdir(path):
-        # Spark-written table: footer schema from any one part file
-        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        # Spark-written table: footer schema from any one part file.
+        # Walk RECURSIVELY — partitioned tables nest part files under
+        # key=value subdirectories, where a top-level listdir sees none.
+        parts = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
         if not parts:
             return ()
-        path = os.path.join(path, sorted(parts)[0])
+        path = parts[0]
     schema = pq.read_schema(path)
     return tuple(
         f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"

@@ -155,6 +155,7 @@ def connected_components(
     labels = (
         sym.select("_n").distinct().select(F.col("_n").alias("id"), F.col("_n").alias("component"))
     ).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iter):
         nb = (
             sym.join(labels, sym["_m"] == labels["id"])
@@ -175,4 +176,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Partially-propagated labels are silently WRONG component ids —
+        # a graph whose diameter exceeds max_iter (long duplicate
+        # chains) must fail loudly, not dedup against bogus canonicals.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the edge graph has "
+            "diameter > max_iter — raise max_iter or use a large-star/"
+            "small-star contraction for log-diameter convergence"
+        )
     return labels

@@ -86,14 +86,28 @@ def extract_features(
 
 
 def resize_stub(payload: bytes, width: int, height: int, fake: bool = True) -> bytes:
-    """Image-resize stand-in. A real implementation is
-    PIL.Image.open(io.BytesIO(payload)).resize((width, height)); here a
-    deterministic fake keeps the plumbing testable: the output is the
-    payload truncated/cycled to width*height bytes."""
+    """Image resize. ``fake=True`` (default in this container, which has
+    no imaging libraries) cycles the payload to width*height bytes — a
+    deterministic stand-in that keeps the Arrow plumbing testable and
+    oracle-checkable. ``fake=False`` decodes the payload with PIL and
+    returns the resized image's grayscale pixel buffer (width*height
+    bytes — same output-size contract as the fake), raising
+    NotImplementedError where PIL is absent. The real path is covered
+    by a skipif-marked test (tests/test_extended.py) that runs
+    automatically wherever PIL exists."""
     if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL — not available in this environment"
-        )
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:
+            raise NotImplementedError(
+                "image resize requires PIL — not available in this environment"
+            )
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((width, height))
+        return img.tobytes()
     if not payload:
         return b"\x00" * (width * height)
     reps = (width * height + len(payload) - 1) // len(payload)
@@ -145,6 +159,7 @@ def resize_images(
     height: int,
     media_col: str = "media",
     id_col: str = "doc_id",
+    fake: bool = True,
 ) -> DataFrame:
     """Batch image resize over the media struct column — the same
     Arrow mapInPandas plumbing a real PIL/opencv resize drops into
@@ -161,7 +176,8 @@ def resize_images(
                 None
                 if m is None
                 else resize_stub(
-                    m["bytes"] if m["bytes"] is not None else b"", width, height
+                    m["bytes"] if m["bytes"] is not None else b"", width, height,
+                    fake=fake,
                 )
                 for m in media
             ]

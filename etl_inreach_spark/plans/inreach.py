@@ -44,8 +44,12 @@ def normalize_shares(shares: DataFrame) -> DataFrame:
 
 def _ts(col: Column) -> Column:
     """KML `when` string -> timestamp; NULL-safe (invalid date analog,
-    SURVEY.md §2.3.6)."""
-    return F.try_to_timestamp(col)
+    SURVEY.md §2.3.6). Same ``new Date()``-grammar parser as the
+    feed-error verdict (sources/kml.js_try_to_timestamp) — a feed KEPT
+    by the error check must never yield NULL times here."""
+    from etl_inreach_spark.sources.kml import js_try_to_timestamp
+
+    return js_try_to_timestamp(col)
 
 
 def placemarks_to_features(placemarks: DataFrame, shares: DataFrame) -> DataFrame:

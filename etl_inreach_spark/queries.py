@@ -46,48 +46,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # forgot to update these lists) lands in the middle, still inside the
 # window as long as the tail stays >= (total - 50) names.
 #
-# Verdict history (r1 = CORRECTNESS_r01, r2 = CORRECTNESS_r02):
-#   _FRONT: sessionize_events FAILED r1+r2 (fixed r3: NTZ normalize);
-#     sliding_1h_user_activity green r1, unchecked+bench-broken r2
-#     (same NTZ fix); seq_pack_*, contamination_check,
-#     repetition_profile never checked (added r2 at idx 59-62);
-#     streaming_stateful_latest new in r3; global_top10_orders ..
-#     sql_revenue_by_nation green r1 but unchecked r2 (idx 50-58);
-#     approx_distinct_users rows-only by design (HLL sketch) — needs
-#     its rows-only row recorded each round.
-#   _TAIL: green in BOTH r1 and r2 (or r2 with unchanged code since).
+# Verdict history (rN = CORRECTNESS_r0N):
+#   Round-4 rotation (staleness bound, VERDICT r3 item 4): a query may
+#   sit outside the window at most 2 consecutive rounds. The 24 names
+#   unverified since r2 split in half: 12 rotate back into the window
+#   now, the other 12 sit at the HEAD of _TAIL (first to re-enter, and
+#   MUST be in the r5 window). Two-round-stable greens (green in both
+#   r2 and r3) rotate out to the tail body.
+#   _FRONT groups, in order: (a) changed this round — the two r3 red
+#   rows, both oracle-rendering fixes (seq_pack_chunks BIGINT cast,
+#   multimodal_resize hex payload); (b) the 12 stale-since-r2 names
+#   rotating back in; (c) r3-first-green names needing a second green
+#   round; (d) the two rows-only sketches (need their rows-only row
+#   recorded each round). New queries added this round stay unlisted:
+#   they land in the middle, inside the window (guarded by
+#   tests/test_registry_order.py window arithmetic).
 _FRONT: tuple[str, ...] = (
-    "sessionize_events",
-    "sliding_1h_user_activity",
+    # (a) changed this round (oracle-rendering fixes + the
+    # js_try_to_timestamp date-grammar widening in sources/kml.py /
+    # plans/inreach.py, which flows through both KML-path queries)
     "seq_pack_chunks",
-    "seq_pack_bins",
-    "contamination_check",
-    "repetition_profile",
-    "streaming_stateful_latest",
-    "streaming_groupstate_latest",
-    "upsert_merge_roundtrip",
-    # changed in r3 (eav_to_map rewrite -> LAST_WIN map policy;
-    # unit_strip_cast two-projection regex-once rendering)
-    "eav_pivot",
-    "unit_strip_cast",
-    "global_top10_orders",
-    "shipping_priority_top10",
-    "pivot_event_counts",
-    "skew_safe_event_counts",
-    "order_stats_summary",
-    "full_outer_nation_activity",
-    "unpivot_order_flags",
-    "sql_revenue_by_nation",
-    "approx_distinct_users",
-)
-_TAIL: tuple[str, ...] = (
-    "text_stats",
-    "lang_id_documents",
-    "doc_fingerprints",
-    "exact_dedup_documents",
-    "embedding_topk",
-    "multimodal_features",
-    "embedding_norms",
+    "multimodal_resize",
+    "kml_pipeline_roundtrip",
+    "streaming_dedup_ids",
+    # (b) stale since r2, rotating back in (first half of old tail)
     "embedding_cosine_dedup",
     "multimodal_frame_sample",
     "cube_pricing",
@@ -100,6 +82,37 @@ _TAIL: tuple[str, ...] = (
     "time_window_filter",
     "string_functions_showcase",
     "broadcast_config_join",
+    # (c) green for the first time in r3 — need a second green round
+    "sessionize_events",
+    "sliding_1h_user_activity",
+    "seq_pack_bins",
+    "contamination_check",
+    "repetition_profile",
+    "streaming_stateful_latest",
+    "streaming_groupstate_latest",
+    "upsert_merge_roundtrip",
+    "global_top10_orders",
+    "shipping_priority_top10",
+    "pivot_event_counts",
+    "skew_safe_event_counts",
+    "order_stats_summary",
+    "full_outer_nation_activity",
+    "unpivot_order_flags",
+    "sql_revenue_by_nation",
+    "mode_ship_month",
+    "order_value_percentiles",
+    "salted_skew_join",
+    "session_window_native",
+    "streaming_tumbling_counts",
+    "dedup_clusters",
+    # (d) rows-only sketches
+    "approx_distinct_users",
+    "approx_order_percentiles",
+)
+_TAIL: tuple[str, ...] = (
+    # held-back half of the stale-since-r2 set — 2 rounds unverified
+    # after r4; MUST rotate into the r5 window (keep at tail head so
+    # they re-enter first if window slots free up)
     "top3_orders_per_customer",
     "semi_join_active_customers",
     "anti_join_inactive_customers",
@@ -112,6 +125,29 @@ _TAIL: tuple[str, ...] = (
     "window_running_stats",
     "tumbling_15min_counts",
     "distinct_users_per_type",
+    # two-round-stable greens (r2 AND r3)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "corr_price_quantity",
+    "date_dim_generate",
+    "doc_fingerprints",
+    "eav_pivot",
+    "embedding_norms",
+    "embedding_topk",
+    "exact_dedup_documents",
+    "grouping_sets_pricing",
+    "hash_split_documents",
+    "kmv_distinct_users",
+    "lang_id_documents",
+    "minhash_lsh_dedup",
+    "multimodal_features",
+    "near_dup_jaccard",
+    "ntile_customer_value",
+    "pricing_summary",
+    "quality_filter_pipeline",
+    "simhash_near_dup",
+    "text_stats",
+    "unit_strip_cast",
 )
 
 

@@ -684,8 +684,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(4 AS INT) AS width,
            CAST(4 AS INT) AS height,
-           CAST(substr(repeat(text, CAST(ceil(16.0 / length(text)) AS INT)), 1, 16)
-                AS BLOB) AS resized
+           hex(CAST(substr(repeat(text, CAST(ceil(16.0 / length(text)) AS INT)), 1, 16)
+                AS BLOB)) AS resized_hex
     FROM documents
     """,
 )
@@ -694,9 +694,13 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed as media, resized 4x4 through the Arrow mapInPandas batch
     op (stub: payload cycled to width*height bytes — the
     deterministic stand-in for PIL). The oracle reproduces the cycled
-    BYTES themselves in SQL (pure-ASCII corpus: repeat+substr over
-    text equals the byte cycling), so the whole binary payload is
-    value-hashed, not just summary stats."""
+    bytes themselves in SQL (pure-ASCII corpus: repeat+substr over
+    text equals the byte cycling), so the whole payload is
+    value-hashed, not just summary stats. The payload crosses the
+    oracle gate HEX-ENCODED on both engines: the driver's pandas
+    canonicalizer cannot sort raw bytearray cells (CORRECTNESS_r03
+    err), so no oracle-gated query may output a BINARY column
+    (guarded by tests/test_registry_order.py)."""
     tune(spark)
     from etl_inreach_spark.operators.multimodal import media_struct, resize_images
 
@@ -709,4 +713,6 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(F.col("text"), "UTF-8"),
         ).alias("media"),
     )
-    return resize_images(with_media, 4, 4)
+    return resize_images(with_media, 4, 4).select(
+        "doc_id", "width", "height", F.hex(F.col("resized")).alias("resized_hex")
+    )

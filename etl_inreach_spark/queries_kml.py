@@ -127,30 +127,37 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("CS-"), F.col("user_id")).alias("callsign"),
         F.lit(None).cast("string").alias("password"),
     )
+    import shutil
+
     run = uuid.uuid4().hex[:12]
-    in_dir = f"/tmp/spark_graft_stream/{run}/in"
-    cp_dir = f"/tmp/spark_graft_stream/{run}/cp"
-    feeds.write.mode("overwrite").parquet(in_dir)
+    base = f"/tmp/spark_graft_stream/{run}"
+    in_dir, cp_dir = f"{base}/in", f"{base}/cp"
+    try:
+        feeds.write.mode("overwrite").parquet(in_dir)
 
-    from etl_inreach_spark.streaming.pipeline import stream_features
+        from etl_inreach_spark.streaming.pipeline import stream_features
 
-    sdf = spark.readStream.schema(feeds.schema).parquet(in_dir)
-    # week-long fixture timelines: a wide watermark keeps every event
-    # inside one dedup horizon so the emitted set is exactly one row
-    # per device before the closing distinct()
-    feat = stream_features(sdf, shares, watermark="365 days")
-    table = f"stream_ids_{run}"
-    q = (
-        feat.select("id")
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .option("checkpointLocation", cp_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(table).distinct()
+        sdf = spark.readStream.schema(feeds.schema).parquet(in_dir)
+        # week-long fixture timelines: a wide watermark keeps every event
+        # inside one dedup horizon so the emitted set is exactly one row
+        # per device before the closing distinct()
+        feat = stream_features(sdf, shares, watermark="365 days")
+        table = f"stream_ids_{run}"
+        q = (
+            feat.select("id")
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # memory-sink table lives in the session; the input+checkpoint
+        # dirs are dead weight once the query terminates
+        return spark.table(table).distinct()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(
@@ -200,40 +207,52 @@ def streaming_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = feat.agg(F.min("time"), F.max("time")).first()
     cutoff = lo + (hi - lo) / 2
 
+    import shutil
+
     run = uuid.uuid4().hex[:12]
     base = f"/tmp/spark_graft_stream/{run}"
     in_dir, cp_dir, state_dir = f"{base}/in", f"{base}/cp", f"{base}/state"
-    os.makedirs(in_dir, exist_ok=True)
-    for i, half in enumerate(
-        (feat.filter(F.col("time") <= F.lit(cutoff)),
-         feat.filter(F.col("time") > F.lit(cutoff)))
-    ):
-        # one file per half => one micro-batch per half under
-        # maxFilesPerTrigger=1; the sleep orders file mtimes so the
-        # source replays halves chronologically (result is argmax-
-        # order-independent anyway; this keeps runs reproducible)
-        half.coalesce(1).write.mode("overwrite").parquet(f"{base}/stage{i}")
-        part = next(
-            f for f in os.listdir(f"{base}/stage{i}") if f.endswith(".parquet")
+    try:
+        os.makedirs(in_dir, exist_ok=True)
+        for i, half in enumerate(
+            (feat.filter(F.col("time") <= F.lit(cutoff)),
+             feat.filter(F.col("time") > F.lit(cutoff)))
+        ):
+            # one file per half => one micro-batch per half under
+            # maxFilesPerTrigger=1; the sleep orders file mtimes so the
+            # source replays halves chronologically (result is argmax-
+            # order-independent anyway; this keeps runs reproducible)
+            half.coalesce(1).write.mode("overwrite").parquet(f"{base}/stage{i}")
+            part = next(
+                f for f in os.listdir(f"{base}/stage{i}") if f.endswith(".parquet")
+            )
+            os.rename(f"{base}/stage{i}/{part}", f"{in_dir}/batch{i}.parquet")
+            _time.sleep(0.05)
+
+        from etl_inreach_spark.streaming.stateful import latest_position_foreachbatch
+
+        sdf = (
+            spark.readStream.schema(feat.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
         )
-        os.rename(f"{base}/stage{i}/{part}", f"{in_dir}/batch{i}.parquet")
-        _time.sleep(0.05)
-
-    from etl_inreach_spark.streaming.stateful import latest_position_foreachbatch
-
-    sdf = (
-        spark.readStream.schema(feat.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    writer = latest_position_foreachbatch(sdf, state_dir, emit=lambda df: df.count())
-    q = (
-        writer.option("checkpointLocation", cp_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(state_dir).select("id", "time", "lon", "lat")
+        writer = latest_position_foreachbatch(sdf, state_dir, emit=lambda df: df.count())
+        q = (
+            writer.option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the result lives in the about-to-be-removed state dir: pin it
+        # in executor storage (eager localCheckpoint, 150 rows) so the
+        # returned DataFrame survives the finally-rmtree
+        return (
+            spark.read.parquet(state_dir)
+            .select("id", "time", "lon", "lat")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(
@@ -276,42 +295,47 @@ def streaming_groupstate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = feat.agg(F.min("time"), F.max("time")).first()
     cutoff = lo + (hi - lo) / 2
 
+    import shutil
+
     run = uuid.uuid4().hex[:12]
     base = f"/tmp/spark_graft_stream/{run}"
     in_dir, cp_dir = f"{base}/in", f"{base}/cp"
-    os.makedirs(in_dir, exist_ok=True)
-    for i, half in enumerate(
-        (feat.filter(F.col("time") <= F.lit(cutoff)),
-         feat.filter(F.col("time") > F.lit(cutoff)))
-    ):
-        half.coalesce(1).write.mode("overwrite").parquet(f"{base}/stage{i}")
-        part = next(
-            f for f in os.listdir(f"{base}/stage{i}") if f.endswith(".parquet")
+    try:
+        os.makedirs(in_dir, exist_ok=True)
+        for i, half in enumerate(
+            (feat.filter(F.col("time") <= F.lit(cutoff)),
+             feat.filter(F.col("time") > F.lit(cutoff)))
+        ):
+            half.coalesce(1).write.mode("overwrite").parquet(f"{base}/stage{i}")
+            part = next(
+                f for f in os.listdir(f"{base}/stage{i}") if f.endswith(".parquet")
+            )
+            os.rename(f"{base}/stage{i}/{part}", f"{in_dir}/batch{i}.parquet")
+            _time.sleep(0.05)
+
+        from etl_inreach_spark.operators.dedup import latest_by_key
+        from etl_inreach_spark.streaming.stateful import latest_position_groupstate
+
+        sdf = (
+            spark.readStream.schema(feat.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
         )
-        os.rename(f"{base}/stage{i}/{part}", f"{in_dir}/batch{i}.parquet")
-        _time.sleep(0.05)
-
-    from etl_inreach_spark.operators.dedup import latest_by_key
-    from etl_inreach_spark.streaming.stateful import latest_position_groupstate
-
-    sdf = (
-        spark.readStream.schema(feat.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
-    table = f"gs_latest_{run}"
-    q = (
-        latest_position_groupstate(sdf)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .option("checkpointLocation", cp_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    emitted = spark.table(table)
-    return latest_by_key(emitted, ["id"], "time").select("id", "time", "lon", "lat")
+        table = f"gs_latest_{run}"
+        q = (
+            latest_position_groupstate(sdf)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(table)
+        return latest_by_key(emitted, ["id"], "time").select("id", "time", "lon", "lat")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(
@@ -393,27 +417,32 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for widths that divide the hour)."""
     import uuid
 
+    import shutil
+
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     run = uuid.uuid4().hex[:12]
-    in_dir = f"/tmp/spark_graft_stream/{run}/in"
-    cp_dir = f"/tmp/spark_graft_stream/{run}/cp"
-    ev.select("ts", "event_type").write.mode("overwrite").parquet(in_dir)
+    base = f"/tmp/spark_graft_stream/{run}"
+    in_dir, cp_dir = f"{base}/in", f"{base}/cp"
+    try:
+        ev.select("ts", "event_type").write.mode("overwrite").parquet(in_dir)
 
-    sdf = spark.readStream.schema("ts timestamp, event_type string").parquet(in_dir)
-    agg = (
-        sdf.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("bucket"), "event_type", "n")
-    )
-    table = f"stream_tumble_{run}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .option("checkpointLocation", cp_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(table)
+        sdf = spark.readStream.schema("ts timestamp, event_type string").parquet(in_dir)
+        agg = (
+            sdf.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("bucket"), "event_type", "n")
+        )
+        table = f"stream_tumble_{run}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(table)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

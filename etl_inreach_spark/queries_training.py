@@ -35,17 +35,21 @@ _PACK_BUCKETS = 16
     WITH t AS (
         SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
     ), o AS (
+        -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT, which the
+        -- driver's pandas canonicalizer renders as float64 ("32.0" vs
+        -- Spark's bigint "32") and the value hash diverges. Pin BIGINT
+        -- here and on every derived column below.
         SELECT doc_id, tok,
-               COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS tok_offset
+                   AS BIGINT) AS tok_offset
         FROM t WHERE tok > 0
     )
     SELECT doc_id, tok AS n_tokens, tok_offset,
-           tok_offset // {_PACK_CAPACITY} AS chunk_start,
-           (tok_offset + tok - 1) // {_PACK_CAPACITY} AS chunk_end,
-           (tok_offset + tok - 1) // {_PACK_CAPACITY}
-             - tok_offset // {_PACK_CAPACITY} + 1 AS n_chunks
+           CAST(tok_offset // {_PACK_CAPACITY} AS BIGINT) AS chunk_start,
+           CAST((tok_offset + tok - 1) // {_PACK_CAPACITY} AS BIGINT) AS chunk_end,
+           CAST((tok_offset + tok - 1) // {_PACK_CAPACITY}
+             - tok_offset // {_PACK_CAPACITY} + 1 AS BIGINT) AS n_chunks
     FROM o
     """,
 )

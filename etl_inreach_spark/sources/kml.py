@@ -17,8 +17,16 @@ missing Course or Velocity key (``undefined.replace`` TypeError,
 task.ts:119-120), missing TimeStamp, or an unparseable ``when``
 (``Invalid Date.toISOString()`` RangeError, task.ts:122-123) — is
 dropped whole too; sibling feeds are unaffected (task.ts:165-168).
-One deliberate divergence: date parseability is judged by Spark's
-``try_to_timestamp`` grammar, not JS ``new Date()``'s.
+
+Date-grammar parity: the reference accepts whatever JS ``new Date()``
+accepts (task.ts:122-123). ``js_try_to_timestamp`` matches that
+grammar for ISO-8601 plus the common non-ISO shapes JS engines accept
+(slash dates, RFC-2822 with/without weekday and zone, US prose dates)
+— all parsed in the session timezone, matching a UTC Lambda's
+local-time interpretation. Residual divergence: ``new Date()``'s full
+grammar is implementation-defined; a shape outside this list is
+dropped here but might be kept by some JS engine (pinned by
+tests/test_kml_pipeline.py::test_js_date_grammar_parity).
 """
 
 from __future__ import annotations
@@ -64,6 +72,39 @@ def parse_kml(body: Column) -> Column:
     return F.from_xml(body, KML_SCHEMA)
 
 
+# Non-ISO shapes JS `new Date()` accepts that Spark's default
+# try_to_timestamp grammar does not (task.ts:122-123 parity). Parsed
+# in the session timezone — same as a UTC-host JS local-time parse.
+JS_EXTRA_TS_PATTERNS = (
+    "yyyy/M/d H:m:s",
+    "yyyy/M/d H:m",
+    "yyyy/M/d",
+    "MMM d, yyyy H:m:s",
+    "MMM d, yyyy",
+    "MMMM d, yyyy H:m:s",
+    "MMMM d, yyyy",
+    # RFC-2822 without weekday; [zzz][xx] accepts "GMT"/"UTC" names
+    # and +0200 / +02:00 offsets alike
+    "d MMM yyyy H:m:s [zzz][xx]",
+)
+
+
+def js_try_to_timestamp(s: Column) -> Column:
+    """``new Date()``-grammar timestamp parse: ISO-8601 first (the
+    shape Garmin actually emits — stays the cheap common path), then
+    the JS-accepted non-ISO fallbacks, then RFC-2822 with its weekday
+    prefix stripped (Spark 4's parser rejects the EEE field outright).
+    NULL when nothing matches — the Invalid Date analog. The fallback
+    chain is pure codegen scalar expressions; coalesce stops at the
+    first hit so well-formed feeds never pay for the long tail."""
+    rfc = F.regexp_replace(s, r"^[A-Za-z]{3},\s*", "")
+    return F.coalesce(
+        F.try_to_timestamp(s),
+        *[F.try_to_timestamp(s, F.lit(p)) for p in JS_EXTRA_TS_PATTERNS],
+        F.try_to_timestamp(rfc, F.lit("d MMM yyyy H:m:s [zzz][xx]")),
+    )
+
+
 def placemark_feed_error(placemarks_arr: Column) -> Column:
     """TRUE when any Point-bearing placemark in the feed's placemark
     array would throw inside the reference's per-share closure and so
@@ -97,7 +138,7 @@ def placemark_feed_error(placemarks_arr: Column) -> Column:
             | ~has_key("Course")
             | ~has_key("Velocity")
             | when_s.isNull()
-            | F.try_to_timestamp(when_s).isNull()
+            | js_try_to_timestamp(when_s).isNull()
         )
 
     return F.coalesce(F.exists(placemarks_arr, throws), F.lit(False))

@@ -247,8 +247,11 @@ def test_resize_stub_and_frame_sampler(spark):
         sample_frames,
     )
 
-    with pytest.raises(NotImplementedError):
-        resize_stub(b"xx", 4, 4, fake=False)
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError):
+            resize_stub(b"xx", 4, 4, fake=False)
     assert len(resize_stub(b"abc", 4, 4)) == 16
     assert resize_stub(b"", 2, 2) == b"\x00" * 4
 
@@ -267,6 +270,43 @@ def test_resize_stub_and_frame_sampler(spark):
     assert set(got) == {(1, 0), (1, 2)}
     assert got[(1, 0)] == (32, (97 * 32) % 997)
     assert got[(1, 2)] == (6, (97 * 6) % 997)
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="PIL not installed in this container — real-decoder path runs wherever it is",
+)
+def test_resize_real_pil_path(spark):
+    """fake=False resize through the SAME mapInPandas plumbing as the
+    stub: a real 8x8 PNG goes in, a width*height grayscale pixel
+    buffer comes out. Skipped where PIL is absent; green wherever the
+    imaging stack exists, proving the stub/real swap is a pure
+    function replacement (operators/multimodal.py resize_stub)."""
+    import io
+
+    from PIL import Image
+
+    from etl_inreach_spark.operators.multimodal import (
+        media_struct,
+        resize_images,
+        resize_stub,
+    )
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=137).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    out = resize_stub(png, 4, 4, fake=False)
+    assert out == b"\x89" * 16  # constant-137 image resizes to itself
+
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    media = df.select(
+        "doc_id",
+        media_struct(F.lit("mem://p"), F.lit("image/png"), F.col("payload")).alias("media"),
+    )
+    rows = resize_images(media, 4, 4, fake=False).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["resized"]) == b"\x89" * 16
 
 
 def test_multimodal_null_media_rows(spark):

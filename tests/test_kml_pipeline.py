@@ -182,6 +182,54 @@ def test_unit_strip_and_convert(result):
     assert a["speed"] == 6.0 * 0.277778
 
 
+def test_js_date_grammar_parity(spark):
+    """task.ts:122-123 accepts whatever JS `new Date()` accepts. Feeds
+    whose `when` uses the common JS-parsable non-ISO shapes must be
+    KEPT (with the correctly parsed instant); a shape no JS engine
+    parses must still drop its whole feed. Pins the divergence noted
+    in sources/kml.py's docstring — fails if it silently widens."""
+    import datetime
+
+    js_whens = {
+        "J01": ("2026/08/13 10:00", datetime.datetime(2026, 8, 13, 10, 0)),
+        "J02": ("2026/8/3", datetime.datetime(2026, 8, 3)),
+        "J03": (
+            "Wed, 13 Aug 2026 10:00:00 GMT",
+            datetime.datetime(2026, 8, 13, 10, 0),
+        ),
+        "J04": (
+            "13 Aug 2026 10:00:00 +0200",
+            datetime.datetime(2026, 8, 13, 8, 0),
+        ),
+        "J05": ("Aug 13, 2026 10:00:00", datetime.datetime(2026, 8, 13, 10, 0)),
+    }
+    feeds = [
+        Row(
+            share_id=sid,
+            body=kml_doc(
+                pm(
+                    when=w,
+                    coords="1.0,2.0",
+                    IMEI=sid,
+                    Course="1.0 ° True",
+                    Velocity="3.6 km/h",
+                )
+            ),
+        )
+        for sid, (w, _) in js_whens.items()
+    ] + [Row(share_id="JBAD", body=BAD_DATE_FEED)]
+    shares = spark.createDataFrame(
+        [Row(share_id=s, callsign=s, password=None) for s in [*js_whens, "JBAD"]],
+        "share_id string, callsign string, password string",
+    )
+    rows = inreach_pipeline(
+        shares, spark.createDataFrame(feeds, "share_id string, body string")
+    ).collect()
+    got = {r["share_id"]: r["time"] for r in rows}
+    want = {sid: ts for sid, (_, ts) in js_whens.items()}
+    assert got == want  # JBAD dropped; every JS shape kept, instant exact
+
+
 def test_placemark_arrival_order(spark):
     feeds = spark.createDataFrame([Row(share_id="AAA", body=GOOD_FEED)], "share_id string, body string")
     pms = kml_to_placemarks(feeds).collect()

@@ -57,6 +57,64 @@ def normalize_cell(v):
     return v
 
 
+def pandas_rows(pdf):
+    """Convert a pandas DataFrame to (cols, python-scalar rows).
+
+    BOTH engines go through pandas here, mimicking the driver's
+    canonicalizer — this is what surfaces DuckDB HUGEINT -> float64
+    coercion (CORRECTNESS_r03 seq_pack_chunks) that a raw fetchall()
+    hides, and NULL-int -> NaN widening symmetrically on both sides.
+    """
+    import datetime as _dt
+
+    import numpy as np
+
+    def to_py(v):
+        if v is None:
+            return None
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, np.ndarray):
+            return tuple(to_py(x) for x in v.tolist())
+        try:
+            import pandas as pd
+
+            if v is pd.NaT:
+                return None
+        except Exception:  # noqa: BLE001
+            pass
+        # pandas-land erases the NULL/NaN distinction (NULL ints and
+        # strings surface as NaN) — the driver sees the same, so a NaN
+        # IS a NULL on this path (r3-green eav_pivot pins this).
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        # DATE columns: Spark/Arrow yields datetime.date objects, the
+        # DuckDB .df() path datetime64 at midnight. The driver passed
+        # pure-DATE outputs in r3 (date_dim_generate), so canonicalize
+        # both to the midnight datetime.
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return _dt.datetime(v.year, v.month, v.day)
+        return v
+
+    cols = list(pdf.columns)
+    rows = [
+        tuple(to_py(v) for v in tup)
+        for tup in pdf.itertuples(index=False, name=None)
+    ]
+    return cols, rows
+
+
+def find_binary_cell(rows):
+    """The driver canonicalizer CRASHES sorting bytearray cells
+    (CORRECTNESS_r03 multimodal_resize err). No oracle-gated query may
+    emit a binary column; report the first offending cell."""
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, (bytes, bytearray)):
+                return i
+    return None
+
+
 def _sort_cell_key(x):
     """Row-alignment sort key. Floats collapse to 9 significant digits
     so cross-engine ULP differences sort IDENTICALLY on both sides —
@@ -77,6 +135,13 @@ def sorted_rows(cols, rows):
 
 def compare(name, spark_cols, spark_rows, duck_cols, duck_rows) -> list[str]:
     problems = []
+    for side, rows, cols in (("spark", spark_rows, spark_cols), ("duck", duck_rows, duck_cols)):
+        bi = find_binary_cell(rows)
+        if bi is not None:
+            problems.append(
+                f"BINARY cell in {side} column '{cols[bi]}' — the driver "
+                "canonicalizer crashes on bytearray; emit hex(...) instead"
+            )
     if len(spark_rows) != len(duck_rows):
         problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
     sc = sorted(c.lower() for c in spark_cols)
@@ -161,8 +226,7 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            spark_cols = df.columns
-            spark_rows = [tuple(r) for r in df.collect()]
+            spark_cols, spark_rows = pandas_rows(df.toPandas())
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
@@ -175,8 +239,7 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_cols, duck_rows = pandas_rows(res.df())
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
