@@ -69,6 +69,9 @@ _FRONT: tuple[str, ...] = (
     "multimodal_resize",
     "kml_pipeline_roundtrip",
     "streaming_dedup_ids",
+    # shingle-materialization perf change (operators/text_dedup.py)
+    "near_dup_jaccard",
+    "minhash_lsh_dedup",
     # (b) stale since r2, rotating back in (first half of old tail)
     "embedding_cosine_dedup",
     "multimodal_frame_sample",
@@ -139,9 +142,7 @@ _TAIL: tuple[str, ...] = (
     "hash_split_documents",
     "kmv_distinct_users",
     "lang_id_documents",
-    "minhash_lsh_dedup",
     "multimodal_features",
-    "near_dup_jaccard",
     "ntile_customer_value",
     "pricing_summary",
     "quality_filter_pipeline",

@@ -716,3 +716,192 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(with_media, 4, 4).select(
         "doc_id", "width", "height", F.hex(F.col("resized")).alias("resized_hex")
     )
+
+
+@query(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM m a JOIN m b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT x AS part_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY part_id
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the part CO-PURCHASE graph
+    (parts sharing an order — the classic triangle-counting domain).
+    The bucket is the order key, whose fan-out is bounded by lineitems
+    per order (<= 7 in TPC-H-shaped data), so edge count grows
+    LINEARLY with orders while node count grows with parts — graph
+    density falls as data scales, unlike a user/time co-occurrence
+    graph which densifies toward a clique (an earlier rendering of
+    this query OOMed at sf0.1 exactly that way). The Spark side runs
+    the degree-ORIENTED two-path join (operators/graph.py —
+    O(|E|^1.5) two-path volume, hub-safe); the oracle runs the plain
+    id-ordered closure, which finds the same triangles because every
+    triangle has exactly one acyclic orientation under any total
+    order."""
+    tune(spark)
+    from etl_inreach_spark.operators.graph import cooccurrence_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(m, "l_partkey", ("l_orderkey",))
+    return triangle_counts(edges, node_alias="part_id", orient_by_degree=True)
+
+
+@query(
+    "vocab_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+        FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS term_freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM toks
+    GROUP BY term
+    ORDER BY term_freq DESC, term ASC
+    LIMIT 200
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-200 terms by total frequency
+    (deterministic tie-break on the term itself), with document
+    frequency. explode + two-level hash agg (partial-agg friendly,
+    shuffle ~ |vocab|); the global top-k plans as
+    TakeOrderedAndProject (per-partition top-200 + driver merge), so
+    no full sort ever materializes — the vocabulary-build shape a
+    tokenizer-training pipeline runs at corpus scale."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), F.col("term").asc())
+        .limit(200)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ), idf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           tf * (CAST(n_docs AS DOUBLE) / df) AS score
+    FROM (
+        SELECT doc_id, term, tf, df, n_docs,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC, term ASC
+               ) AS rn
+        FROM tf JOIN idf USING (term) CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document with the LINEAR idf variant
+    (score = tf * N/df): one IEEE division + one multiply, both
+    correctly rounded, so Spark and DuckDB agree bit-for-bit — a log
+    idf would hash-diverge on libm ULPs. Shape: two hash aggs (tf,
+    df), a broadcast-able |vocab|-sized join back, a broadcast 1-row
+    corpus count, and a per-doc top-k window (doc-bounded
+    partitions). The per-(doc, term) relation is the scale carrier
+    (~tokens), everything downstream is smaller."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+    ), sc AS (
+        SELECT vec_id, MAX(abs(x)) AS scale FROM el GROUP BY vec_id
+    )
+    SELECT el.vec_id, dim,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE CASE WHEN x < 0 THEN -floor(abs(x) / scale * 127 + 0.5)
+                          ELSE floor(abs(x) / scale * 127 + 0.5) END
+                END AS BIGINT) AS q,
+           scale
+    FROM el JOIN sc ON el.vec_id = sc.vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale, q in [-127, 127]) — the storage/ANN compression step
+    of an embedding pipeline, value-checked per ELEMENT. Rounding is
+    spelled sign * floor(|x|/scale * 127 + 0.5): floor, abs, IEEE
+    divide and multiply are all correctly rounded and identical across
+    engines, where a builtin round() would hinge on each engine's
+    tie policy. Shape: posexplode to a tall (vec, dim, x) relation
+    (the scale carrier), one partial-agg groupBy for scales, one
+    |vectors|-sized join back — no HOFs in the hot path, fully
+    codegen."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "_x")
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"),
+             F.col("_x").cast("double").alias("x"))
+    sc = el.groupBy("vec_id").agg(F.max(F.abs(F.col("x"))).alias("scale"))
+    mag = F.floor(F.abs(F.col("x")) / F.col("scale") * 127 + F.lit(0.5))
+    q = (
+        F.when(F.col("scale") == 0, F.lit(0))
+        .when(F.col("x") < 0, -mag)
+        .otherwise(mag)
+        .cast("bigint")
+    )
+    return el.join(sc, "vec_id").select("vec_id", "dim", q.alias("q"), "scale")

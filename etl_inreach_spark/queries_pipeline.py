@@ -300,3 +300,33 @@ def date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekday("d").cast("int").alias("weekday"),
         (F.weekday("d") >= 5).alias("is_weekend"),
     )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 buckets of 25k, last
+    bucket open-ended): the profiling primitive behind range
+    partitioning and skew diagnosis. Pure arithmetic bucketing (floor
+    of an IEEE division — identical on both engines) + one hash agg
+    with partial aggregation; sums travel as DECIMAL for
+    order-insensitive exactness."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("bigint")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -941,3 +941,67 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id, t_view, t_click, t_purchase,
+           CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                     WHEN t_click IS NOT NULL THEN 2
+                     WHEN t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS reached
+    FROM u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase) per user: each step's
+    timestamp is the earliest event of that type STRICTLY AFTER the
+    previous step (ties don't advance the funnel). Three filtered
+    min-aggregations chained by user_id equi-joins — each step's scan
+    pushes its event_type predicate into the source, every shuffle is
+    keyed on user_id and carries one row per user, so at 100 TB the
+    cost is three pruned scans + |users|-sized joins. The standard
+    product-analytics primitive the reference's event stream invites."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def step(event_type: str, after: DataFrame | None, prev_col: str | None, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if after is not None:
+            e = e.join(after, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = step("view", None, None, "t_view")
+    c = step("click", v, "t_view", "t_click")
+    p = step("purchase", c, "t_click", "t_purchase")
+    users = ev.select("user_id").distinct()
+    reached = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .when(F.col("t_view").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", reached.alias("reached"))
+    )

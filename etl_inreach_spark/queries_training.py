@@ -111,6 +111,44 @@ def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_CAP = 128
+_CHUNK_STRIDE = 96
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ts
+        FROM documents
+    ), s AS (
+        SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM t WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_CAP}, n - i * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+           array_to_string(
+               ts[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_CAP}], ' '
+           ) AS chunk_text
+    FROM s, unnest(generate_series(0, (n - 1) // {_CHUNK_STRIDE})) AS u(i)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: whitespace tokens windowed into
+    128-token chunks every 96 tokens (32-token overlap), full chunk
+    TEXT value-checked. Shuffle-free narrow plan — each row's chunks
+    derive from that row alone (operators/chunking.py)."""
+    tune(spark)
+    from etl_inreach_spark.operators.chunking import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(
+        d, "doc_id", "text", capacity=_CHUNK_CAP, stride=_CHUNK_STRIDE
+    )
+
+
 def _contamination_oracle() -> str:
     from etl_inreach_spark.operators.text_dedup import poly_gram_hash60_sql
 

@@ -29,6 +29,14 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's runtime broadcast decision uses ACTUAL materialized shuffle
+    # sizes (not estimates), so raising it is size-adaptive by
+    # construction: a 20 MB edge set broadcasts (triangle counting's
+    # closing-edge join stops shuffling its 70M two-path rows,
+    # 8.3 -> ~5.5 s at sf0.1), a 100 TB-scale relation never qualifies
+    # and keeps the shuffle join. The static (planning-time) threshold
+    # stays at its default — only runtime-proven sizes get the upgrade.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     # Arrow batches for the few pandas-UDF operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # MIN/MAX/COUNT answered from parquet footer statistics when the

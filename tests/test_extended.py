@@ -325,3 +325,40 @@ def test_multimodal_null_media_rows(spark):
     assert feats[2]["mime"] is None and feats[2]["n_bytes"] is None
     frames = sample_frames(df).collect()
     assert {r["doc_id"] for r in frames} == {1}
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    """Degree orientation must find exactly the id-order triangles —
+    every triangle has one acyclic orientation under any total order.
+    Graph: square 1-2-3-4 with diagonal 1-3 (two triangles sharing
+    edge 1-3) plus hub 5 connected to 1,2,3 (adds 3 more: via edges
+    1-2, 2-3, and the diagonal 1-3)."""
+    from etl_inreach_spark.operators.graph import triangle_counts, triangles
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3), (1, 5), (2, 5), (3, 5)],
+        "u long, v long",
+    )
+    want = {(1, 2, 3), (1, 3, 4), (1, 2, 5), (2, 3, 5), (1, 3, 5)}
+    for orient in (False, True):
+        got = {
+            tuple(sorted((r["x"], r["y"], r["z"])))
+            for r in triangles(edges, orient_by_degree=orient).collect()
+        }
+        assert got == want, orient
+    counts = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()
+    }
+    assert counts == {1: 4, 2: 3, 3: 4, 4: 1, 5: 3}
+
+
+def test_cooccurrence_edges_bucketed(spark):
+    from etl_inreach_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [("b1", 1), ("b1", 2), ("b1", 3), ("b2", 3), ("b2", 4), ("b3", 5)],
+        "bucket string, node long",
+    )
+    got = {(r["u"], r["v"]) for r in cooccurrence_edges(df, "node", ("bucket",)).collect()}
+    # pairs only WITHIN a bucket; singleton bucket b3 contributes none
+    assert got == {(1, 2), (1, 3), (2, 3), (3, 4)}

@@ -294,3 +294,57 @@ class TestSimhashLaneOverflow:
         chunked = sorted(map(tuple, td.simhash_sketch(mk(True), bits=self.BITS).collect()))
         single = sorted(map(tuple, td.simhash_sketch(mk(False), bits=self.BITS).collect()))
         assert chunked == single
+
+
+class TestChunking:
+    def test_chunk_shapes_and_overlap(self, spark):
+        from etl_inreach_spark.operators.chunking import chunk_tokens
+
+        # 10 tokens, capacity 4, stride 3 -> starts 0,3,6,9
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            (r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_tokens(df, "doc_id", "text", capacity=4, stride=3).collect()
+        )
+        assert rows == [
+            (0, 0, 4, "t0 t1 t2 t3"),
+            (1, 3, 4, "t3 t4 t5 t6"),
+            (2, 6, 4, "t6 t7 t8 t9"),
+            (3, 9, 1, "t9"),
+        ]
+
+    def test_chunk_empty_and_whitespace_docs(self, spark):
+        from etl_inreach_spark.operators.chunking import chunk_tokens
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one")], "doc_id long, text string"
+        )
+        rows = chunk_tokens(df, "doc_id", "text").collect()
+        assert [(r["doc_id"], r["n_tokens"], r["chunk_text"]) for r in rows] == [
+            (3, 1, "one")
+        ]
+
+    def test_chunk_gap_stride_larger_than_capacity(self, spark):
+        """stride > capacity = sampled (non-covering) windows; token
+        counts must still clamp to capacity, never negative."""
+        from etl_inreach_spark.operators.chunking import chunk_tokens
+
+        text = " ".join(f"t{i}" for i in range(7))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            (r["start_tok"], r["n_tokens"])
+            for r in chunk_tokens(df, "doc_id", "text", capacity=2, stride=5).collect()
+        )
+        assert rows == [(0, 2), (5, 2)]
+
+    def test_chunk_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from etl_inreach_spark.operators.chunking import chunk_tokens
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_tokens(df, "doc_id", "text", capacity=0)
+        with _pytest.raises(ValueError):
+            chunk_tokens(df, "doc_id", "text", stride=0)
