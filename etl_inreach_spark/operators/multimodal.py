@@ -85,6 +85,24 @@ def extract_features(
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
 
 
+_PIL_IMAGE = None  # resolved once per process; resize_stub runs per ROW
+
+
+def _pil_image_cls():
+    """PIL.Image, resolved and cached at first use. resize_stub sits
+    inside the mapInPandas per-row loop — a find_spec() walk of
+    sys.meta_path per image would dominate small payloads."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is None:
+        try:
+            from PIL import Image
+        except ImportError:
+            _PIL_IMAGE = False
+        else:
+            _PIL_IMAGE = Image
+    return _PIL_IMAGE
+
+
 def resize_stub(payload: bytes, width: int, height: int, fake: bool = True) -> bytes:
     """Image resize. ``fake=True`` (default in this container, which has
     no imaging libraries) cycles the payload to width*height bytes — a
@@ -96,16 +114,13 @@ def resize_stub(payload: bytes, width: int, height: int, fake: bool = True) -> b
     by a skipif-marked test (tests/test_extended.py) that runs
     automatically wherever PIL exists."""
     if not fake:
-        import importlib.util
+        import io
 
-        if importlib.util.find_spec("PIL") is None:
+        Image = _pil_image_cls()
+        if Image is False:
             raise NotImplementedError(
                 "image resize requires PIL — not available in this environment"
             )
-        import io
-
-        from PIL import Image
-
         img = Image.open(io.BytesIO(payload)).convert("L").resize((width, height))
         return img.tobytes()
     if not payload:

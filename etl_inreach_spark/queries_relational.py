@@ -943,6 +943,33 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_steps(ev: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """Ordered-funnel core, shared by the query and its semantics
+    test: for each step, the earliest event of that type STRICTLY
+    AFTER the previous step's timestamp (ties don't advance). Output:
+    user_id, t_<step> per step, reached (0..len(steps))."""
+
+    def one(event_type: str, after: DataFrame | None, prev_col: str | None, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if after is not None:
+            e = e.join(after, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    cols = [f"t_{s}" for s in steps]
+    dfs: list[DataFrame] = []
+    for i, s in enumerate(steps):
+        dfs.append(one(s, dfs[i - 1] if i else None, cols[i - 1] if i else None, cols[i]))
+    out = ev.select("user_id").distinct()
+    for d in dfs:
+        out = out.join(d, "user_id", "left")
+    reached = F.lit(0)
+    for i, c in enumerate(cols):
+        reached = F.when(F.col(c).isNotNull(), F.lit(i + 1)).otherwise(reached)
+    return out.select(
+        "user_id", *cols, reached.cast("bigint").alias("reached")
+    )
+
+
 @query(
     "funnel_conversion",
     oracle="""
@@ -981,27 +1008,4 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-analytics primitive the reference's event stream invites."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-
-    def step(event_type: str, after: DataFrame | None, prev_col: str | None, out: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == event_type)
-        if after is not None:
-            e = e.join(after, "user_id").filter(F.col("ts") > F.col(prev_col))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out))
-
-    v = step("view", None, None, "t_view")
-    c = step("click", v, "t_view", "t_click")
-    p = step("purchase", c, "t_click", "t_purchase")
-    users = ev.select("user_id").distinct()
-    reached = (
-        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
-        .when(F.col("t_click").isNotNull(), F.lit(2))
-        .when(F.col("t_view").isNotNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-    )
-    return (
-        users.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select("user_id", "t_view", "t_click", "t_purchase", reached.alias("reached"))
-    )
+    return funnel_steps(ev, ("view", "click", "purchase"))

@@ -80,12 +80,26 @@ JS_EXTRA_TS_PATTERNS = (
     "yyyy/M/d H:m",
     "yyyy/M/d",
     "MMM d, yyyy H:m:s",
+    "MMM d, yyyy H:m",
     "MMM d, yyyy",
     "MMMM d, yyyy H:m:s",
+    "MMMM d, yyyy H:m",
     "MMMM d, yyyy",
-    # RFC-2822 without weekday; [zzz][xx] accepts "GMT"/"UTC" names
-    # and +0200 / +02:00 offsets alike
-    "d MMM yyyy H:m:s [zzz][xx]",
+    # RFC-2822 without weekday: seconds optional per the RFC, zone
+    # name ("GMT"/"UTC") or offset (+0200 / +02:00) optional too. The
+    # leading space lives INSIDE each optional section — a space
+    # before `[` would be mandatory and reject the zone-less form.
+    "d MMM yyyy H:m:s[ zzz][ xx]",
+    "d MMM yyyy H:m[ zzz][ xx]",
+    "d MMM yyyy",
+)
+
+# RFC-2822 *with* weekday is parsed by stripping the "EEE, " prefix
+# first (Spark 4's parser rejects the EEE field outright); these are
+# the patterns the stripped form retries.
+_RFC_NO_WEEKDAY_PATTERNS = (
+    "d MMM yyyy H:m:s[ zzz][ xx]",
+    "d MMM yyyy H:m[ zzz][ xx]",
 )
 
 
@@ -101,7 +115,7 @@ def js_try_to_timestamp(s: Column) -> Column:
     return F.coalesce(
         F.try_to_timestamp(s),
         *[F.try_to_timestamp(s, F.lit(p)) for p in JS_EXTRA_TS_PATTERNS],
-        F.try_to_timestamp(rfc, F.lit("d MMM yyyy H:m:s [zzz][xx]")),
+        *[F.try_to_timestamp(rfc, F.lit(p)) for p in _RFC_NO_WEEKDAY_PATTERNS],
     )
 
 

@@ -202,6 +202,18 @@ def test_js_date_grammar_parity(spark):
             datetime.datetime(2026, 8, 13, 8, 0),
         ),
         "J05": ("Aug 13, 2026 10:00:00", datetime.datetime(2026, 8, 13, 10, 0)),
+        # zone-less / seconds-less / date-only forms JS also accepts
+        # (round-4 review: the first pattern set rejected all three)
+        "J06": (
+            "Wed, 13 Aug 2026 10:00:00",
+            datetime.datetime(2026, 8, 13, 10, 0),
+        ),
+        "J07": (
+            "Thu, 13 Aug 2026 10:00 GMT",
+            datetime.datetime(2026, 8, 13, 10, 0),
+        ),
+        "J08": ("Aug 13, 2026 10:00", datetime.datetime(2026, 8, 13, 10, 0)),
+        "J09": ("13 Aug 2026", datetime.datetime(2026, 8, 13)),
     }
     feeds = [
         Row(

@@ -15,12 +15,22 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def analyzed(spark):
+    import os
+
+    # Disable eager localCheckpoint barriers: a checkpoint truncates
+    # lineage to Scan ExistingRDD, which would HIDE the materialized
+    # subtree (shingle pipelines) from the audits below — and execute
+    # real jobs during what should be plan inspection.
+    os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
     out = {}
-    for name, fn in all_queries().items():
-        if name.startswith("streaming"):
-            continue  # streaming fixtures drain checkpoints; covered elsewhere
-        df = fn(spark, SF_DIR)
-        out[name] = (df.schema, df._jdf.queryExecution().executedPlan().toString())
+    try:
+        for name, fn in all_queries().items():
+            if name.startswith("streaming"):
+                continue  # streaming fixtures drain checkpoints; covered elsewhere
+            df = fn(spark, SF_DIR)
+            out[name] = (df.schema, df._jdf.queryExecution().executedPlan().toString())
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_MATERIALIZE", None)
     return out
 
 

@@ -143,12 +143,12 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
 def test_funnel_strictly_after_semantics(spark):
     """A later-step event at EXACTLY the previous step's timestamp
-    must not advance the funnel (strict > in funnel_conversion)."""
+    must not advance the funnel (strict > in funnel_steps — the SAME
+    code funnel_conversion runs, so a semantics change there fails
+    here)."""
     import datetime
 
-    from etl_inreach_spark.queries_relational import funnel_conversion  # noqa: F401  (registry import side effect)
-    from etl_inreach_spark import queries_relational as QR
-    from pyspark.sql import functions as F
+    from etl_inreach_spark.queries_relational import funnel_steps
 
     t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
     t1 = datetime.datetime(2024, 1, 1, 11, 0, 0)
@@ -157,31 +157,16 @@ def test_funnel_strictly_after_semantics(spark):
         (1, t0, 1, "view"), (2, t0, 1, "click"), (3, t1, 1, "purchase"),
         # user 2: view@t0, click@t1 -> reaches 2
         (4, t0, 2, "view"), (5, t1, 2, "click"),
-        # user 3: click before any view -> reaches 0 then 1 at t1
+        # user 3: click before any view -> reaches 1 (view@t1 only)
         (6, t0, 3, "click"), (7, t1, 3, "view"),
     ]
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string"
     )
-
-    # run the same step logic the query uses, against the fixture
-    def step(event_type, after, prev_col, out):
-        e = ev.filter(F.col("event_type") == event_type)
-        if after is not None:
-            e = e.join(after, "user_id").filter(F.col("ts") > F.col(prev_col))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out))
-
-    v = step("view", None, None, "t_view")
-    c = step("click", v, "t_view", "t_click")
-    p = step("purchase", c, "t_click", "t_purchase")
-    users = ev.select("user_id").distinct()
     out = {
-        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
-        for r in users.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .collect()
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"], r["reached"])
+        for r in funnel_steps(ev, ("view", "click", "purchase")).collect()
     }
-    assert out[1] == (t0, None, None)  # tie click didn't advance; purchase needs click
-    assert out[2] == (t0, t1, None)
-    assert out[3] == (t1, None, None)  # click before first view ignored
+    assert out[1] == (t0, None, None, 1)  # tie click didn't advance; purchase needs click
+    assert out[2] == (t0, t1, None, 2)
+    assert out[3] == (t1, None, None, 1)  # click before first view ignored

@@ -348,3 +348,19 @@ class TestChunking:
             chunk_tokens(df, "doc_id", "text", capacity=0)
         with _pytest.raises(ValueError):
             chunk_tokens(df, "doc_id", "text", stride=0)
+
+    def test_single_tokenization_in_plan(self, spark):
+        """Catalyst substitutes multiply-referenced aliases into every
+        consumer (round-3 from_xml lesson); the lambda-bind in
+        chunk_tokens must keep the expensive split+filter tokenization
+        at EXACTLY one occurrence in the optimized plan."""
+        from etl_inreach_spark.operators.chunking import chunk_tokens
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            chunk_tokens(df, "doc_id", "text")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("split(text") == 1, plan
