@@ -181,6 +181,7 @@ def _load_all() -> None:
     # unconditional: a broken query module must fail LOUDLY, not
     # silently shrink the correctness surface the driver checks
     from etl_inreach_spark import (  # noqa: F401
+        queries_curation,
         queries_extended,
         queries_kml,
         queries_pipeline,

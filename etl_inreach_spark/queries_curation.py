@@ -1,0 +1,310 @@
+"""Corpus-curation queries: C4-style duplicate-span removal,
+deterministic sampling (stratified rates + per-stratum reservoir),
+training-mixture reweighting, and a Python UDTF surface query — the
+corpus-shaping stage of an LLM data pipeline, each value-oracled
+against DuckDB.
+
+Determinism discipline: every "random" choice here is a pure integer
+function of the row key (a Knuth multiplicative hash in 64-bit
+arithmetic), so sampling decisions are reproducible on any cluster,
+any partitioning — and renderable 1:1 in the DuckDB oracle. For
+production corpora with 64-bit doc ids, swap the multiplicative hash
+for xxhash64(doc_id) (same plan shape; the oracle-side rendering is
+what forces the LCG here, since DuckDB's hash() differs from Spark's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.queries import query
+from etl_inreach_spark.session import tune
+
+# Portable whitespace tokenization (same rendering as queries_training).
+_DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+# Knuth multiplicative hash, pure BIGINT arithmetic in both engines.
+# Valid (overflow-free) for keys < 2^31 — fine for the synthetic
+# doc_id space; see module docstring for the 100 TB variant.
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296  # 2^32
+
+_SEG_LEN = 10  # tokens per dedup segment (C4 removes ~3-sentence spans)
+
+
+def _sample_hash(key: F.Column) -> F.Column:
+    return (key * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+
+
+@query(
+    "segment_dedup_rebuild",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CAST(ceil(len(toks) / {_SEG_LEN}.0) AS BIGINT) - 1)) AS seg_idx
+        FROM t WHERE len(toks) > 0
+    ), seg AS (
+        SELECT doc_id, seg_idx,
+               array_to_string(
+                   toks[(seg_idx * {_SEG_LEN} + 1):(seg_idx * {_SEG_LEN} + {_SEG_LEN})],
+                   ' ') AS seg_text
+        FROM s
+    ), k AS (
+        SELECT doc_id, seg_idx, seg_text,
+               (doc_id * 2048 + seg_idx) =
+                   MIN(doc_id * 2048 + seg_idx) OVER (PARTITION BY seg_text)
+                   AS keep
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN seg_text END, ' '
+                               ORDER BY seg_idx), '') AS cleaned_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal: split every document into
+    consecutive 10-token segments, drop every corpus-wide repeat of a
+    segment except its first occurrence (global (doc_id, seg_idx)
+    order), and reassemble the surviving text per document.
+
+    Scale shape: one shuffle keyed on segment content for the
+    keep-first argmin (min-over-window, no sort), one shuffle on
+    doc_id for the rebuild. At 100 TB the window key should be
+    xxhash64(seg_text) (fixed-width) with the string carried alongside;
+    semantics identical modulo 64-bit collisions.
+    """
+    tune(spark)
+    from etl_inreach_spark.functions.text import tokens
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    seg = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("toks") / F.lit(float(_SEG_LEN))).cast("bigint")
+                    - F.lit(1),
+                ),
+                lambda s: F.array_join(
+                    F.slice(F.col("toks"), s * _SEG_LEN + 1, F.lit(_SEG_LEN)), " "
+                ),
+            )
+        ).alias("seg_idx", "seg_text"),
+    )
+    order_key = F.col("doc_id") * F.lit(2048) + F.col("seg_idx")
+    keep = order_key == F.min(order_key).over(Window.partitionBy("seg_text"))
+    return (
+        seg.withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("seg_idx", "seg_text"))
+                        )
+                    ),
+                    lambda x: x.seg_text,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_documents",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           (doc_id * {_HASH_MULT}) % {_HASH_MOD} AS sample_hash
+    FROM documents
+    WHERE (doc_id * {_HASH_MULT}) % {_HASH_MOD} <
+          CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+               THEN {_HASH_MOD // 4} ELSE {(_HASH_MOD // 4) * 3} END
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep rates
+    (even-numbered sources 25%, odd 75%) decided by a pure integer
+    hash of doc_id against an integer threshold — no RNG, no state,
+    reproducible under any partitioning. The filter is a narrow
+    per-row predicate (no shuffle); at scale it composes with
+    partition pruning when the stratum is a partition column."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = _sample_hash(F.col("doc_id"))
+    thresh = F.when(
+        F.substring("source", 4, 10).cast("integer") % 2 == 0,
+        F.lit(_HASH_MOD // 4),
+    ).otherwise(F.lit((_HASH_MOD // 4) * 3))
+    return d.select(
+        "doc_id", "lang", "source", h.alias("sample_hash")
+    ).filter(F.col("sample_hash") < thresh)
+
+
+@query(
+    "reservoir_sample_per_source",
+    oracle=f"""
+    SELECT doc_id, source, sample_rank FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * {_HASH_MULT}) % {_HASH_MOD}, doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 5
+    """,
+)
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample without replacement per stratum
+    (k=5 docs per source): rank rows by the deterministic hash and
+    keep the k smallest — the distributed, reproducible equivalent of
+    per-key reservoir sampling. One shuffle on the stratum key; the
+    rank filter cuts each partition to k rows before the next stage
+    (WindowGroupLimit pushes the top-k into the sort at scale)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        _sample_hash(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )
+
+
+@query(
+    "domain_mix_weights",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+           least(1.0, (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens)
+               AS mix_weight,
+           least(1.0, (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens)
+               * n_tokens AS expected_tokens
+    FROM tot
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source token counts and the
+    downsampling weight that moves the corpus toward a uniform
+    per-source token budget (weight = min(1, target_share/actual),
+    oversampling disallowed). The global total is a window over the
+    already-aggregated 20-row relation — the single-partition window
+    is on post-agg data, never the raw corpus."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w).cast("bigint")
+    n_sources = F.count(F.lit(1)).over(w).cast("bigint")
+    share = F.col("n_tokens").cast("double") / total
+    weight = F.least(
+        F.lit(1.0), (total.cast("double") / n_sources) / F.col("n_tokens")
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        weight.alias("mix_weight"),
+        (weight * F.col("n_tokens")).alias("expected_tokens"),
+    )
+
+
+@query(
+    "udtf_token_runs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), u AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM t WHERE len(toks) > 0
+    ), g AS (
+        SELECT doc_id, toks[i] AS token, i,
+               i - row_number() OVER (PARTITION BY doc_id, toks[i] ORDER BY i)
+                   AS grp
+        FROM u
+    )
+    SELECT doc_id, token,
+           CAST(MIN(i) AS BIGINT) AS start_pos,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM g GROUP BY doc_id, token, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 user-defined TABLE function,
+    Arrow-optimized): run-length encoding of immediately-repeated
+    tokens per document, invoked via LATERAL so each input row fans
+    out to 0..n output rows. The oracle states the same spec as a
+    gaps-and-islands window query — which is also the pure-SQL plan
+    you'd use when the logic fits builtins; the UDTF exists to cover
+    the table-function API the way multimodal covers mapInPandas.
+    Arrow-optimized (ArrowEvalPythonUDTF), so the registry-wide
+    no-BatchEvalPython audit still holds."""
+    tune(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, start_pos bigint, run_len bigint", useArrow=True)
+    class TokenRuns:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [t for t in text.split() if t]
+            i = 0
+            while i < len(toks):
+                j = i
+                while j + 1 < len(toks) and toks[j + 1] == toks[i]:
+                    j += 1
+                if j > i:
+                    yield (toks[i], i + 1, j - i + 1)
+                i = j + 1
+
+    name = "token_runs_udtf"
+    spark.udtf.register(name, TokenRuns)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "curation_documents"
+    )
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, r.token, r.start_pos, r.run_len
+        FROM curation_documents d, LATERAL {name}(d.text) r
+        """
+    )
