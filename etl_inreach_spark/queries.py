@@ -47,32 +47,58 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window as long as the tail stays >= (total - 50) names.
 #
 # Verdict history (rN = CORRECTNESS_r0N):
-#   Round-4 rotation (staleness bound, VERDICT r3 item 4): a query may
-#   sit outside the window at most 2 consecutive rounds. The 24 names
-#   unverified since r2 split in half: 12 rotate back into the window
-#   now, the other 12 sit at the HEAD of _TAIL (first to re-enter, and
-#   MUST be in the r5 window). Two-round-stable greens (green in both
-#   r2 and r3) rotate out to the tail body.
-#   _FRONT groups, in order: (a) changed this round — the two r3 red
-#   rows, both oracle-rendering fixes (seq_pack_chunks BIGINT cast,
-#   multimodal_resize hex payload); (b) the 12 stale-since-r2 names
-#   rotating back in; (c) r3-first-green names needing a second green
-#   round; (d) the two rows-only sketches (need their rows-only row
-#   recorded each round). New queries added this round stay unlisted:
-#   they land in the middle, inside the window (guarded by
-#   tests/test_registry_order.py window arithmetic).
+#   Round-4 rotation, revised mid-round when 11 new queries landed
+#   (the window is exactly full, so every addition displaces a name).
+#   Staleness bound (VERDICT r3 item 4): a query may sit outside the
+#   window at most 2 consecutive rounds.
+#   _FRONT groups, in order:
+#   (a) changed this round — the two r3 red rows (oracle-rendering
+#       fixes), the js_try_to_timestamp widening (flows through both
+#       KML-path queries), the shingle-materialization perf change,
+#       the connected_components non-convergence raise, and the
+#       streaming fixture cleanup (all four streaming fixtures);
+#   (b) NEW this round, never driver-verified — 11 r4 additions
+#       (analytics + curation modules) then the 7 r3-late additions;
+#   (c) stale-since-r2 names rotating back in (out r2+r3 — at the
+#       staleness bound, MUST be verified in r4);
+#   (d) the two rows-only sketches (rows-only row recorded per round);
+#   (e) r3-first-green names granted a second green round — the 8
+#       most structural (packing/corpus/session/skew paths). The other
+#       10 r3-first-greens (simple relational aggregates) rotate to
+#       the tail mid-body and re-enter in r5.
 _FRONT: tuple[str, ...] = (
-    # (a) changed this round (oracle-rendering fixes + the
-    # js_try_to_timestamp date-grammar widening in sources/kml.py /
-    # plans/inreach.py, which flows through both KML-path queries)
+    # (a) changed this round
     "seq_pack_chunks",
     "multimodal_resize",
     "kml_pipeline_roundtrip",
     "streaming_dedup_ids",
-    # shingle-materialization perf change (operators/text_dedup.py)
     "near_dup_jaccard",
     "minhash_lsh_dedup",
-    # (b) stale since r2, rotating back in (first half of old tail)
+    "dedup_clusters",
+    "streaming_stateful_latest",
+    "streaming_groupstate_latest",
+    "streaming_tumbling_counts",
+    # (b) new in r4, never verified: analytics + curation modules
+    "scd2_user_state",
+    "resample_gapfill_events",
+    "data_profile_orders",
+    "tpch_q5_local_supplier",
+    "orders_above_cust_avg",
+    "streaming_stream_stream_join",
+    "segment_dedup_rebuild",
+    "stratified_sample_documents",
+    "reservoir_sample_per_source",
+    "domain_mix_weights",
+    "udtf_token_runs",
+    # (b) late-r3 additions, never verified
+    "doc_chunk_overlap",
+    "triangle_count_copurchase",
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "funnel_conversion",
+    "histogram_order_totals",
+    "embedding_quantize_int8",
+    # (c) stale since r2, rotating back in (first half of old tail)
     "embedding_cosine_dedup",
     "multimodal_frame_sample",
     "cube_pricing",
@@ -85,32 +111,18 @@ _FRONT: tuple[str, ...] = (
     "time_window_filter",
     "string_functions_showcase",
     "broadcast_config_join",
-    # (c) green for the first time in r3 — need a second green round
-    "sessionize_events",
-    "sliding_1h_user_activity",
-    "seq_pack_bins",
-    "contamination_check",
-    "repetition_profile",
-    "streaming_stateful_latest",
-    "streaming_groupstate_latest",
-    "upsert_merge_roundtrip",
-    "global_top10_orders",
-    "shipping_priority_top10",
-    "pivot_event_counts",
-    "skew_safe_event_counts",
-    "order_stats_summary",
-    "full_outer_nation_activity",
-    "unpivot_order_flags",
-    "sql_revenue_by_nation",
-    "mode_ship_month",
-    "order_value_percentiles",
-    "salted_skew_join",
-    "session_window_native",
-    "streaming_tumbling_counts",
-    "dedup_clusters",
     # (d) rows-only sketches
     "approx_distinct_users",
     "approx_order_percentiles",
+    # (e) r3-first-greens kept for a second green round
+    "upsert_merge_roundtrip",
+    "seq_pack_bins",
+    "contamination_check",
+    "repetition_profile",
+    "sessionize_events",
+    "session_window_native",
+    "salted_skew_join",
+    "sliding_1h_user_activity",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified
@@ -128,6 +140,18 @@ _TAIL: tuple[str, ...] = (
     "window_running_stats",
     "tumbling_15min_counts",
     "distinct_users_per_type",
+    # r3-first-greens displaced by the r4 additions (green r3, out
+    # r4 — re-enter in r5, one round before their staleness bound)
+    "global_top10_orders",
+    "shipping_priority_top10",
+    "pivot_event_counts",
+    "skew_safe_event_counts",
+    "order_stats_summary",
+    "full_outer_nation_activity",
+    "unpivot_order_flags",
+    "sql_revenue_by_nation",
+    "mode_ship_month",
+    "order_value_percentiles",
     # two-round-stable greens (r2 AND r3)
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -181,6 +205,7 @@ def _load_all() -> None:
     # unconditional: a broken query module must fail LOUDLY, not
     # silently shrink the correctness surface the driver checks
     from etl_inreach_spark import (  # noqa: F401
+        queries_analytics,
         queries_curation,
         queries_extended,
         queries_kml,

@@ -1,0 +1,421 @@
+"""Warehouse-analytics queries: SCD2 history building, time-series
+resample + gap-fill, table profiling, a TPC-H Q5-shaped multi-join,
+correlated-subquery decorrelation, and a watermarked stream-stream
+join — each value-oracled against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.queries import query
+from etl_inreach_spark.session import tune
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w != event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, event_type, ts,
+               CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS state_seq
+        FROM e
+    ), g AS (
+        SELECT user_id, state_seq,
+               min(event_type) AS state,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, state_seq
+    )
+    SELECT user_id, state_seq, state, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           n_events
+    FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY state_seq)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from an event
+    log: collapse each user's consecutive same-type event runs into
+    [valid_from, valid_to) intervals with an is_current flag — the
+    classic gaps-and-islands chain (lag -> running sum -> group ->
+    lead). Every window and the aggregation share the user_id
+    partitioning, so the whole plan is ONE shuffle on user_id."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w1)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    seq = (
+        F.sum(chg)
+        .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+    )
+    g = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("state_seq", seq)
+        .groupBy("user_id", "state_seq")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("state_seq")
+    valid_to = F.lead("valid_from").over(w2)
+    return g.select(
+        "user_id",
+        "state_seq",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@query(
+    "resample_gapfill_events",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ), u AS (
+        SELECT DISTINCT user_id FROM events
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM u, b
+    ), hr AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), obs AS (
+        SELECT user_id, hour, value FROM hr WHERE rn = 1
+    )
+    SELECT s.user_id, s.hour,
+           last_value(o.value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           o.value IS NOT NULL AS observed
+    FROM spine s LEFT JOIN obs o
+      ON s.user_id = o.user_id AND s.hour = o.hour
+    """,
+)
+def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-user hourly grid over the data's
+    full span, carrying the last observed value forward through empty
+    hours (LOCF). The hour spine is users x sequence(...) via a
+    broadcast of the 1-row global bounds — no driver loop; the
+    gap-fill is last(ignorenulls) over the user partition, sharing the
+    join's user_id shuffle. Values are carried, never summed, so no
+    decimal discipline is needed."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hr_w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "value",
+            F.row_number().over(hr_w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    locf_w = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = spine.join(obs, ["user_id", "hour"], "left")
+    return joined.select(
+        "user_id",
+        "hour",
+        F.last("value", ignorenulls=True).over(locf_w).alias("value"),
+        F.col("value").isNotNull().alias("observed"),
+    )
+
+
+# Per-column renderings that are portable across Spark and DuckDB:
+# integers via plain VARCHAR cast, doubles via an exact DECIMAL(18,2)
+# hop (both engines render full scale), timestamps via epoch
+# microseconds (string rendering of fractional seconds differs).
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, t in _PROFILE_COLS:
+        if t == "double":
+            mn, mx = (
+                f"CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+                f"CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+            )
+        elif t == "timestamp":
+            mn, mx = (
+                f"CAST(epoch_us(min({c})) AS VARCHAR)",
+                f"CAST(epoch_us(max({c})) AS VARCHAR)",
+            )
+        else:
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_repr, {mx} AS max_repr
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("data_profile_orders", oracle=_profile_oracle())
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profiling: per-column null count, exact
+    distinct count, and portable min/max renderings for the orders
+    table, unpivoted to one row per column. Spark computes ALL columns
+    in a single aggregation pass (one scan; count_distinct expands to
+    one expand-node aggregation) and stack()s the 6x4 metrics into
+    rows — vs the oracle's 6 separate scans."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, t in _PROFILE_COLS:
+        col = F.col(c)
+        if t == "double":
+            mn = F.min(col).cast("decimal(18,2)").cast("string")
+            mx = F.max(col).cast("decimal(18,2)").cast("string")
+        elif t == "timestamp":
+            mn = F.unix_micros(F.min(col)).cast("string")
+            mx = F.unix_micros(F.max(col)).cast("string")
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"null_{c}"),
+            F.count_distinct(col).alias(f"dist_{c}"),
+            mn.alias(f"min_{c}"),
+            mx.alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_null, n_distinct, min_repr, max_repr)"
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(18,6))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the supplier and the
+    customer share a nation, restricted to one region and one order
+    year. Join-strategy story: nation/region/supplier broadcast (tiny
+    dims), orders arrives pre-filtered by the pushed-down date range,
+    and the only big-big shuffle is lineitem x orders on l_orderkey.
+    The c_nationkey = s_nationkey equality joins customer BEFORE
+    aggregation — the classic case Catalyst cannot reorder away, so
+    the plan is written in the efficient order by hand."""
+    tune(spark)
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    price_d = F.col("l_extendedprice").cast("decimal(14,4)")
+    disc_d = F.col("l_discount").cast("decimal(6,4)")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cu,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(price_d * (F.lit(1) - disc_d))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "orders_above_cust_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+          (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          >
+          (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (SQL surface): orders strictly
+    above their customer's average order value, written with two
+    correlated subqueries that Catalyst decorrelates into one
+    aggregate + join — no per-row re-execution. The comparison is
+    price*count > sum in integer cents, so the boundary is exact in
+    both engines (a decimal AVG would round differently: DuckDB's AVG
+    returns DOUBLE, Spark's returns DECIMAL)."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("analytics_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM analytics_orders o
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+              (SELECT COUNT(*) FROM analytics_orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+              >
+              (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+               FROM analytics_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: click and purchase
+    streams joined per user with an event-time range (purchase within
+    1 hour after the click). Both sides carry 1-hour watermarks plus
+    the time-range join condition, which is what lets Spark bound the
+    join state and evict old rows — the canonical scale pattern for
+    stream-stream joins. Drained with availableNow into a memory
+    sink; each side is written as a single file so the drain is one
+    micro-batch and the batch answer is exact."""
+    import shutil
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_stream/{run}"
+    try:
+        for etype, sub in (("click", "clicks"), ("purchase", "purchases")):
+            (
+                ev.filter(F.col("event_type") == etype)
+                .select("ts", "user_id", "event_id")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{base}/{sub}")
+            )
+        schema = "ts timestamp, user_id bigint, event_id bigint"
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(f"{base}/clicks")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        purchases = (
+            spark.readStream.schema(schema)
+            .parquet(f"{base}/purchases")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+        table = f"stream_join_{run}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # survive the finally-rmtree of the checkpoint dirs
+        return spark.table(table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
