@@ -750,11 +750,12 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     density falls as data scales, unlike a user/time co-occurrence
     graph which densifies toward a clique (an earlier rendering of
     this query OOMed at sf0.1 exactly that way). The Spark side runs
-    the degree-ORIENTED two-path join (operators/graph.py —
-    O(|E|^1.5) two-path volume, hub-safe); the oracle runs the plain
-    id-ordered closure, which finds the same triangles because every
-    triangle has exactly one acyclic orientation under any total
-    order."""
+    the degree-ORIENTED edge-iterator with adjacency-array
+    intersection (operators/graph.py — O(|E|^1.5) work, hub-safe,
+    and only the actual triangles materialize); the oracle runs the
+    plain id-ordered two-path closure, which finds the same triangles
+    because every triangle has exactly one acyclic orientation under
+    any total order."""
     tune(spark)
     from etl_inreach_spark.operators.graph import cooccurrence_edges, triangle_counts
 
