@@ -177,3 +177,31 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == _union_find_components(edges)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_list)
+def test_connected_components_star_matches_union_find(spark, edges):
+    """Large-star/small-star contraction equals the same union-find
+    reference — the log-diameter escalation must be label-identical
+    to plain propagation on any graph."""
+    from etl_inreach_spark.operators.dedup import connected_components_star
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 60-hop chain: diameter exceeds the propagation default
+    max_iter, the star contraction converges in O(log n) rounds."""
+    from etl_inreach_spark.operators.dedup import connected_components_star
+
+    edges = [(i, i + 1) for i in range(100, 160)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
+    assert got == {i: 100 for i in range(100, 161)}
