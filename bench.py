@@ -62,6 +62,7 @@ def main() -> None:
     qs.pop("upsert_merge_roundtrip", None)  # sink fixture: tmp-table writes
     qs.pop("streaming_tumbling_counts", None)
     qs.pop("streaming_stream_stream_join", None)
+    qs.pop("streaming_static_enrich", None)
     # min-of-3: the first run pays codegen compile (multi-second for
     # the wide unrolled plans), and min-of-2 still let compile noise
     # pollute round-over-round comparison (VERDICT r2)

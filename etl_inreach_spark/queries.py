@@ -90,6 +90,10 @@ _FRONT: tuple[str, ...] = (
     "reservoir_sample_per_source",
     "domain_mix_weights",
     "udtf_token_runs",
+    "pseudonymize_customers",
+    "hof_array_zoo",
+    "window_function_zoo",
+    "streaming_static_enrich",
     # (b) late-r3 additions, never verified
     "doc_chunk_overlap",
     "triangle_count_copurchase",
@@ -119,10 +123,6 @@ _FRONT: tuple[str, ...] = (
     "seq_pack_bins",
     "contamination_check",
     "repetition_profile",
-    "sessionize_events",
-    "session_window_native",
-    "salted_skew_join",
-    "sliding_1h_user_activity",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified
@@ -142,6 +142,10 @@ _TAIL: tuple[str, ...] = (
     "distinct_users_per_type",
     # r3-first-greens displaced by the r4 additions (green r3, out
     # r4 — re-enter in r5, one round before their staleness bound)
+    "sessionize_events",
+    "session_window_native",
+    "salted_skew_join",
+    "sliding_1h_user_activity",
     "global_top10_orders",
     "shipping_priority_top10",
     "pivot_event_counts",

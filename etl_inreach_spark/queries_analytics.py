@@ -419,3 +419,112 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "window_function_zoo",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER wf AS first_price,
+           last_value(o_totalprice) OVER wf AS last_price,
+           nth_value(o_totalprice, 2) OVER wf AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window-function surface in one
+    query: row_number/rank/dense_rank, percent_rank/cume_dist,
+    lag/lead, and first/last/nth_value over an explicit unbounded
+    frame. All eleven functions share ONE (partition, ordering), so
+    the plan is a single shuffle + single sort — the multi-function-
+    one-window pattern an engine must not split into per-function
+    exchanges. Values are carried or ratio-of-counts doubles
+    (deterministic IEEE division), no decimal discipline needed."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag(price).over(w).alias("prev_price"),
+        F.lead(price).over(w).alias("next_price"),
+        F.first(price).over(wf).alias("first_price"),
+        F.last(price).over(wf).alias("last_price"),
+        F.nth_value(price, 2).over(wf).alias("second_price"),
+    )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: a streaming event feed
+    joined to a STATIC customer dimension (re-read per micro-batch in
+    real deployments — the standard pattern for slowly-refreshed dims)
+    then aggregated per (segment, event type) in complete mode. The
+    static side is small, so the per-batch join is a broadcast hash
+    join with no stream-side shuffle before the aggregation."""
+    import shutil
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_stream/{run}"
+    try:
+        ev.select("ts", "user_id", "event_type", "value").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in")
+        sdf = spark.readStream.schema(
+            "ts timestamp, user_id bigint, event_type string, value double"
+        ).parquet(f"{base}/in")
+        agg = (
+            sdf.join(F.broadcast(cust), sdf["user_id"] == cust["c_custkey"])
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        table = f"stream_enrich_{run}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{base}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -308,3 +308,86 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM curation_documents d, LATERAL {name}(d.text) r
         """
     )
+
+
+@query(
+    "pseudonymize_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           'Customer#' || CAST(
+               (CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)
+                * {_HASH_MULT}) % {_HASH_MOD} AS VARCHAR) AS masked_name,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization: extract the numeric identity embedded in
+    the free-text name field and replace it with a deterministic
+    surrogate (keyed multiplicative hash) — referential integrity is
+    preserved (same id -> same surrogate, so joins on masked data
+    still work) while the original id is not directly recoverable
+    without the key. Pure column expressions (regexp_extract + integer
+    arithmetic), no shuffle; the analytics column (mktsegment)
+    survives untouched."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    ident = F.regexp_extract(F.col("c_name"), r"([0-9]+)", 1).cast("bigint")
+    return c.select(
+        "c_custkey",
+        "c_name",
+        F.concat(F.lit("Customer#"), _sample_hash(ident).cast("string")).alias(
+            "masked_name"
+        ),
+        "c_mktsegment",
+    )
+
+
+@query(
+    "hof_array_zoo",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+               AS total_chars,
+           CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT)
+               AS max_token_len,
+           len(list_filter(toks, t -> t = 'the')) > 0 AS has_stopword,
+           len(list_filter(toks, t -> length(t) > 8)) = 0 AS all_short,
+           array_to_string(list_sort(list_distinct(toks))[1:5], ',')
+               AS first5_distinct
+    FROM t
+    """,
+)
+def hof_array_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function coverage in one narrow projection:
+    aggregate (fold), transform, exists, forall, array_sort/distinct/
+    slice — all JVM-side lambda expressions, zero UDFs, zero shuffles.
+    The fold accumulates in BIGINT so the oracle's list_sum (HUGEINT
+    in DuckDB) renders identically after the CAST."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("total_chars"),
+        F.array_max(F.transform("toks", F.length)).cast("bigint").alias(
+            "max_token_len"
+        ),
+        F.exists("toks", lambda t: t == F.lit("the")).alias("has_stopword"),
+        F.forall("toks", lambda t: F.length(t) <= 8).alias("all_short"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("toks")), 1, 5), ","
+        ).alias("first5_distinct"),
+    )
