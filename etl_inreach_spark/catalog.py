@@ -58,9 +58,23 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
         if not parts:
             return ()
         path = parts[0]
-    schema = pq.read_schema(path)
+    pf = pq.ParquetFile(path)
+    # Physical-type guard: Spark's DEFAULT parquet writer emits legacy
+    # INT96 timestamps, which pyarrow ALSO reports as timestamp[ns] —
+    # but Spark reads INT96 natively as TIMESTAMP, so routing them
+    # through the nanosAsLong + div-1000 path breaks (TIMESTAMP div
+    # BIGINT type error). Only true TIMESTAMP(NANOS) int64 columns
+    # (the driver generator's) need the normalization.
+    phys = {
+        pf.schema.column(i).name: pf.schema.column(i).physical_type
+        for i in range(len(pf.schema))
+    }
     return tuple(
-        f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        f.name
+        for f in pf.schema_arrow
+        if pat.is_timestamp(f.type)
+        and f.type.unit == "ns"
+        and phys.get(f.name) != "INT96"
     )
 
 
