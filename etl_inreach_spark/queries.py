@@ -94,6 +94,8 @@ _FRONT: tuple[str, ...] = (
     "hof_array_zoo",
     "window_function_zoo",
     "streaming_static_enrich",
+    "cdc_latest_state",
+    "rollup_time_revenue",
     # (b) late-r3 additions, never verified
     "doc_chunk_overlap",
     "triangle_count_copurchase",
@@ -120,9 +122,7 @@ _FRONT: tuple[str, ...] = (
     "approx_order_percentiles",
     # (e) r3-first-greens kept for a second green round
     "upsert_merge_roundtrip",
-    "seq_pack_bins",
     "contamination_check",
-    "repetition_profile",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified
@@ -146,6 +146,8 @@ _TAIL: tuple[str, ...] = (
     "session_window_native",
     "salted_skew_join",
     "sliding_1h_user_activity",
+    "seq_pack_bins",
+    "repetition_profile",
     "global_top10_orders",
     "shipping_priority_top10",
     "pivot_event_counts",

@@ -528,3 +528,83 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "cdc_latest_state",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, value AS last_value, ts AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND event_type != 'error'
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: compact a change feed to current
+    state. The event log is read as a CDC stream keyed by user_id
+    (ts+event_id = commit order; 'error' = tombstone/delete): the
+    latest change wins, and a key whose latest change is a tombstone
+    is ABSENT from the snapshot — upsert-then-delete semantics, the
+    read-side dual of the keyed-upsert MERGE sink (sinks/upsert.py).
+    One shuffle: a per-key argmax window (the rank filter cuts to one
+    row per key, WindowGroupLimit pushes it into the sort), then the
+    tombstone filter on the surviving row — commit order
+    (ts, event_id) DESC matches the oracle's tie-break exactly."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ),
+    )
+    return (
+        ranked.filter((F.col("_rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "rollup_time_revenue",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(grouping(year(o_orderdate)) AS INTEGER) AS g_year,
+           CAST(grouping(month(o_orderdate)) AS INTEGER) AS g_month
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+    """,
+)
+def rollup_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup: revenue at (year, month), (year), and
+    grand-total levels in ONE pass (GROUP BY ROLLUP expands inside the
+    aggregation, no self-union of scans), with grouping() flags
+    disambiguating real NULLs from subtotal rows. Decimal-exact sums
+    so subtotals hash identically in both engines."""
+    tune(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+    )
+    return o.rollup("order_year", "order_month").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("order_year").cast("integer").alias("g_year"),
+        F.grouping("order_month").cast("integer").alias("g_month"),
+    )
