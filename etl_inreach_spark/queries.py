@@ -96,6 +96,7 @@ _FRONT: tuple[str, ...] = (
     "streaming_static_enrich",
     "cdc_latest_state",
     "rollup_time_revenue",
+    "variant_props_extract",
     # (b) late-r3 additions, never verified
     "doc_chunk_overlap",
     "triangle_count_copurchase",
@@ -122,7 +123,6 @@ _FRONT: tuple[str, ...] = (
     "approx_order_percentiles",
     # (e) r3-first-greens kept for a second green round
     "upsert_merge_roundtrip",
-    "contamination_check",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified
@@ -148,6 +148,7 @@ _TAIL: tuple[str, ...] = (
     "sliding_1h_user_activity",
     "seq_pack_bins",
     "repetition_profile",
+    "contamination_check",
     "global_top10_orders",
     "shipping_priority_top10",
     "pivot_event_counts",

@@ -608,3 +608,32 @@ def rollup_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("order_year").cast("integer").alias("g_year"),
         F.grouping("order_month").cast("integer").alias("g_month"),
     )
+
+
+@query(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM events
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-type semi-structured surface (Spark 4): parse the JSON
+    props column once into the binary VARIANT encoding, then typed
+    field access via variant_get and runtime shape via
+    schema_of_variant — the shred-on-read path that replaces repeated
+    get_json_object string re-parsing (the VARIANT value parses each
+    row once, every extraction after that is a binary field probe).
+    The oracle extracts the same field with DuckDB's JSON functions;
+    the (uniform, by construction) per-row schema string is asserted
+    literally so a shape drift in the generator breaks the hash."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("_v"))
+    return v.select(
+        "event_id",
+        F.variant_get("_v", "$.k", "bigint").alias("k"),
+        F.schema_of_variant(F.col("_v")).alias("variant_schema"),
+    )
