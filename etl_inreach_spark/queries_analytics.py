@@ -88,11 +88,10 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resample_gapfill_events",
     oracle="""
     WITH b AS (
-        SELECT date_trunc('hour', min(ts)) AS h0,
-               date_trunc('hour', max(ts)) AS h1
-        FROM events
+        SELECT date_trunc('hour', max(ts)) AS h1 FROM events
     ), u AS (
-        SELECT DISTINCT user_id FROM events
+        SELECT user_id, date_trunc('hour', min(ts)) AS h0
+        FROM events GROUP BY user_id
     ), spine AS (
         SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
         FROM u, b
@@ -114,23 +113,24 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series resampling: per-user hourly grid over the data's
-    full span, carrying the last observed value forward through empty
-    hours (LOCF). The hour spine is users x sequence(...) via a
-    broadcast of the 1-row global bounds — no driver loop; the
-    gap-fill is last(ignorenulls) over the user partition, sharing the
-    join's user_id shuffle. Values are carried, never summed, so no
-    decimal discipline is needed."""
+    """Time-series resampling: per-user hourly grid from each user's
+    FIRST observation to the global horizon, carrying the last
+    observed value forward through empty hours (LOCF). The spine
+    starts at each user's own first hour — a |users| x full-history
+    grid would manufacture rows for users before they exist, and at
+    cluster scale (1e9 users x 1e5 hours) that dominates the output
+    for no information. Spine = per-user bounds (one groupBy) x a
+    broadcast 1-row global horizon, exploded JVM-side; the gap-fill
+    is last(ignorenulls) over the user partition, sharing the join's
+    user_id shuffle. Values are carried, never summed, so no decimal
+    discipline is needed."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
+    horizon = ev.agg(F.date_trunc("hour", F.max("ts")).alias("h1"))
     spine = (
-        ev.select("user_id")
-        .distinct()
-        .join(F.broadcast(bounds))
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("h0"))
+        .join(F.broadcast(horizon))
         .select(
             "user_id",
             F.explode(
@@ -209,7 +209,10 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, unpivoted to one row per column. Spark computes ALL columns
     in a single aggregation pass (one scan; count_distinct expands to
     one expand-node aggregation) and stack()s the 6x4 metrics into
-    rows — vs the oracle's 6 separate scans."""
+    rows — vs the oracle's 6 separate scans. At 100 TB the expand
+    multiplies shuffle volume by the column count: swap the exact
+    count_distinct for approx_count_distinct there (the value gate
+    needs exactness, a profiler does not)."""
     tune(spark)
     o = load_table(spark, sf_dir, "orders")
     aggs = []
