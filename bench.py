@@ -60,6 +60,8 @@ def main() -> None:
     qs.pop("streaming_stateful_latest", None)
     qs.pop("streaming_groupstate_latest", None)
     qs.pop("upsert_merge_roundtrip", None)  # sink fixture: tmp-table writes
+    qs.pop("partitioned_sink_prune", None)  # sink fixture: tmp-table writes
+    qs.pop("csv_roundtrip_orders", None)  # sink fixture: tmp-table writes
     qs.pop("streaming_tumbling_counts", None)
     qs.pop("streaming_stream_stream_join", None)
     qs.pop("streaming_static_enrich", None)

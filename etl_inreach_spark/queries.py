@@ -97,6 +97,8 @@ _FRONT: tuple[str, ...] = (
     "cdc_latest_state",
     "rollup_time_revenue",
     "variant_props_extract",
+    "partitioned_sink_prune",
+    "csv_roundtrip_orders",
     # (b) late-r3 additions, never verified
     "doc_chunk_overlap",
     "triangle_count_copurchase",
@@ -118,11 +120,10 @@ _FRONT: tuple[str, ...] = (
     "time_window_filter",
     "string_functions_showcase",
     "broadcast_config_join",
-    # (d) rows-only sketches
+    # (d) rows-only sketch (approx_order_percentiles rotated to the
+    # tail this round — window pressure; its exact companion
+    # order_value_percentiles carries the value signal)
     "approx_distinct_users",
-    "approx_order_percentiles",
-    # (e) r3-first-greens kept for a second green round
-    "upsert_merge_roundtrip",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified
@@ -149,6 +150,8 @@ _TAIL: tuple[str, ...] = (
     "seq_pack_bins",
     "repetition_profile",
     "contamination_check",
+    "upsert_merge_roundtrip",
+    "approx_order_percentiles",
     "global_top10_orders",
     "shipping_priority_top10",
     "pivot_event_counts",

@@ -330,3 +330,100 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@query(
+    "partitioned_sink_prune",
+    oracle="""
+    SELECT event_type, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type, user_id
+    """,
+)
+def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned scan roundtrip: write
+    events partitioned by event_type, read back with a partition-key
+    predicate, aggregate. The filter resolves against DIRECTORIES
+    (PartitionFilters in the scan — asserted by a pytest plan check),
+    so 3/5 of the data is never opened: the layout pattern that turns
+    a 100 TB scan into a 2-partition scan. Result localCheckpointed so
+    the temp table can be removed eagerly."""
+    import shutil
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_sink/{run}"
+    try:
+        ev.select("event_id", "user_id", "value", "event_type").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(base)
+        back = spark.read.parquet(base).filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        out = back.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "csv_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+           min(o_orderdate) AS first_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-explicit CSV scan roundtrip: orders written
+    as headered CSV (timestamps pinned to an explicit format — CSV has
+    no type system, the format IS the contract), read back with a
+    DECLARED schema (no inference pass over the data: schema inference
+    is a full extra scan at 100 TB) and the same timestampFormat, then
+    aggregated. Value-equality against the parquet-sourced oracle
+    proves the text roundtrip is lossless for every type involved."""
+    import shutil
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "orders")
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_sink/csv_{run}"
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    try:
+        ev.write.mode("overwrite").option("header", "true").option(
+            "timestampFormat", fmt
+        ).csv(base)
+        back = (
+            spark.read.schema(
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+            )
+            .option("header", "true")
+            .option("timestampFormat", fmt)
+            .csv(base)
+        )
+        out = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderdate").alias("first_order"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -74,3 +74,25 @@ def test_orc_roundtrip(spark, tmp_path):
     # pushdown reaches the ORC scan
     plan = back.filter(back["id"] == "inreach-1")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "inreach-1" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned sink + partition-key predicate: the filter
+    must resolve against directories (PartitionFilters), and only the
+    matching partitions' files may be opened — the layout contract
+    behind the partitioned_sink_prune query."""
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 5 = 0 THEN 'click' WHEN id % 5 = 1 "
+        "THEN 'purchase' ELSE 'view' END AS event_type"
+    )
+    dest = str(tmp_path / "part")
+    df.write.mode("overwrite").partitionBy("event_type").parquet(dest)
+    back = spark.read.parquet(dest).filter(
+        "event_type IN ('click', 'purchase')"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the predicate must appear as a PARTITION filter on the scan (a
+    # data filter would mean every file is opened and rows discarded)
+    seg = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "event_type" in seg and "PartitionFilters: []" not in seg
+    assert back.count() == 40  # 2 of 5 partitions' rows
