@@ -99,6 +99,7 @@ _FRONT: tuple[str, ...] = (
     "variant_props_extract",
     "partitioned_sink_prune",
     "csv_roundtrip_orders",
+    "cogroup_conversion_latency",
     # (b) late-r3 additions, never verified
     "doc_chunk_overlap",
     "triangle_count_copurchase",
@@ -120,10 +121,10 @@ _FRONT: tuple[str, ...] = (
     "time_window_filter",
     "string_functions_showcase",
     "broadcast_config_join",
-    # (d) rows-only sketch (approx_order_percentiles rotated to the
-    # tail this round — window pressure; its exact companion
-    # order_value_percentiles carries the value signal)
-    "approx_distinct_users",
+    # (d) rows-only sketches both rotated to the tail this round under
+    # window pressure from the 20 new value-oracled queries — their
+    # exact companions (kmv_distinct_users, order_value_percentiles)
+    # carry the value signal; both re-enter in r5
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified
@@ -151,6 +152,7 @@ _TAIL: tuple[str, ...] = (
     "repetition_profile",
     "contamination_check",
     "upsert_merge_roundtrip",
+    "approx_distinct_users",
     "approx_order_percentiles",
     "global_top10_orders",
     "shipping_priority_top10",

@@ -640,3 +640,79 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("_v", "$.k", "bigint").alias("k"),
         F.schema_of_variant(F.col("_v")).alias("variant_schema"),
     )
+
+
+@query(
+    "cogroup_conversion_latency",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), lat AS (
+        SELECT p.user_id, p.event_id,
+               (epoch_us(p.ts) - MAX(epoch_us(c.ts))) / 1000000.0 AS latency_s
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        GROUP BY p.user_id, p.event_id, p.ts
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(latency_s) AS BIGINT) AS n_converted,
+           median(latency_s) AS median_latency_s
+    FROM lat GROUP BY user_id
+    """,
+)
+def cogroup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-pandas surface (groupBy().cogroup().applyInPandas —
+    FlatMapCoGroupsInPandas): the click and purchase streams are
+    co-partitioned by user and each user's pair of Arrow batches lands
+    in ONE Python function, which as-of-matches every purchase to its
+    most recent prior click (numpy searchsorted on the sorted click
+    timeline — O(n log n) per user, no per-pair join) and reduces to
+    per-user conversion latency stats. The oracle states the same
+    semantics relationally (greatest prior click per purchase via
+    LEFT JOIN + MAX, then a median). Latencies are exact integer
+    microseconds divided by 1e6 — same IEEE double on both engines;
+    the median of doubles is the same order statistic in pandas and
+    DuckDB (average of the middle two on even counts)."""
+    import numpy as np
+    import pandas as pd
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def match(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
+        if purch_pdf.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_converted", "median_latency_s"]
+            )
+        user = purch_pdf["user_id"].iloc[0]
+        p_us = purch_pdf["ts"].astype("int64").to_numpy() // 1000
+        c_us = np.sort(clicks_pdf["ts"].astype("int64").to_numpy() // 1000)
+        # index of the latest click <= each purchase (0 -> no prior click)
+        idx = np.searchsorted(c_us, p_us, side="right")
+        converted = idx > 0
+        lat = (p_us[converted] - c_us[idx[converted] - 1]) / 1_000_000.0
+        return pd.DataFrame(
+            {
+                "user_id": [user],
+                "n_purchases": [len(p_us)],
+                "n_converted": [int(converted.sum())],
+                "median_latency_s": [float(np.median(lat)) if lat.size else None],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            match,
+            "user_id bigint, n_purchases bigint, n_converted bigint, "
+            "median_latency_s double",
+        )
+    )
