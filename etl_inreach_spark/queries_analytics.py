@@ -1,7 +1,9 @@
 """Warehouse-analytics queries: SCD2 history building, time-series
 resample + gap-fill, table profiling, a TPC-H Q5-shaped multi-join,
-correlated-subquery decorrelation, and a watermarked stream-stream
-join — each value-oracled against DuckDB.
+correlated-subquery decorrelation, window-function and VARIANT
+surfaces, CDC compaction, cogrouped-pandas as-of matching, and the
+streaming joins (stream-stream windowed, stream-static enrich) — each
+value-oracled against DuckDB.
 """
 
 from __future__ import annotations
