@@ -1,0 +1,67 @@
+"""Positive plan-shape assertions for representative queries — the
+complement of test_plan_audit's blacklist. These pin the PROPERTIES
+the scale story rests on (shuffle counts, broadcast choices, top-k
+pushdown), so a refactor that silently degrades a plan fails a test
+rather than a benchmark."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_inreach_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_window_zoo_single_shuffle(spark):
+    """Eleven window functions over one (partition, ordering) must
+    plan ONE shuffle — per-function exchanges would multiply the
+    dominant cost by eleven."""
+    plan = _plan(spark, "window_function_zoo")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_single_shuffle(spark):
+    """lag -> running sum -> groupBy(user_id, state_seq) -> lead all
+    share (or subset-satisfy) the user_id hash partitioning: one
+    exchange total. HashPartitioning(user_id) satisfies the
+    ClusteredDistribution(user_id, state_seq) of the aggregation, so
+    EnsureRequirements must not insert a second shuffle."""
+    plan = _plan(spark, "scd2_user_state")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q5_broadcasts_dimensions(spark):
+    """supplier/nation/region are broadcast; the only shuffle joins
+    allowed are the big-big lineitem x orders and orders x customer."""
+    plan = _plan(spark, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+
+
+def test_cdc_latest_state_rank_pushdown(spark):
+    """The rn==1 filter must reach the window sort as a group-limit
+    (WindowGroupLimit): at scale this keeps one row per key flowing
+    out of each sort partition instead of ranking everything and
+    discarding."""
+    plan = _plan(spark, "cdc_latest_state")
+    assert "WindowGroupLimit" in plan
+
+
+def test_segment_dedup_two_shuffles(spark):
+    """Keep-first argmin shuffles on segment content, rebuild shuffles
+    on doc_id — and nothing else."""
+    plan = _plan(spark, "segment_dedup_rebuild")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Deterministic rate sampling is a pure per-row predicate: the
+    plan must contain NO exchange at all."""
+    plan = _plan(spark, "stratified_sample_documents")
+    assert "Exchange" not in plan
