@@ -31,3 +31,26 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def morton_interleave16(x, y):
+    """Z-order (Morton) key for two 16-bit dimensions: bits of x at
+    even positions, y at odd — the space-filling-curve layout key
+    behind multi-dimensional data skipping (sort/cluster by the key
+    and BOTH dimensions get locality, so parquet min/max row-group
+    stats prune on either predicate).
+
+    Pure integer shift/mask expressions (the classic bit-spreading
+    magic numbers), identically renderable in ANSI SQL — no UDF.
+    """
+
+    def spread(c):
+        # Column.__or__ is BOOLEAN or in PySpark — bitwiseOR required
+        c = c.bitwiseAND(F.lit(0xFFFF))
+        c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+        c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+        return c
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))

@@ -77,7 +77,6 @@ _FRONT: tuple[str, ...] = (
     "dedup_clusters",
     "streaming_stateful_latest",
     "streaming_groupstate_latest",
-    "streaming_tumbling_counts",
     # (b) new in r4, never verified: analytics + curation modules
     "scd2_user_state",
     "resample_gapfill_events",
@@ -100,6 +99,7 @@ _FRONT: tuple[str, ...] = (
     "partitioned_sink_prune",
     "csv_roundtrip_orders",
     "cogroup_conversion_latency",
+    "zorder_events_key",
     # (b) late-r3 additions, never verified
     "doc_chunk_overlap",
     "triangle_count_copurchase",
@@ -152,6 +152,10 @@ _TAIL: tuple[str, ...] = (
     "repetition_profile",
     "contamination_check",
     "upsert_merge_roundtrip",
+    # r4 change was fixture cleanup only (try/finally rmtree), query
+    # logic unchanged and green r2+r3 — rotated out under window
+    # pressure, re-enter r5
+    "streaming_tumbling_counts",
     "approx_distinct_users",
     "approx_order_percentiles",
     "global_top10_orders",

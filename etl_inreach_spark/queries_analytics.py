@@ -718,3 +718,49 @@ def cogroup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_latency_s double",
         )
     )
+
+
+@query(
+    "zorder_events_key",
+    oracle="""
+    WITH s0 AS (
+        SELECT event_id,
+               user_id & 65535 AS x,
+               (hour(ts) * 60 + minute(ts)) & 65535 AS y
+        FROM events
+    ), s1 AS (
+        SELECT event_id, (x | (x << 8)) & 16711935 AS x,
+                         (y | (y << 8)) & 16711935 AS y FROM s0
+    ), s2 AS (
+        SELECT event_id, (x | (x << 4)) & 252645135 AS x,
+                         (y | (y << 4)) & 252645135 AS y FROM s1
+    ), s3 AS (
+        SELECT event_id, (x | (x << 2)) & 858993459 AS x,
+                         (y | (y << 2)) & 858993459 AS y FROM s2
+    ), s4 AS (
+        SELECT event_id, (x | (x << 1)) & 1431655765 AS x,
+                         (y | (y << 1)) & 1431655765 AS y FROM s3
+    )
+    SELECT event_id, CAST(x | (y << 1) AS BIGINT) AS zkey
+    FROM s4
+    """,
+)
+def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, minute-of-day):
+    interleave the two dimensions' bits so that sorting by the single
+    zkey clusters BOTH — the data-layout technique behind
+    multi-dimensional file skipping (write sorted by zkey and parquet
+    min/max row-group stats prune on either a user predicate or a
+    time-of-day predicate; a plain sort clusters only its leading
+    column). Pure shift/mask column expressions (functions/vectors.py
+    morton_interleave16), the oracle unrolls the same bit-spreading
+    stages as CTE steps."""
+    tune(spark)
+    from etl_inreach_spark.functions.vectors import morton_interleave16
+
+    ev = load_table(spark, sf_dir, "events")
+    zkey = morton_interleave16(
+        F.col("user_id"),
+        F.hour("ts") * F.lit(60) + F.minute("ts"),
+    )
+    return ev.select("event_id", zkey.cast("bigint").alias("zkey"))

@@ -174,3 +174,21 @@ def test_udtf_token_runs_semantics(spark, tmp_path):
         (0, "a", 1, 2),
         (0, "c", 4, 3),
     ]
+
+
+def test_morton_interleave_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from etl_inreach_spark.functions.vectors import morton_interleave16
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 1), (65535, 65535)], "x long, y long"
+    )
+    out = [
+        r["z"]
+        for r in df.select(
+            morton_interleave16(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    # interleave: x bits at even positions, y at odd
+    assert out == [0, 1, 2, 0b0111, (1 << 32) - 1]
