@@ -76,7 +76,6 @@ _FRONT: tuple[str, ...] = (
     "minhash_lsh_dedup",
     "dedup_clusters",
     "streaming_stateful_latest",
-    "streaming_groupstate_latest",
     # (b) new in r4, never verified: analytics + curation modules
     "scd2_user_state",
     "resample_gapfill_events",
@@ -100,6 +99,7 @@ _FRONT: tuple[str, ...] = (
     "csv_roundtrip_orders",
     "cogroup_conversion_latency",
     "zorder_events_key",
+    "ansi_safe_functions",
     # (b) late-r3 additions, never verified
     "doc_chunk_overlap",
     "triangle_count_copurchase",
@@ -153,9 +153,11 @@ _TAIL: tuple[str, ...] = (
     "contamination_check",
     "upsert_merge_roundtrip",
     # r4 change was fixture cleanup only (try/finally rmtree), query
-    # logic unchanged and green r2+r3 — rotated out under window
-    # pressure, re-enter r5
+    # logic unchanged and green in r3 — rotated out under window
+    # pressure, re-enter r5 (stateful coverage stays in-window via
+    # streaming_stateful_latest)
     "streaming_tumbling_counts",
+    "streaming_groupstate_latest",
     "approx_distinct_users",
     "approx_order_percentiles",
     "global_top10_orders",

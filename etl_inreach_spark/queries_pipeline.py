@@ -427,3 +427,35 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "ansi_safe_functions",
+    oracle="""
+    SELECT event_id,
+           value / NULLIF(CAST(user_id % 3 AS DOUBLE), 0) AS safe_ratio,
+           TRY_CAST(props AS BIGINT) AS props_as_int,
+           TRY_CAST(event_type AS TIMESTAMP) AS type_as_ts,
+           TRY_CAST(substr(props, 7, 10) AS BIGINT) AS k_prefix
+    FROM events
+    """,
+)
+def ansi_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safety surface: Spark 4 runs with ANSI ON by
+    default, where 1/0 and bad casts are runtime ERRORS that kill the
+    job — the try_* family (try_divide / try_cast / try_to_timestamp)
+    converts per-row failures to NULLs, which is the correct posture
+    for a 100 TB pipeline (one malformed row must not kill a
+    1000-executor stage; NULL + downstream filter beats retry). Every
+    expression here hits at least one failing row."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), (F.col("user_id") % 3).cast("double")).alias(
+            "safe_ratio"
+        ),
+        F.col("props").try_cast("bigint").alias("props_as_int"),
+        F.try_to_timestamp(F.col("event_type")).alias("type_as_ts"),
+        F.substring("props", 7, 10).try_cast("bigint").alias("k_prefix"),
+    )

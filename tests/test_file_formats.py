@@ -96,3 +96,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     seg = plan[plan.index("PartitionFilters") :].splitlines()[0]
     assert "event_type" in seg and "PartitionFilters: []" not in seg
     assert back.count() == 40  # 2 of 5 partitions' rows
+
+
+def test_csv_permissive_corrupt_record_capture(spark, tmp_path):
+    """Malformed rows must not kill a scan: PERMISSIVE mode parses
+    what it can and lands the raw text of broken rows in
+    _corrupt_record for quarantine — per-row error isolation, the
+    file-scan analog of the per-feed isolation in sources/kml.py."""
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    df = (
+        spark.read.schema("id bigint, qty bigint, _corrupt_record string")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["qty"] == 10 and rows[1]["_corrupt_record"] is None
+    assert rows[2]["qty"] is None and "notanumber" in rows[2]["_corrupt_record"]
+    assert rows[3]["qty"] == 30
