@@ -128,3 +128,39 @@ def triangle_counts(
         .groupBy(node_alias)
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both orientations of an undirected (u < v) edge relation."""
+    return edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def walk_counts(edges: DataFrame, length: int, node_alias: str = "node") -> DataFrame:
+    """Per-node count of walks of ``length`` steps leaving the node —
+    the integer power-iteration skeleton (w_{i+1} = A @ w_i on the
+    symmetric adjacency). Eigenvector/PageRank centrality is this loop
+    with a float damping term; the counts variant keeps every sum in
+    bigint so the result is EXACT and engine-portable (float power
+    iteration would hash-diverge on summation order, which is why the
+    oracle-gated query ships this form).
+
+    Each round is one equi-join of the |E|-sized symmetric edge list
+    against the |V|-sized weight vector plus a groupBy-sum — map-side
+    partial agg, shuffle keyed on node id both times, no UDFs. Rounds
+    are a fixed small constant (the query pins 3), so lineage stays
+    shallow and no checkpoint is needed — unlike connected_components,
+    whose data-dependent round count forces lineage cuts.
+    """
+    sym = symmetrize(edges)
+    w = sym.groupBy(F.col("u").alias(node_alias)).agg(
+        F.count(F.lit(1)).alias("walks")
+    )
+    for _ in range(length - 1):
+        w = (
+            sym.join(w, sym["v"] == w[node_alias])
+            .groupBy(sym["u"].alias(node_alias))
+            .agg(F.sum("walks").alias("walks"))
+        )
+    return w

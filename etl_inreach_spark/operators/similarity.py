@@ -100,6 +100,25 @@ def brute_force_topk_gemm(
     q_mat = np.vstack([r[1] for r in q_rows]).astype("float64")
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)[:, None]
 
+    # Fixed GEMM block width: BLAS picks its kernel/blocking from the
+    # matrix shapes, so the same (query, vector) pair scored in batches
+    # of different sizes can differ in the last ULP — enough to flip an
+    # exact-cosine tie (duplicate vectors) against the id-ASC tie-break
+    # the global window applies. Zero-padding every block to one fixed
+    # width makes each pair's score a function of (q_mat, vector) only,
+    # bit-identical across partitions.
+    _BLOCK = 1024
+
+    def _block_sims(mat: np.ndarray) -> np.ndarray:
+        n = mat.shape[0]
+        out = np.empty((q_mat.shape[0], n))
+        for s in range(0, n, _BLOCK):
+            blk = mat[s : s + _BLOCK]
+            if blk.shape[0] < _BLOCK:
+                blk = np.vstack([blk, np.zeros((_BLOCK - blk.shape[0], mat.shape[1]))])
+            out[:, s : s + _BLOCK] = (q_mat @ blk.T)[:, : min(_BLOCK, n - s)]
+        return out
+
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -114,7 +133,7 @@ def brute_force_topk_gemm(
             ids = ids[by_id]
             mat = np.vstack(pdf[vec_col].to_numpy()[by_id]).astype("float64")
             mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
-            sims = q_mat @ mat.T  # (n_q, n_batch)
+            sims = _block_sims(mat)  # (n_q, n_batch)
             sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self-matches
             take = min(k, sims.shape[1])
             part = np.argsort(-sims, axis=1, kind="stable")[:, :take]

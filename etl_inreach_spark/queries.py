@@ -126,6 +126,21 @@ _FRONT: tuple[str, ...] = (
     # exact companions (kmv_distinct_users, order_value_percentiles)
     # carry the value signal; both re-enter in r5
 )
+# Added AFTER the r4 window froze: the window is exactly full with
+# (a) changed + (b) never-verified + (c) at-the-staleness-bound names,
+# so these cannot enter without evicting a name whose verification this
+# round is mandatory. They sit at positions 50.. (head of the middle),
+# carry local oracle_check PASS + pytest evidence, and MUST move to
+# _FRONT in r5 (tests/test_registry_order.py enforces the bookkeeping:
+# every registered query is FRONT, PENDING, or TAIL — nothing silently
+# unverifiable).
+_PENDING: tuple[str, ...] = (
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_last_shipper",
+    "bm25_term_search",
+    "walk3_centrality",
+)
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified
     # after r4; MUST rotate into the r5 window (keep at tail head so
@@ -196,10 +211,11 @@ _TAIL: tuple[str, ...] = (
 
 def _ordered(names: list[str]) -> list[str]:
     front = [n for n in _FRONT if n in names]
+    pending = [n for n in _PENDING if n in names]
     tail = [n for n in _TAIL if n in names]
-    pinned = set(front) | set(tail)
+    pinned = set(front) | set(pending) | set(tail)
     middle = [n for n in names if n not in pinned]
-    return front + middle + tail
+    return front + pending + middle + tail
 
 
 def all_queries() -> dict[str, QueryFn]:

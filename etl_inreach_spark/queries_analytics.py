@@ -764,3 +764,138 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts") * F.lit(60) + F.minute("ts"),
     )
     return ev.select("event_id", zkey.cast("bigint").alias("zkey"))
+
+
+@query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution with the
+    filter INSIDE the outer join (a customer with only urgent orders
+    must land in the c_count=0 bucket, so the predicate cannot be a
+    WHERE). Two hash aggs — the first keyed on c_custkey (the join
+    key, so AQE can reuse the exchange), the second on the tiny
+    c_count domain — and the left join ships only the two key columns.
+    The outer-join-with-on-clause-filter is the shape that
+    distinguishes a real outer-join implementation from a
+    filter-then-join rewrite."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 180
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate lineitem by
+    order, keep orders whose total quantity clears a threshold, then
+    enrich with orders + customer. The HAVING runs BEFORE either join,
+    so the join input collapses from |lineitem| to the few qualifying
+    orders — at 100 TB the agg is the only full-table pass and both
+    joins carry ~0.1% of orders (AQE broadcasts the survivors).
+    Decimal-summed quantity (exact) surfaced as DOUBLE."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q")
+        )
+        .filter(F.col("_q") > 180)
+        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "tpch_q21_last_shipper",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    ) AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+    )
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS with an
+    inequality): per supplier, count lineitems that shipped LAST among
+    multi-supplier orders — the lineitem holding the order up. The
+    oracle states the subqueries; the Spark side decorrelates them as
+    a LEFT SEMI join (exists: another supplier in the order) and a
+    LEFT ANTI join (not exists: a later-shipping other supplier), both
+    equi-keyed on l_orderkey so the correlated inequality evaluates
+    inside bounded per-order groups (<= 7 lines in TPC-H-shaped data)
+    — never as a broadcast-nested-loop. The supplier dim joins
+    broadcast. This is the decorrelation pattern Catalyst applies to
+    EXISTS subqueries, written explicitly at the DataFrame layer."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    waiting = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -5,7 +5,7 @@ documents/embeddings tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_inreach_spark.catalog import load_table
@@ -906,3 +906,132 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
     )
     return el.join(sc, "vec_id").select("vec_id", "dim", q.alias("q"), "scale")
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+@query(
+    "bm25_term_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN {_BM25_TERMS!r}
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+               ((n_docs - df + 0.5) / (df + 0.5))
+                 * (CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                 AS score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, term, tf, dl, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY term
+                   ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def bm25_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance search: top-10 documents per query term
+    (k1=1.2, b=0.75) — the retrieval primitive of a RAG/search
+    pipeline. The idf is the RATIONAL variant (N-df+0.5)/(df+0.5)
+    without the usual ln(): every arithmetic step is then a correctly
+    rounded IEEE op written in the identical order on both engines, so
+    the score value-hashes exactly (the tfidf_top_terms lesson —
+    libm log ULPs diverge across engines). Shape: the term filter
+    lands BEFORE the tf aggregation so the per-(doc,term) carrier
+    holds only query-term postings (|terms| * |docs| worst case, not
+    |tokens|); doc lengths and the 1-row corpus stats broadcast; the
+    final top-k is a per-term window over <= |docs| rows."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    score = (
+        ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        * (tfd * F.lit(2.2))
+        / (tfd + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dld / F.col("avgdl"))))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "term", "tf", "dl", "score", "rank")
+    )
+
+
+@query(
+    "walk3_centrality",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM m a JOIN m b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), w1 AS (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS walks FROM sym GROUP BY u
+    ), w2 AS (
+        SELECT s.u AS node, CAST(SUM(w.walks) AS BIGINT) AS walks
+        FROM sym s JOIN w1 w ON w.node = s.v GROUP BY s.u
+    ), w3 AS (
+        SELECT s.u AS node, CAST(SUM(w.walks) AS BIGINT) AS walks
+        FROM sym s JOIN w2 w ON w.node = s.v GROUP BY s.u
+    )
+    SELECT node AS part_id, walks FROM w3
+    """,
+)
+def walk3_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 walk counts per node on the part co-purchase graph —
+    the integer power-iteration skeleton (w_{i+1} = A @ w_i), i.e.
+    eigenvector/PageRank centrality with the float damping stripped so
+    every sum stays in bigint and the result is EXACT and
+    engine-portable (a float PageRank would hash-diverge on summation
+    order). Each round is one |E|-edge equi-join against the |V|-row
+    weight vector + a partial-agg groupBy — both shuffles keyed on
+    node id; a fixed 3 rounds keeps lineage shallow with no
+    checkpoint (operators/graph.walk_counts)."""
+    tune(spark)
+    from etl_inreach_spark.operators.graph import cooccurrence_edges, walk_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li.select("l_orderkey", "l_partkey"), "l_partkey", ("l_orderkey",)
+    )
+    return walk_counts(edges, 3, node_alias="part_id")

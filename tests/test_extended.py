@@ -362,3 +362,19 @@ def test_cooccurrence_edges_bucketed(spark):
     got = {(r["u"], r["v"]) for r in cooccurrence_edges(df, "node", ("bucket",)).collect()}
     # pairs only WITHIN a bucket; singleton bucket b3 contributes none
     assert got == {(1, 2), (1, 3), (2, 3), (3, 4)}
+
+
+def test_walk_counts_path_graph(spark):
+    """P4 path graph 1-2-3-4: adjacency powers are hand-checkable.
+    w1 = degree; w2(v) = sum of neighbor degrees; w3 = next power."""
+    from etl_inreach_spark.operators.graph import walk_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "u long, v long"
+    )
+    w1 = {r["node"]: r["walks"] for r in walk_counts(edges, 1).collect()}
+    assert w1 == {1: 1, 2: 2, 3: 2, 4: 1}
+    w2 = {r["node"]: r["walks"] for r in walk_counts(edges, 2).collect()}
+    assert w2 == {1: 2, 2: 3, 3: 3, 4: 2}
+    w3 = {r["node"]: r["walks"] for r in walk_counts(edges, 3).collect()}
+    assert w3 == {1: 3, 2: 5, 3: 5, 4: 3}

@@ -14,22 +14,35 @@ DRIVER_WINDOW = 50
 def test_front_and_tail_names_exist():
     names = set(Q.all_queries())
     assert set(Q._FRONT) <= names, set(Q._FRONT) - names
+    assert set(Q._PENDING) <= names, set(Q._PENDING) - names
     assert set(Q._TAIL) <= names, set(Q._TAIL) - names
-    assert not set(Q._FRONT) & set(Q._TAIL)
+    groups = [set(Q._FRONT), set(Q._PENDING), set(Q._TAIL)]
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            assert not a & b
 
 
 def test_every_non_tail_query_inside_driver_window():
-    """Anything not explicitly rotated to the tail (i.e. anything not
-    green in two straight rounds) must land where the driver checks it.
-    Fails when the registry grows past window + len(_TAIL): rotate more
-    stable greens into _TAIL."""
+    """Anything not explicitly rotated to the tail (green in two
+    straight rounds) or explicitly parked as PENDING (added after this
+    round's window froze; must enter _FRONT next round) must land where
+    the driver checks it — nothing gets silently unverifiable."""
     order = list(Q.all_queries())
     outside = set(order[DRIVER_WINDOW:])
-    non_tail_outside = outside - set(Q._TAIL)
-    assert not non_tail_outside, (
+    unaccounted = outside - set(Q._TAIL) - set(Q._PENDING)
+    assert not unaccounted, (
         f"queries outside the driver's first-{DRIVER_WINDOW} window that are "
-        f"not rotated tail entries: {sorted(non_tail_outside)}"
+        f"neither rotated tail entries nor declared PENDING: {sorted(unaccounted)}"
     )
+    # PENDING is a parking slot, not a second tail: it must stay small
+    # (strictly fewer than the names that rotate OUT of a full window
+    # each round) so everything parked can actually enter next round.
+    assert len(Q._PENDING) <= 10, "PENDING outgrew next round's window capacity"
+    # and PENDING names must sit at the head of the middle, directly
+    # after the front, so a widened driver window would reach them first
+    assert order[len(Q._FRONT) : len(Q._FRONT) + len(Q._PENDING)] == [
+        n for n in Q._PENDING if n in set(order)
+    ]
 
 
 def test_front_queries_lead_the_registry():
