@@ -60,15 +60,33 @@ def main() -> None:
     qs.pop("streaming_stateful_latest", None)
     qs.pop("streaming_groupstate_latest", None)
     qs.pop("upsert_merge_roundtrip", None)  # sink fixture: tmp-table writes
+    qs.pop("incremental_agg_merge", None)  # sink fixture: tmp-table writes
     qs.pop("partitioned_sink_prune", None)  # sink fixture: tmp-table writes
     qs.pop("csv_roundtrip_orders", None)  # sink fixture: tmp-table writes
     qs.pop("streaming_tumbling_counts", None)
     qs.pop("streaming_stream_stream_join", None)
     qs.pop("streaming_static_enrich", None)
-    # min-of-3: the first run pays codegen compile (multi-second for
-    # the wide unrolled plans), and min-of-2 still let compile noise
-    # pollute round-over-round comparison (VERDICT r2)
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # min-of-4: the first run pays codegen compile (multi-second for
+    # the wide unrolled plans), and on slower host VMs the iterative
+    # checkpoint-heavy queries only reach steady state on run 3
+    # (measured: dedup_clusters 12.6/15.2/5.5/5.7 on a cold JVM) —
+    # min-of-2/3 let that warmup noise pollute round-over-round
+    # comparison (VERDICT r2; round-4 host-speed regression).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
+
+    def _drop_leaked_blocks() -> None:
+        # localCheckpoint(eager=True) blocks unpin only when Python's
+        # GC + Spark's ContextCleaner get around to it; across ~100
+        # queries the lag accumulates into storage-vs-execution memory
+        # pressure that shows up as multi-second eviction/GC stalls in
+        # UNRELATED later queries. Discarded plans are never re-read,
+        # so dropping them between queries is safe and deterministic.
+        try:
+            for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+                rdd.unpersist()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         best = None
@@ -83,6 +101,7 @@ def main() -> None:
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
                 # a later transient failure must not discard a valid
                 # earlier timing; only an all-repeats failure is -1
+        _drop_leaked_blocks()
         timings[name] = best if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)

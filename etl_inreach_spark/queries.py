@@ -140,6 +140,8 @@ _PENDING: tuple[str, ...] = (
     "tpch_q21_last_shipper",
     "bm25_term_search",
     "walk3_centrality",
+    "bloom_prune_join",
+    "incremental_agg_merge",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified

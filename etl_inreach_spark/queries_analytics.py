@@ -899,3 +899,108 @@ def tpch_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "bloom_prune_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_acctbal, o_totalprice
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloom.py): the fact
+    table is pruned by an m=2^17-bit filter built over the selective
+    dim keys BEFORE the join — k=5 broadcast word-table lookups per
+    fact row, zero fact shuffle — then the exact join removes the
+    false positives. Because a Bloom filter has no false negatives,
+    the pruned plan's result equals the plain join's, which is
+    precisely what the oracle checks (the explicit, pinned form of
+    Spark's injected runtime bloom filter). At 100 TB this is the
+    difference between shuffling every fact row and shuffling ~the
+    matching fraction + epsilon."""
+    tune(spark)
+    from etl_inreach_spark.operators.bloom import bloom_prune, bloom_words
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    words = bloom_words(c.select("c_custkey"), "c_custkey")
+    pruned = bloom_prune(o, "o_custkey", words)
+    return pruned.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "o_custkey", "c_acctbal", "o_totalprice"
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation under the value gate: revenue by nation
+    maintained across two order batches (split at the order-date
+    midpoint) through the additive MERGE sink
+    (sinks.upsert.merge_aggregate_partitioned). Each increment
+    partial-aggregates its batch (broadcast customer dim join, exact
+    integer cents), then folds it into the persisted state by per-key
+    summation — commutative-monoid maintenance, so the final state
+    must hash-match the one-shot recompute the oracle runs. This is
+    the pattern that turns a 100 TB nightly recompute into a
+    batch-sized increment."""
+    import shutil
+    import uuid
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lo, hi = o.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    cutoff = lo + (hi - lo) / 2
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+
+    from etl_inreach_spark.sinks.upsert import merge_aggregate_partitioned
+
+    run = uuid.uuid4().hex[:12]
+    path = f"/tmp/spark_graft_incragg/{run}/state"
+    try:
+        for batch in (
+            o.filter(F.col("o_orderdate") <= F.lit(cutoff)),
+            o.filter(F.col("o_orderdate") > F.lit(cutoff)),
+        ):
+            partial = (
+                batch.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+                .select("c_nationkey", cents.alias("revenue_cents"))
+                .withColumn("bucket", F.pmod(F.col("c_nationkey"), F.lit(8)))
+                .groupBy("bucket", "c_nationkey")
+                .agg(
+                    F.sum("revenue_cents").alias("revenue_cents"),
+                    F.count(F.lit(1)).alias("n_orders"),
+                )
+            )
+            merge_aggregate_partitioned(
+                spark, path, partial,
+                key_cols=["c_nationkey"],
+                sum_cols=["revenue_cents", "n_orders"],
+                partition_col="bucket",
+            )
+        out = spark.read.parquet(path).select(
+            "c_nationkey", "revenue_cents", "n_orders"
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(f"/tmp/spark_graft_incragg/{run}", ignore_errors=True)
+    return out

@@ -91,7 +91,13 @@ def get_spark(app_name: str = "etl-inreach-spark", cpus: int | None = None) -> S
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Single-JVM local mode: driver heap IS the executor heap for
+        # all N threads plus every lingering localCheckpoint block.
+        # 16g showed eviction/GC stalls across a ~100-query bench run
+        # on a 128 GiB host; 48g leaves the OS page cache plenty while
+        # removing storage-vs-execution pressure. Cluster deployments
+        # size executors explicitly and never read this default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")

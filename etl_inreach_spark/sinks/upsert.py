@@ -115,3 +115,47 @@ def upsert_latest_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def merge_aggregate_partitioned(
+    spark: SparkSession,
+    path: str,
+    partial: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    partition_col: str,
+) -> None:
+    """Incremental VIEW MAINTENANCE for commutative-monoid aggregates:
+    fold a batch's PARTIAL aggregate into the persisted state by
+    summing per key — the additive analogue of the argmax upsert above
+    (that one replaces rows; this one combines them, which is valid
+    exactly because sum/count form a commutative monoid, so
+    state + batch == one-shot recompute regardless of batch order or
+    boundaries — the property the oracle-gated query pins).
+
+    ``partial`` must already be aggregated to one row per key with
+    bigint/decimal ``sum_cols`` (exact addition; float sums would
+    drift per merge order). Only partitions the batch touches are
+    read (pruned scan) and rewritten (dynamic partition overwrite);
+    at 100 TB each increment costs ~|touched keys|, never a state
+    rescan."""
+    touched = [r[0] for r in partial.select(partition_col).distinct().collect()]
+    if not touched:
+        return
+    if os.path.exists(path):
+        current = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(touched)
+        )
+        merged = (
+            current.unionByName(partial)
+            .groupBy(partition_col, *key_cols)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+    else:
+        merged = partial
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

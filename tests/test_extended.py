@@ -378,3 +378,32 @@ def test_walk_counts_path_graph(spark):
     assert w2 == {1: 2, 2: 3, 3: 3, 4: 2}
     w3 = {r["node"]: r["walks"] for r in walk_counts(edges, 3).collect()}
     assert w3 == {1: 3, 2: 5, 3: 5, 4: 3}
+
+
+def test_bloom_prune_no_false_negatives_and_fp_bounded(spark):
+    from etl_inreach_spark.operators.bloom import bloom_prune, bloom_words
+
+    keys = spark.range(0, 500).withColumnRenamed("id", "k")
+    # dim = multiples of 7; fact = all 500 keys
+    dim = keys.filter(F.col("k") % 7 == 0)
+    words = bloom_words(dim, "k", m_bits=1 << 12, k_hashes=5)
+    kept = {r["k"] for r in bloom_prune(keys, "k", words, m_bits=1 << 12, k_hashes=5).collect()}
+    member = {r["k"] for r in dim.collect()}
+    assert member <= kept, "bloom filter dropped a true member"
+    # m=4096 bits, n=72 keys, k=5 -> fp ~ 2e-5; allow generous slack
+    assert len(kept - member) <= 5, f"false-positive blowup: {len(kept - member)}"
+
+
+def test_bloom_prune_plan_shuffles_only_dim(spark):
+    """The fact side must reach the probe joins without an exchange:
+    every bloom probe is a broadcast hash join."""
+    from etl_inreach_spark.operators.bloom import bloom_prune, bloom_words
+
+    fact = spark.range(0, 10000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 100).withColumnRenamed("id", "k")
+    words = bloom_words(dim, "k")
+    plan = bloom_prune(fact, "k", words)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 5
+    # the only exchanges allowed are building the tiny word table
+    # (groupBy bit_or) and its broadcasts — never a fact-side shuffle
+    assert "SortMergeJoin" not in plan

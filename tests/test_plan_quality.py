@@ -65,3 +65,42 @@ def test_stratified_sample_no_shuffle(spark):
     plan must contain NO exchange at all."""
     plan = _plan(spark, "stratified_sample_documents")
     assert "Exchange" not in plan
+
+
+def test_q21_decorrelation_stays_equi_join(spark):
+    """The EXISTS/NOT-EXISTS rendering must plan as semi/anti
+    EQUI-joins on l_orderkey (the inequality as a join residual) —
+    never a BroadcastNestedLoopJoin, which would be |lineitem|^2 at
+    scale."""
+    plan = _plan(spark, "tpch_q21_last_shipper")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q18_having_precedes_joins(spark):
+    """The quantity-threshold filter must apply to the aggregate
+    BEFORE either join: the join inputs carry only qualifying orders.
+    In the executed plan the Filter sits on the agg side, not above
+    any join."""
+    plan = _plan(spark, "tpch_q18_large_orders")
+    join_pos = min(
+        (plan.find(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if plan.find(j) != -1),
+        default=-1,
+    )
+    filt_pos = plan.find("Filter (isnotnull(_q")
+    if filt_pos == -1:
+        filt_pos = plan.find("Filter (_q")
+    assert join_pos != -1 and filt_pos != -1
+    # executedPlan prints top-down: the HAVING filter printing BELOW
+    # (after) the first join node means it executes before the join
+    assert filt_pos > join_pos
+
+
+def test_bm25_stats_broadcast(spark):
+    """The 1-row corpus stats must broadcast — a shuffled cross join
+    against per-term postings would serialize the whole relation
+    through one partition."""
+    plan = _plan(spark, "bm25_term_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -40,23 +40,47 @@ DEFAULT_QUERIES = (
 )
 
 
-def make_replica_dir(spark, base: str, r: int, root: str) -> str:
-    """sf_dir with documents replicated r times, other tables linked."""
+# Per-table replication recipe: which key columns to OFFSET per copy so
+# entity populations multiply (a real bigger-world scale-up) instead of
+# densifying existing keys into hotspots. Offsetting l_orderkey but not
+# l_partkey would densify the co-purchase graph toward a clique, which
+# is a different (and unrealistic) asymptotic regime — offset every
+# entity key the table carries.
+_REPLICA_KEYS = {
+    "documents": ("doc_id",),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "events": ("event_id", "user_id"),
+    "embeddings": ("vec_id",),
+}
+
+
+def make_replica_dir(
+    spark, base: str, r: int, root: str, tables: tuple[str, ...] = ("documents",)
+) -> str:
+    """sf_dir with ``tables`` replicated r times (entity keys offset
+    per copy), every other table symlinked."""
     out = os.path.join(root, f"x{r}")
     os.makedirs(out, exist_ok=True)
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     for t in TABLES:
         src = table_path(base, t)
         dst = table_path(out, t)
-        if t == "documents":
-            docs = spark.read.parquet(src)
-            n_ids = docs.selectExpr("max(doc_id)").first()[0] + 1
-            from pyspark.sql import functions as F
-            from functools import reduce
-
-            parts = [
-                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_ids))
-                for i in range(r)
-            ]
+        if t in tables:
+            df = spark.read.parquet(src)
+            keys = _REPLICA_KEYS[t]
+            spans = {
+                k: df.selectExpr(f"max({k})").first()[0] + 1 for k in keys
+            }
+            parts = []
+            for i in range(r):
+                p = df
+                for k in keys:
+                    p = p.withColumn(k, F.col(k) + F.lit(i * spans[k]))
+                parts.append(p)
             reduce(lambda a, b: a.unionByName(b), parts).write.mode(
                 "overwrite"
             ).parquet(dst)
@@ -77,8 +101,15 @@ def time_query(fn, spark, sf_dir: str, repeats: int = 2) -> tuple[float, int]:
 
 
 def main() -> int:
-    r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or list(DEFAULT_QUERIES)
+    # usage: scale_probe.py [R] [--tables t1,t2] [query ...]
+    argv = sys.argv[1:]
+    tables = ("documents",)
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = tuple(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    r = int(argv[0]) if argv else 10
+    names = argv[1:] or list(DEFAULT_QUERIES)
     qs = all_queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
@@ -87,8 +118,8 @@ def main() -> int:
     spark = get_spark("scale-probe")
     results = {}
     with tempfile.TemporaryDirectory(prefix="spark_graft_probe_") as root:
-        d1 = make_replica_dir(spark, BASE_SF_DIR, 1, root)
-        dr = make_replica_dir(spark, BASE_SF_DIR, r, root)
+        d1 = make_replica_dir(spark, BASE_SF_DIR, 1, root, tables)
+        dr = make_replica_dir(spark, BASE_SF_DIR, r, root, tables)
         for name in names:
             t1, rows1 = time_query(qs[name], spark, d1)
             tr, rowsr = time_query(qs[name], spark, dr)
@@ -102,7 +133,16 @@ def main() -> int:
             }
             print(f"{name}: {t1:.2f}s -> {tr:.2f}s at {r}x  "
                   f"(exponent {exp:.2f}; rows {rows1} -> {rowsr})")
-    print(json.dumps({"replication": r, "base": BASE_SF_DIR, "results": results}))
+    print(
+        json.dumps(
+            {
+                "replication": r,
+                "base": BASE_SF_DIR,
+                "tables": list(tables),
+                "results": results,
+            }
+        )
+    )
     return 0
 
 
