@@ -26,6 +26,30 @@ from etl_inreach_spark.queries import all_queries  # noqa: E402
 from etl_inreach_spark.session import get_spark  # noqa: E402
 
 
+def _calibrate(cpus: int) -> dict:
+    """~1s single-core + parallel spin benchmark of the host."""
+    import concurrent.futures as cf
+
+    def burn(_):
+        t0 = time.monotonic()
+        n = 0
+        while time.monotonic() - t0 < 0.25:
+            n += 1
+        return n
+
+    single = burn(0)
+    try:
+        with cf.ProcessPoolExecutor(cpus) as ex:
+            counts = list(ex.map(burn, range(cpus)))
+        return {
+            "spin_single": single,
+            "spin_par_min": min(counts),
+            "spin_par_max": max(counts),
+        }
+    except Exception:
+        return {"spin_single": single}
+
+
 def build_spark(cpus: int) -> SparkSession:
     # the library session builder — bench must run under the same
     # profile as every other consumer so recorded numbers track tuning
@@ -37,6 +61,15 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # Host calibration: recorded so round-over-round comparisons can be
+    # normalized for host-VM speed. Round-4 finding: the host's vCPUs
+    # are heterogeneous (~3x single-core spread) with intermittent
+    # multi-second scheduling stalls invisible to in-guest PSI — a
+    # trivial 11 MB aggregation spiked 1.6 -> 14.8 s run-to-run. The
+    # min-of-N repeat policy below exists precisely to discard
+    # stall-affected runs.
+    host_cal = _calibrate(cpus)
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,6 +147,7 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "failed": sorted(n for n, t in timings.items() if t < 0),
+        "host_calibration": host_cal,
     }
     # Compact separators: the driver's stdout capture keeps a bounded
     # TAIL, and BENCH_r03.json lost the head of the (space-padded) line

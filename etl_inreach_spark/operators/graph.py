@@ -150,10 +150,15 @@ def walk_counts(edges: DataFrame, length: int, node_alias: str = "node") -> Data
     against the |V|-sized weight vector plus a groupBy-sum — map-side
     partial agg, shuffle keyed on node id both times, no UDFs. Rounds
     are a fixed small constant (the query pins 3), so lineage stays
-    shallow and no checkpoint is needed — unlike connected_components,
-    whose data-dependent round count forces lineage cuts.
+    shallow — but the symmetric edge list is MATERIALIZED once anyway:
+    every round's plan references it, and an unmaterialized sym would
+    re-run the (possibly expensive) upstream edge build — e.g. the
+    co-purchase distinct self-join — once per round plus once for the
+    degree seed (measured ~2x end-to-end on walk3_centrality).
     """
-    sym = symmetrize(edges)
+    sym = symmetrize(
+        edges.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     w = sym.groupBy(F.col("u").alias(node_alias)).agg(
         F.count(F.lit(1)).alias("walks")
     )

@@ -667,25 +667,38 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cogroup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-pandas surface (groupBy().cogroup().applyInPandas —
-    FlatMapCoGroupsInPandas): the click and purchase streams are
-    co-partitioned by user and each user's pair of Arrow batches lands
-    in ONE Python function, which as-of-matches every purchase to its
-    most recent prior click (numpy searchsorted on the sorted click
-    timeline — O(n log n) per user, no per-pair join) and reduces to
-    per-user conversion latency stats. The oracle states the same
-    semantics relationally (greatest prior click per purchase via
-    LEFT JOIN + MAX, then a median). Latencies are exact integer
-    microseconds divided by 1e6 — same IEEE double on both engines;
-    the median of doubles is the same order statistic in pandas and
-    DuckDB (average of the middle two on even counts)."""
+    FlatMapCoGroupsInPandas): click and purchase streams co-partitioned
+    and paired into one Python function, which as-of-matches every
+    purchase to its most recent prior click (numpy searchsorted —
+    O(n log n), no per-pair join) and reduces to per-user conversion
+    latency stats.
+
+    The cogroup KEY is a hash BUCKET of the user, not the user itself:
+    FlatMapCoGroupsInPandas pays a pandas-DataFrame construction per
+    group, so keying by user (~|users| tiny groups) spends more time
+    in per-group overhead than in matching — measured 8.5 s -> ~1 s at
+    sf0.1 with 256 buckets. Inside a bucket the users are processed
+    from TWO lexsorts + boundary slices (numpy views, no per-user
+    pandas objects) — the same bounded-bucket pattern as
+    seq_pack_bins. At 100 TB buckets scale with the cluster, and each
+    bucket's payload is |events|/256, not one user.
+
+    The oracle states the same semantics relationally (greatest prior
+    click per purchase via LEFT JOIN + MAX, then a median). Latencies
+    are exact integer microseconds divided by 1e6 — same IEEE double
+    on both engines; the median of doubles is the same order statistic
+    in numpy and DuckDB (average of the middle two on even counts)."""
     import numpy as np
     import pandas as pd
 
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    bucket = F.pmod(F.col("user_id"), F.lit(256)).alias("bucket")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        bucket, "user_id", "ts"
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+        bucket, "user_id", "event_id", "ts"
     )
 
     def match(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -693,25 +706,41 @@ def cogroup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["user_id", "n_purchases", "n_converted", "median_latency_s"]
             )
-        user = purch_pdf["user_id"].iloc[0]
+        p_user = purch_pdf["user_id"].to_numpy()
         p_us = purch_pdf["ts"].astype("int64").to_numpy() // 1000
-        c_us = np.sort(clicks_pdf["ts"].astype("int64").to_numpy() // 1000)
-        # index of the latest click <= each purchase (0 -> no prior click)
-        idx = np.searchsorted(c_us, p_us, side="right")
-        converted = idx > 0
-        lat = (p_us[converted] - c_us[idx[converted] - 1]) / 1_000_000.0
+        c_user = clicks_pdf["user_id"].to_numpy()
+        c_us = clicks_pdf["ts"].astype("int64").to_numpy() // 1000
+        po = np.lexsort((p_us, p_user))
+        p_user, p_us = p_user[po], p_us[po]
+        co = np.lexsort((c_us, c_user))
+        c_user, c_us = c_user[co], c_us[co]
+        users, p_starts = np.unique(p_user, return_index=True)
+        p_ends = np.append(p_starts[1:], len(p_user))
+        c_starts = np.searchsorted(c_user, users, side="left")
+        c_ends = np.searchsorted(c_user, users, side="right")
+        n_purch, n_conv, medians = [], [], []
+        for i in range(len(users)):
+            pu = p_us[p_starts[i] : p_ends[i]]
+            cu = c_us[c_starts[i] : c_ends[i]]
+            # index of the latest click <= each purchase (0 -> none)
+            idx = np.searchsorted(cu, pu, side="right")
+            conv = idx > 0
+            lat = (pu[conv] - cu[idx[conv] - 1]) / 1_000_000.0
+            n_purch.append(len(pu))
+            n_conv.append(int(conv.sum()))
+            medians.append(float(np.median(lat)) if lat.size else None)
         return pd.DataFrame(
             {
-                "user_id": [user],
-                "n_purchases": [len(p_us)],
-                "n_converted": [int(converted.sum())],
-                "median_latency_s": [float(np.median(lat)) if lat.size else None],
+                "user_id": users,
+                "n_purchases": n_purch,
+                "n_converted": n_conv,
+                "median_latency_s": medians,
             }
         )
 
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(
             match,
             "user_id bigint, n_purchases bigint, n_converted bigint, "
