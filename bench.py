@@ -26,21 +26,42 @@ from etl_inreach_spark.queries import all_queries  # noqa: E402
 from etl_inreach_spark.session import get_spark  # noqa: E402
 
 
+def _spin() -> int:
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 0.25:
+        n += 1
+    return n
+
+
 def _calibrate(cpus: int) -> dict:
-    """~1s single-core + parallel spin benchmark of the host."""
-    import concurrent.futures as cf
+    """~1s single-core + parallel spin benchmark of the host.
 
-    def burn(_):
-        t0 = time.monotonic()
-        n = 0
-        while time.monotonic() - t0 < 0.25:
-            n += 1
-        return n
-
-    single = burn(0)
+    fork() + pipes, not multiprocessing: no pickling, no dependence on
+    how this module was loaded, and the children are pure busy loops."""
+    single = _spin()
     try:
-        with cf.ProcessPoolExecutor(cpus) as ex:
-            counts = list(ex.map(burn, range(cpus)))
+        pipes = []
+        for _ in range(cpus):
+            r, w = os.pipe()
+            pid = os.fork()
+            if pid == 0:  # child
+                try:
+                    os.close(r)
+                    os.write(w, str(_spin()).encode())
+                finally:
+                    os._exit(0)
+            os.close(w)
+            pipes.append((pid, r))
+        counts = []
+        for pid, r in pipes:
+            with os.fdopen(r) as fh:
+                data = fh.read().strip()
+            os.waitpid(pid, 0)
+            if data:
+                counts.append(int(data))
+        if not counts:
+            return {"spin_single": single}
         return {
             "spin_single": single,
             "spin_par_min": min(counts),

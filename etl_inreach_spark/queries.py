@@ -142,6 +142,7 @@ _PENDING: tuple[str, ...] = (
     "walk3_centrality",
     "bloom_prune_join",
     "incremental_agg_merge",
+    "embedding_argmax_arrow",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified

@@ -1035,3 +1035,75 @@ def walk3_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_partkey"), "l_partkey", ("l_orderkey",)
     )
     return walk_counts(edges, 3, node_alias="part_id")
+
+
+@query(
+    "embedding_argmax_arrow",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS idx
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           CAST(COUNT(*) FILTER (x > 0) AS BIGINT) AS n_pos,
+           CAST(MIN(idx) FILTER (x = mx) AS BIGINT) AS argmax_idx
+    FROM (SELECT *, MAX(x) OVER (PARTITION BY vec_id) AS mx FROM el)
+    GROUP BY vec_id
+    """,
+)
+def embedding_argmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (the Arrow-NATIVE batch API — no pandas
+    conversion at all): per-vector dimension count, positive-element
+    count, and argmax index, computed straight off the Arrow
+    ListArray's (offsets, values) buffers as numpy views. All outputs
+    are integers and the only float ops are comparisons of stored
+    float32 values (no arithmetic), so the result is exact on both
+    engines; ties resolve to the LOWEST index (np.argmax first-hit ==
+    the oracle's MIN(idx) over maximal positions). This is the API
+    tier below mapInPandas for kernels where pandas object overhead
+    matters; the plan is a single narrow mapInArrow pass, no shuffle."""
+    tune(spark)
+    import pyarrow as pa
+    import numpy as np
+
+    def argmax_batches(batches):
+        for b in batches:
+            vec_ids = b.column(0).to_numpy(zero_copy_only=False)
+            emb = b.column(1)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            offsets = emb.offsets.to_numpy(zero_copy_only=False).astype("int64")
+            values = emb.values.to_numpy(zero_copy_only=False)
+            dims = offsets[1:] - offsets[:-1]
+            n = len(vec_ids)
+            if n and (dims == dims[0]).all() and dims[0] > 0:
+                mat = values[offsets[0] : offsets[-1]].reshape(n, dims[0])
+                n_pos = (mat > 0).sum(axis=1).astype("int64")
+                amax = np.argmax(mat, axis=1).astype("int64")
+            else:  # ragged fallback, same semantics
+                n_pos = np.fromiter(
+                    ((values[s:e] > 0).sum() for s, e in zip(offsets[:-1], offsets[1:])),
+                    dtype="int64", count=n,
+                )
+                amax = np.fromiter(
+                    (np.argmax(values[s:e]) for s, e in zip(offsets[:-1], offsets[1:])),
+                    dtype="int64", count=n,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(dims.astype("int64"), type=pa.int64()),
+                    pa.array(n_pos, type=pa.int64()),
+                    pa.array(amax, type=pa.int64()),
+                ],
+                names=["vec_id", "dim", "n_pos", "argmax_idx"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        argmax_batches,
+        "vec_id bigint, dim bigint, n_pos bigint, argmax_idx bigint",
+    )
