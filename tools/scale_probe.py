@@ -40,46 +40,68 @@ DEFAULT_QUERIES = (
 )
 
 
-# Per-table replication recipe: which key columns to OFFSET per copy so
-# entity populations multiply (a real bigger-world scale-up) instead of
-# densifying existing keys into hotspots. Offsetting l_orderkey but not
-# l_partkey would densify the co-purchase graph toward a clique, which
-# is a different (and unrealistic) asymptotic regime — offset every
-# entity key the table carries.
-_REPLICA_KEYS = {
-    "documents": ("doc_id",),
-    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
-    "orders": ("o_orderkey", "o_custkey"),
-    "events": ("event_id", "user_id"),
-    "embeddings": ("vec_id",),
+# Entity-key DOMAINS: every (table, column) pair that carries the same
+# identifier space. When tables are replicated, a domain's keys are
+# offset per copy ONLY if every member table is in the replicated set —
+# otherwise the column is an FK into a non-replicated dim and must keep
+# its original values (the copies become new facts about EXISTING
+# entities: more orders per customer, more lineitems per part). That
+# keeps all joins valid and models the natural scale-up where fact
+# volume outgrows dimension cardinality; replicating a dim and its
+# facts together instead multiplies the entity population.
+_KEY_DOMAINS: dict[str, dict[str, str]] = {
+    "order": {"lineitem": "l_orderkey", "orders": "o_orderkey"},
+    "cust": {"orders": "o_custkey", "customer": "c_custkey"},
+    "part": {"lineitem": "l_partkey", "part": "p_partkey"},
+    "supp": {"lineitem": "l_suppkey", "supplier": "s_suppkey"},
+    "doc": {"documents": "doc_id"},
+    "vec": {"embeddings": "vec_id"},
+    "user": {"events": "user_id"},
+    "event": {"events": "event_id"},
 }
 
 
 def make_replica_dir(
     spark, base: str, r: int, root: str, tables: tuple[str, ...] = ("documents",)
 ) -> str:
-    """sf_dir with ``tables`` replicated r times (entity keys offset
-    per copy), every other table symlinked."""
+    """sf_dir with ``tables`` replicated r times (domain keys offset
+    per copy where the whole domain is replicated), every other table
+    symlinked."""
     out = os.path.join(root, f"x{r}")
     os.makedirs(out, exist_ok=True)
     from functools import reduce
 
     from pyspark.sql import functions as F
 
+    # domain -> span, for domains fully contained in `tables`
+    spans: dict[str, int] = {}
+    for dom, members in _KEY_DOMAINS.items():
+        if all(t in tables for t in members):
+            mx = 0
+            for t, col in members.items():
+                v = spark.read.parquet(table_path(base, t)).selectExpr(
+                    f"max({col})"
+                ).first()[0]
+                mx = max(mx, (v or 0) + 1)
+            spans[dom] = mx
+
     for t in TABLES:
         src = table_path(base, t)
         dst = table_path(out, t)
         if t in tables:
             df = spark.read.parquet(src)
-            keys = _REPLICA_KEYS[t]
-            spans = {
-                k: df.selectExpr(f"max({k})").first()[0] + 1 for k in keys
-            }
+            offsets = [
+                (col, spans[dom])
+                for dom, members in _KEY_DOMAINS.items()
+                if dom in spans
+                for tt, col in members.items()
+                if tt == t
+            ]
             parts = []
             for i in range(r):
                 p = df
-                for k in keys:
-                    p = p.withColumn(k, F.col(k) + F.lit(i * spans[k]))
+                for col, span in offsets:
+                    p = p.withColumn(col, F.col(col) + F.lit(i * span))
                 parts.append(p)
             reduce(lambda a, b: a.unionByName(b), parts).write.mode(
                 "overwrite"
