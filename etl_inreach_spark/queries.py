@@ -143,6 +143,7 @@ _PENDING: tuple[str, ...] = (
     "bloom_prune_join",
     "incremental_agg_merge",
     "embedding_argmax_arrow",
+    "pandas_udaf_median_price",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified

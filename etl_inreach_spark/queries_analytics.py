@@ -1033,3 +1033,55 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(f"/tmp/spark_graft_incragg/{run}", ignore_errors=True)
     return out
+
+
+@query(
+    "pandas_udaf_median_price",
+    oracle="""
+    SELECT o_orderpriority,
+           median(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS median_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pandas_udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface: a GROUPED_AGG pandas UDF (Arrow-transferred
+    whole-group column -> one scalar) computing the EXACT median order
+    price per priority. Inputs are integer cents (JVM decimal cast, no
+    float drift), so the median is either an integer or an
+    exact-binary .5 average of the middle two — np.median and DuckDB's
+    median agree bit-for-bit. Honest scale note: a GROUPED_AGG UDF
+    materializes each group in one worker, so this shape is for
+    BOUNDED groups (5 priorities here); corpus-scale exact percentiles
+    belong to the sort-based order_value_percentiles path. The point
+    under the gate is the pandas-UDAF API tier itself."""
+    tune(spark)
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType, no type hints: this module runs under
+    # `from __future__ import annotations`, which turns hints into
+    # strings that pandas_udf's signature inference rejects
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def exact_median(cents):
+        import numpy as np
+
+        return float(np.median(cents.to_numpy(dtype="int64")))
+
+    # Spark refuses to mix a group-agg pandas UDF with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is
+    # a second pandas UDAF rather than F.count
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_size(cents):
+        return len(cents)
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        o.select("o_orderpriority", cents.alias("_cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            exact_median(F.col("_cents")).alias("median_cents"),
+            group_size(F.col("_cents")).alias("n_orders"),
+        )
+    )
