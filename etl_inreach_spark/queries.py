@@ -144,6 +144,7 @@ _PENDING: tuple[str, ...] = (
     "incremental_agg_merge",
     "embedding_argmax_arrow",
     "pandas_udaf_median_price",
+    "corpus_curation_pipeline",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified

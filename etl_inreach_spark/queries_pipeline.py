@@ -459,3 +459,68 @@ def ansi_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_timestamp(F.col("event_type")).alias("type_as_ts"),
         F.substring("props", 7, 10).try_cast("bigint").alias("k_prefix"),
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), quality AS (
+        SELECT * FROM toks WHERE n_tokens >= 10
+    ), fp AS (
+        SELECT doc_id, n_tokens,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM quality
+    ), dedup AS (
+        SELECT fp, min(doc_id) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM fp GROUP BY fp
+    ), survivors AS (
+        SELECT d.doc_id, f.n_tokens, d.n_dups
+        FROM dedup d JOIN fp f ON f.doc_id = d.doc_id
+    )
+    SELECT doc_id, n_tokens, n_dups,
+           CASE WHEN ({_A} * doc_id + {_B}) % {_M} % 10 < 8 THEN 'train'
+                WHEN ({_A} * doc_id + {_B}) % {_M} % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM survivors
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline, composed from the library's own
+    operators in their canonical order: quality gate (token count
+    >= 10) -> exact dedup (min-doc_id survivor per normalized-md5
+    fingerprint, dup count retained for mixture bookkeeping) ->
+    deterministic 80/10/10 hash split. One narrow scan feeds the gate,
+    the dedup is the only shuffle (keyed on the 16-byte fingerprint),
+    and the split is a pure projection — so the whole pipeline costs
+    ONE aggregation over the surviving corpus regardless of scale.
+    Each stage is individually value-oracled elsewhere
+    (quality_filter_pipeline, exact_dedup_documents,
+    hash_split_documents); this query pins their COMPOSITION — the
+    integration a real corpus build runs nightly."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import fingerprint_md5, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.select(
+        "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    fp = quality.select(
+        "doc_id", "n_tokens", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    dedup = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    survivors = dedup.join(fp.select("doc_id", "n_tokens"), "doc_id")
+    h = (F.lit(_A) * F.col("doc_id") + F.lit(_B)) % F.lit(_M)
+    split = (
+        F.when(h % 10 < 8, F.lit("train"))
+        .when(h % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return survivors.select("doc_id", "n_tokens", "n_dups", split.alias("split"))
