@@ -407,3 +407,43 @@ def test_bloom_prune_plan_shuffles_only_dim(spark):
     # the only exchanges allowed are building the tiny word table
     # (groupBy bit_or) and its broadcasts — never a fact-side shuffle
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_empty_dim_prunes_everything(spark):
+    """An empty key set builds an empty word table; every probe then
+    reads a missing word (coalesce 0) and no fact row survives."""
+    from etl_inreach_spark.operators.bloom import bloom_prune, bloom_words
+
+    fact = spark.range(0, 100).withColumnRenamed("id", "k")
+    dim = fact.filter(F.col("k") < 0)
+    words = bloom_words(dim, "k")
+    assert bloom_prune(fact, "k", words).count() == 0
+
+
+def test_merge_aggregate_partitioned_batches(spark, tmp_path):
+    """Empty batch is a no-op; a later batch may introduce new keys;
+    the final state equals the one-shot aggregate over all rows."""
+    import os
+
+    from etl_inreach_spark.sinks.upsert import merge_aggregate_partitioned
+
+    path = os.path.join(str(tmp_path), "state")
+    rows1 = [(1, 10), (1, 5), (2, 7)]
+    rows3 = [(2, 1), (3, 100)]
+
+    def partial(rows):
+        df = spark.createDataFrame(rows, "k long, v long")
+        return (
+            df.withColumn("bucket", F.pmod(F.col("k"), F.lit(4)))
+            .groupBy("bucket", "k")
+            .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n"))
+        )
+
+    merge_aggregate_partitioned(spark, path, partial(rows1), ["k"], ["v", "n"], "bucket")
+    empty = partial(rows1).filter(F.lit(False))
+    merge_aggregate_partitioned(spark, path, empty, ["k"], ["v", "n"], "bucket")
+    merge_aggregate_partitioned(spark, path, partial(rows3), ["k"], ["v", "n"], "bucket")
+    got = {
+        (r["k"], r["v"], r["n"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, 15, 2), (2, 8, 2), (3, 100, 1)}
