@@ -44,29 +44,35 @@ def test_no_row_at_a_time_python_udfs(analyzed):
     assert not offenders, offenders
 
 
-def test_no_binary_columns_in_oracle_gated_output(analyzed):
+def test_oracle_gated_output_columns_are_atomic(analyzed):
     """Driver-contract invariant (CORRECTNESS_r03 multimodal_resize):
-    the driver's pandas canonicalizer crashes sorting bytearray cells,
-    so an oracle-gated query must never output a BINARY column — emit
-    hex(...) strings instead. Nested binary (struct/array/map fields)
-    is equally fatal, so the whole type tree is scanned."""
-    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+    the driver's pandas canonicalizer sorts every output column, and
+    any cell type pandas cannot hash (bytearray, list, dict, Row,
+    VariantVal) crashes it the way the BINARY resized column did.
+    So an oracle-gated query's TOP-LEVEL columns must all be atomic —
+    binary as hex(...) strings, arrays exploded or joined, structs
+    projected, maps unpivoted. (Currently every gated query complies;
+    this pins it.)"""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        MapType,
+        StructType,
+    )
 
-    def has_binary(dt) -> bool:
-        if isinstance(dt, BinaryType):
-            return True
-        if isinstance(dt, StructType):
-            return any(has_binary(f.dataType) for f in dt.fields)
-        if isinstance(dt, ArrayType):
-            return has_binary(dt.elementType)
-        if isinstance(dt, MapType):
-            return has_binary(dt.keyType) or has_binary(dt.valueType)
-        return False
+    def non_atomic(dt) -> bool:
+        return isinstance(
+            dt, (ArrayType, BinaryType, MapType, StructType)
+        ) or "variant" in dt.simpleString()
 
     gated = set(all_oracles())
     offenders = {
-        n: [f.name for f in schema.fields if has_binary(f.dataType)]
+        n: [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if non_atomic(f.dataType)
+        ]
         for n, (schema, _) in analyzed.items()
-        if n in gated and any(has_binary(f.dataType) for f in schema.fields)
+        if n in gated and any(non_atomic(f.dataType) for f in schema.fields)
     }
     assert not offenders, offenders
