@@ -40,8 +40,8 @@ def _calibrate(cpus: int) -> dict:
     fork() + pipes, not multiprocessing: no pickling, no dependence on
     how this module was loaded, and the children are pure busy loops."""
     single = _spin()
+    pipes: list[tuple[int, int]] = []
     try:
-        pipes = []
         for _ in range(cpus):
             r, w = os.pipe()
             pid = os.fork()
@@ -60,6 +60,7 @@ def _calibrate(cpus: int) -> dict:
             os.waitpid(pid, 0)
             if data:
                 counts.append(int(data))
+        pipes = []
         if not counts:
             return {"spin_single": single}
         return {
@@ -68,6 +69,17 @@ def _calibrate(cpus: int) -> dict:
             "spin_par_max": max(counts),
         }
     except Exception:
+        # reap/close whatever was already forked so a mid-loop failure
+        # doesn't leave zombies + open fds for the rest of the bench
+        for pid, r in pipes:
+            try:
+                os.close(r)
+            except OSError:
+                pass
+            try:
+                os.waitpid(pid, 0)
+            except OSError:
+                pass
         return {"spin_single": single}
 
 

@@ -97,9 +97,17 @@ def bloom_prune(
 
     k broadcast left joins on the word id — all map-side, no shuffle of
     the fact — then a conjunction of bit tests. A missing word row
-    means no key ever touched that word: coalesce to 0 and fail."""
+    means no key ever touched that word: coalesce to 0 and fail.
+
+    NULL keys PASS THROUGH untouched: the operator's contract is
+    "remove only rows that provably cannot equi-match a filter key",
+    and whether a NULL-key row survives is the downstream join's
+    business (an inner equi-join drops it, an outer join must keep
+    it). Callers pruning ahead of an inner join may pre-filter NULLs
+    themselves."""
     out = fact
     probes = _positions(F.col(key_col), m_bits, k_hashes)
+    null_key = F.col(key_col).isNull()
     for i, pos in enumerate(probes):
         w = words.select(
             F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
@@ -112,11 +120,14 @@ def bloom_prune(
                 "left",
             )
             .filter(
-                F.expr(
-                    f"shiftright(coalesce(_bits{i}, CAST(0 AS BIGINT)), "
-                    f"CAST(_pos{i} % 64 AS INT)) & 1"
+                null_key
+                | (
+                    F.expr(
+                        f"shiftright(coalesce(_bits{i}, CAST(0 AS BIGINT)), "
+                        f"CAST(_pos{i} % 64 AS INT)) & 1"
+                    )
+                    == 1
                 )
-                == 1
             )
             .drop(f"_pos{i}", f"_w{i}", f"_bits{i}")
         )

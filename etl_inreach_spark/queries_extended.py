@@ -964,7 +964,16 @@ def bm25_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # materialize the |docs|-sized length relation: dl feeds BOTH the
+    # join and the 1-row corpus stats, and without a barrier each
+    # consumer re-runs the full tokenize+explode subtree (the same
+    # shared-subtree rule as shingles in operators/text_dedup — tf's
+    # own filtered tokenization is then the only other pass)
+    from etl_inreach_spark.operators.text_dedup import _materialize_enabled
+
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    if _materialize_enabled(True):
+        dl = dl.localCheckpoint(eager=True)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1078,18 +1087,29 @@ def embedding_argmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             offsets = emb.offsets.to_numpy(zero_copy_only=False).astype("int64")
             values = emb.values.to_numpy(zero_copy_only=False)
             dims = offsets[1:] - offsets[:-1]
+            # NULL or empty embeddings (equal adjacent offsets) have no
+            # argmax; the oracle's unnest simply omits them — drop the
+            # rows HERE, before np.argmax would raise on an empty slice
+            keep = dims > 0
+            if not keep.all():
+                vec_ids, dims = vec_ids[keep], dims[keep]
+                starts, ends = offsets[:-1][keep], offsets[1:][keep]
+            else:
+                starts, ends = offsets[:-1], offsets[1:]
             n = len(vec_ids)
-            if n and (dims == dims[0]).all() and dims[0] > 0:
-                mat = values[offsets[0] : offsets[-1]].reshape(n, dims[0])
+            if n == 0:
+                continue
+            if (dims == dims[0]).all() and (ends[:-1] == starts[1:]).all():
+                mat = values[starts[0] : ends[-1]].reshape(n, dims[0])
                 n_pos = (mat > 0).sum(axis=1).astype("int64")
                 amax = np.argmax(mat, axis=1).astype("int64")
-            else:  # ragged fallback, same semantics
+            else:  # ragged (or non-contiguous after drops) fallback
                 n_pos = np.fromiter(
-                    ((values[s:e] > 0).sum() for s, e in zip(offsets[:-1], offsets[1:])),
+                    ((values[s:e] > 0).sum() for s, e in zip(starts, ends)),
                     dtype="int64", count=n,
                 )
                 amax = np.fromiter(
-                    (np.argmax(values[s:e]) for s, e in zip(offsets[:-1], offsets[1:])),
+                    (np.argmax(values[s:e]) for s, e in zip(starts, ends)),
                     dtype="int64", count=n,
                 )
             yield pa.RecordBatch.from_arrays(

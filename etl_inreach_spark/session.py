@@ -65,6 +65,17 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_driver_mem() -> str:
+    """~40% of physical RAM, clamped to [4g, 48g]."""
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = int(fh.readline().split()[1])
+        gib = max(4, min(48, int(total_kb * 0.4 / 1048576)))
+    except Exception:
+        gib = 8
+    return f"{gib}g"
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session."""
     for k, v in RUNTIME_CONF.items():
@@ -94,10 +105,14 @@ def get_spark(app_name: str = "etl-inreach-spark", cpus: int | None = None) -> S
         # Single-JVM local mode: driver heap IS the executor heap for
         # all N threads plus every lingering localCheckpoint block.
         # 16g showed eviction/GC stalls across a ~100-query bench run
-        # on a 128 GiB host; 48g leaves the OS page cache plenty while
-        # removing storage-vs-execution pressure. Cluster deployments
-        # size executors explicitly and never read this default.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # on a 128 GiB host; default to ~40% of physical RAM capped at
+        # 48g so big hosts stop thrashing WITHOUT the fixed value
+        # OOM-killing a 16-32 GB contributor machine. Cluster
+        # deployments size executors explicitly and never read this.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")

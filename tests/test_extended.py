@@ -447,3 +447,49 @@ def test_merge_aggregate_partitioned_batches(spark, tmp_path):
         (r["k"], r["v"], r["n"]) for r in spark.read.parquet(path).collect()
     }
     assert got == {(1, 15, 2), (2, 8, 2), (3, 100, 1)}
+
+
+def test_arrow_argmax_skips_empty_and_null_embeddings(spark):
+    """NULL/empty embeddings have no argmax: the op must OMIT those
+    rows (the oracle's unnest semantics), not crash np.argmax, and the
+    row drop must not corrupt the vectorized path's slicing."""
+    import pandas as pd
+
+    rows = [
+        (1, [1.0, 5.0, 3.0]),
+        (2, None),
+        (3, []),
+        (4, [7.0, 7.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp(prefix="argmax_fixture_")
+    try:
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents"):
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        from etl_inreach_spark.queries import all_queries
+
+        got = {
+            r["vec_id"]: (r["dim"], r["n_pos"], r["argmax_idx"])
+            for r in all_queries()["embedding_argmax_arrow"](spark, d).collect()
+        }
+        assert got == {1: (3, 3, 1), 4: (3, 2, 0)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_prune_passes_null_keys_through(spark):
+    from etl_inreach_spark.operators.bloom import bloom_prune, bloom_words
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (50, "c")], "k long, tag string"
+    )
+    dim = spark.createDataFrame([(1,)], "k long")
+    words = bloom_words(dim, "k")
+    got = {r["tag"] for r in bloom_prune(fact, "k", words).collect()}
+    # member key kept, NULL key passed through, non-member pruned
+    # (50 could only survive as a ~1e-5 false positive)
+    assert "a" in got and "b" in got

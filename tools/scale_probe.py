@@ -60,6 +60,12 @@ _KEY_DOMAINS: dict[str, dict[str, str]] = {
     "event": {"events": "event_id"},
 }
 
+# tables that appear in at least one key domain — the only ones
+# replication knows how to offset
+_REPLICABLE = frozenset(
+    t for members in _KEY_DOMAINS.values() for t in members
+)
+
 
 def make_replica_dir(
     spark, base: str, r: int, root: str, tables: tuple[str, ...] = ("documents",)
@@ -128,10 +134,28 @@ def main() -> int:
     tables = ("documents",)
     if "--tables" in argv:
         i = argv.index("--tables")
+        if i + 1 >= len(argv):
+            print("--tables requires a comma-separated table list", file=sys.stderr)
+            return 2
         tables = tuple(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
-    r = int(argv[0]) if argv else 10
-    names = argv[1:] or list(DEFAULT_QUERIES)
+    bad_tables = [t for t in tables if t not in TABLES or t not in _REPLICABLE]
+    if bad_tables:
+        # an unknown table would silently symlink everything (d1 == dr)
+        # and print ~0 exponents that read as "flat scaling"
+        print(
+            f"unknown/unreplicable tables: {bad_tables} "
+            f"(replicable: {sorted(_REPLICABLE)})",
+            file=sys.stderr,
+        )
+        return 2
+    # R is optional per the usage line: a leading non-integer is a query
+    if argv and argv[0].isdigit():
+        r = int(argv[0])
+        names = argv[1:] or list(DEFAULT_QUERIES)
+    else:
+        r = 10
+        names = argv or list(DEFAULT_QUERIES)
     qs = all_queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
