@@ -130,6 +130,7 @@ def main() -> None:
     qs.pop("partitioned_sink_prune", None)  # sink fixture: tmp-table writes
     qs.pop("csv_roundtrip_orders", None)  # sink fixture: tmp-table writes
     qs.pop("streaming_tumbling_counts", None)
+    qs.pop("streaming_sliding_counts", None)
     qs.pop("streaming_stream_stream_join", None)
     qs.pop("streaming_static_enrich", None)
     # min-of-4: the first run pays codegen compile (multi-second for

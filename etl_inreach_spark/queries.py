@@ -145,6 +145,8 @@ _PENDING: tuple[str, ...] = (
     "embedding_argmax_arrow",
     "pandas_udaf_median_price",
     "corpus_curation_pipeline",
+    "streaming_sliding_counts",
+    "scd2_point_in_time_join",
 )
 _TAIL: tuple[str, ...] = (
     # held-back half of the stale-since-r2 set — 2 rounds unverified

@@ -1085,3 +1085,65 @@ def pandas_udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             group_size(F.col("_cents")).alias("n_orders"),
         )
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w != event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, event_type, ts,
+               CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS state_seq
+        FROM e
+    ), g AS (
+        SELECT user_id, state_seq,
+               min(event_type) AS state,
+               min(ts) AS valid_from
+        FROM s GROUP BY user_id, state_seq
+    ), iv AS (
+        SELECT user_id, state_seq, state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY state_seq) AS valid_to
+        FROM g
+    )
+    SELECT ev.event_id, ev.user_id, ev.ts, iv.state, iv.state_seq
+    FROM events ev JOIN iv
+      ON iv.user_id = ev.user_id
+     AND iv.valid_from <= ev.ts
+     AND (iv.valid_to IS NULL OR ev.ts < iv.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL (point-in-time) join against the SCD2 history this
+    module builds: each event is enriched with the state interval
+    containing its timestamp — the AS OF join every warehouse runs
+    against slowly-changing dimensions. Composed by CALLING
+    scd2_user_state (the intervals are the already-oracled output,
+    not a re-derivation), then an equi-join on user_id with the
+    interval containment as a join residual — per-user groups are
+    bounded, so the range predicate never becomes a nested loop. An
+    event on a boundary belongs to the interval it OPENS
+    ([valid_from, valid_to) half-open semantics, pinned by both
+    engines' identical predicates)."""
+    tune(spark)
+    iv = scd2_user_state(spark, sf_dir).select(
+        F.col("user_id").alias("_uid"), "state_seq", "state",
+        "valid_from", "valid_to",
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    cond = (
+        (F.col("_uid") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return ev.join(iv, cond).select(
+        "event_id", "user_id", "ts", "state", "state_seq"
+    )

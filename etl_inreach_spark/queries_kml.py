@@ -446,3 +446,61 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH off AS (SELECT unnest([0, 15, 30, 45]) AS m)
+    SELECT time_bucket(INTERVAL '60 minutes', ts - m * INTERVAL '1 minute')
+             + m * INTERVAL '1 minute' AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events CROSS JOIN off
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window aggregation (1 h window, 15 min slide)
+    under the value gate — each event lands in 4 overlapping windows,
+    the streaming analog of the batch RANGE-frame query. readStream ->
+    window(1h, 15m) -> complete-mode memory sink with availableNow;
+    complete mode re-emits the final aggregate, so the sink equals the
+    batch computation. The oracle derives the same 4 windows per event
+    by bucketing each of the 4 phase-shifted grids (time_bucket of the
+    shifted ts, shifted back) — exactly Spark's window-expansion
+    semantics for slide < width."""
+    import uuid
+
+    import shutil
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_stream/{run}"
+    in_dir, cp_dir = f"{base}/in", f"{base}/cp"
+    try:
+        ev.select("ts", "event_type").write.mode("overwrite").parquet(in_dir)
+
+        sdf = spark.readStream.schema("ts timestamp, event_type string").parquet(in_dir)
+        agg = (
+            sdf.groupBy(
+                F.window("ts", "60 minutes", "15 minutes").alias("w"),
+                F.col("event_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        )
+        table = f"stream_slide_{run}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(table)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
