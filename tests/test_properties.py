@@ -14,6 +14,7 @@ from datetime import datetime, timedelta
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 BASE = datetime(2024, 1, 1)
 
@@ -205,3 +206,75 @@ def test_connected_components_star_long_chain(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
     assert got == {i: 100 for i in range(100, 161)}
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    member=st.lists(st.integers(0, 10_000), min_size=0, max_size=60, unique=True),
+    probe=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+)
+def test_bloom_never_drops_members(spark, member, probe):
+    """LAW: bloom_prune keeps every fact row whose key is in the
+    filter's key set — no false negatives, for any key set and any
+    probe set (a python-side reimplementation cross-checks positions
+    indirectly: membership keys must all survive)."""
+    from etl_inreach_spark.operators.bloom import bloom_prune, bloom_words
+
+    dim = spark.createDataFrame([(k,) for k in member] or [(None,)], "k long")
+    if not member:
+        dim = dim.filter(F.col("k").isNotNull())
+    fact_keys = sorted(set(member) | set(probe))
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+    words = bloom_words(dim, "k", m_bits=1 << 12, k_hashes=4)
+    kept = {r["k"] for r in bloom_prune(fact, "k", words, m_bits=1 << 12, k_hashes=4).collect()}
+    assert set(member) <= kept
+
+
+@settings(
+    deadline=None,
+    max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(-50, 50)),
+        min_size=1, max_size=40,
+    ),
+    cut=st.integers(0, 40),
+)
+def test_merge_aggregate_equals_oneshot(spark, rows, cut, tmp_path_factory):
+    """LAW: folding any 2-way batch split through the additive MERGE
+    sink equals the one-shot aggregate (commutative-monoid property
+    the incremental_agg_merge oracle relies on)."""
+    import os
+    import uuid
+
+    from etl_inreach_spark.sinks.upsert import merge_aggregate_partitioned
+
+    path = os.path.join(
+        str(tmp_path_factory.mktemp("merge")), uuid.uuid4().hex, "state"
+    )
+
+    def partial(rs):
+        df = spark.createDataFrame(rs, "k long, v long")
+        return (
+            df.withColumn("bucket", F.pmod(F.col("k"), F.lit(3)))
+            .groupBy("bucket", "k")
+            .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n"))
+        )
+
+    cut = min(cut, len(rows))
+    for batch in (rows[:cut], rows[cut:]):
+        if batch:
+            merge_aggregate_partitioned(
+                spark, path, partial(batch), ["k"], ["v", "n"], "bucket"
+            )
+    got = {(r["k"], r["v"], r["n"]) for r in spark.read.parquet(path).collect()}
+    want = {
+        (r["k"], r["v"], r["n"]) for r in partial(rows).collect()
+    }
+    assert got == want
