@@ -68,15 +68,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       the tail mid-body and re-enter in r5.
 #
 #   ROUND-5 ROTATION PLAN (write this into _FRONT at r5 start):
-#   1. all 12 _PENDING names (never driver-verified; two of them —
-#      cogroup_conversion_latency is NOT pending but its bucket
-#      rewrite IS in the r4 window already);
+#   1. all 12 _PENDING names — never driver-verified (local
+#      oracle_check PASS only);
 #   2. the _TAIL head block (12 names, top3_orders_per_customer ..
 #      distinct_users_per_type) — out r3+r4, AT the staleness bound;
 #   3. the r3-green/out-r4 mid-tail block (sessionize_events ..
-#      approx_order_percentiles incl. the two rows-only sketches and
-#      the 3 streaming fixtures) — out r4 only, 1 round of headroom,
-#      fill remaining slots from its head;
+#      approx_order_percentiles — includes the two rows-only sketches
+#      and the 2 streaming fixtures streaming_tumbling_counts /
+#      streaming_groupstate_latest) — out r4 only, 1 round of
+#      headroom; fill remaining slots from its head;
 #   4. r4-greens rotate to the tail to make room (they will have one
 #      green round; prefer keeping any whose implementation changes
 #      again in r5).

@@ -16,9 +16,12 @@ from etl_inreach_spark.queries import query
 from etl_inreach_spark.session import tune
 
 
-@query(
-    "scd2_user_state",
-    oracle="""
+# SCD2 interval derivation, shared VERBATIM by the scd2_user_state
+# oracle and the scd2_point_in_time_join oracle (which must join
+# against the exact same intervals its Spark side gets from CALLING
+# scd2_user_state — a drifting copy would mis-flag the join as red
+# when only the derivation changed).
+_SCD2_INTERVALS_SQL = """
     WITH e AS (
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN lag(event_type) OVER w IS NULL
@@ -38,12 +41,22 @@ from etl_inreach_spark.session import tune
                min(ts) AS valid_from,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, state_seq
+    ), iv AS (
+        SELECT user_id, state_seq, state, valid_from,
+               lead(valid_from) OVER w2 AS valid_to,
+               n_events
+        FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY state_seq)
     )
-    SELECT user_id, state_seq, state, valid_from,
-           lead(valid_from) OVER w2 AS valid_to,
-           lead(valid_from) OVER w2 IS NULL AS is_current,
-           n_events
-    FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY state_seq)
+"""
+
+
+@query(
+    "scd2_user_state",
+    oracle=_SCD2_INTERVALS_SQL
+    + """
+    SELECT user_id, state_seq, state, valid_from, valid_to,
+           valid_to IS NULL AS is_current, n_events
+    FROM iv
     """,
 )
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,31 +1102,8 @@ def pandas_udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scd2_point_in_time_join",
-    oracle="""
-    WITH e AS (
-        SELECT user_id, ts, event_id, event_type,
-               CASE WHEN lag(event_type) OVER w IS NULL
-                      OR lag(event_type) OVER w != event_type
-                    THEN 1 ELSE 0 END AS chg
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-        SELECT user_id, event_type, ts,
-               CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS state_seq
-        FROM e
-    ), g AS (
-        SELECT user_id, state_seq,
-               min(event_type) AS state,
-               min(ts) AS valid_from
-        FROM s GROUP BY user_id, state_seq
-    ), iv AS (
-        SELECT user_id, state_seq, state, valid_from,
-               lead(valid_from) OVER (PARTITION BY user_id
-                                      ORDER BY state_seq) AS valid_to
-        FROM g
-    )
+    oracle=_SCD2_INTERVALS_SQL
+    + """
     SELECT ev.event_id, ev.user_id, ev.ts, iv.state, iv.state_seq
     FROM events ev JOIN iv
       ON iv.user_id = ev.user_id
@@ -1127,12 +1117,17 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing its timestamp — the AS OF join every warehouse runs
     against slowly-changing dimensions. Composed by CALLING
     scd2_user_state (the intervals are the already-oracled output,
-    not a re-derivation), then an equi-join on user_id with the
-    interval containment as a join residual — per-user groups are
-    bounded, so the range predicate never becomes a nested loop. An
-    event on a boundary belongs to the interval it OPENS
-    ([valid_from, valid_to) half-open semantics, pinned by both
-    engines' identical predicates)."""
+    not a re-derivation; the oracle interpolates the SAME interval SQL
+    fragment as scd2_user_state's for the same reason), then an
+    equi-join on user_id with the interval containment as a join
+    residual — per-user groups are bounded, so the range predicate
+    never becomes a nested loop. Containment is half-open
+    [valid_from, valid_to); note the zero-width edge: when a user's
+    state flips between two events at the SAME timestamp, the earlier
+    event's own interval is [T, T) and contains nothing, so that event
+    joins the interval that is OPEN AT T (the later state) — both
+    engines apply the identical predicate, and the SCD2 reading is
+    'the state in effect at T', not 'the state this event created'."""
     tune(spark)
     iv = scd2_user_state(spark, sf_dir).select(
         F.col("user_id").alias("_uid"), "state_seq", "state",

@@ -397,6 +397,40 @@ def upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _drain_windowed_stream(spark, sf_dir, table_prefix, window_agg):
+    """Shared streaming-window fixture: write the events slice to a
+    per-run parquet dir, drain readStream -> ``window_agg(sdf)`` into
+    a complete-mode memory sink with availableNow, return the sink
+    table, and ALWAYS rm the fixture+checkpoint dirs (the /tmp
+    accumulation hazard from ADVICE r3 — fixing the drain pattern here
+    fixes every windowed streaming query at once)."""
+    import shutil
+    import uuid
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_stream/{run}"
+    in_dir, cp_dir = f"{base}/in", f"{base}/cp"
+    try:
+        ev.select("ts", "event_type").write.mode("overwrite").parquet(in_dir)
+        sdf = spark.readStream.schema("ts timestamp, event_type string").parquet(in_dir)
+        table = f"{table_prefix}_{run}"
+        q = (
+            window_agg(sdf)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(table)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @query(
     "streaming_tumbling_counts",
     oracle="""
@@ -415,37 +449,15 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch tumbling aggregation exactly — the streaming rendering of
     tumbling_15min_counts (window().start == the epoch-aligned bucket
     for widths that divide the hour)."""
-    import uuid
 
-    import shutil
-
-    tune(spark)
-    ev = load_table(spark, sf_dir, "events")
-    run = uuid.uuid4().hex[:12]
-    base = f"/tmp/spark_graft_stream/{run}"
-    in_dir, cp_dir = f"{base}/in", f"{base}/cp"
-    try:
-        ev.select("ts", "event_type").write.mode("overwrite").parquet(in_dir)
-
-        sdf = spark.readStream.schema("ts timestamp, event_type string").parquet(in_dir)
-        agg = (
+    def agg(sdf):
+        return (
             sdf.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("w.start").alias("bucket"), "event_type", "n")
         )
-        table = f"stream_tumble_{run}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(table)
-            .outputMode("complete")
-            .option("checkpointLocation", cp_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return spark.table(table)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+
+    return _drain_windowed_stream(spark, sf_dir, "stream_tumble", agg)
 
 
 @query(
@@ -470,20 +482,9 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     by bucketing each of the 4 phase-shifted grids (time_bucket of the
     shifted ts, shifted back) — exactly Spark's window-expansion
     semantics for slide < width."""
-    import uuid
 
-    import shutil
-
-    tune(spark)
-    ev = load_table(spark, sf_dir, "events")
-    run = uuid.uuid4().hex[:12]
-    base = f"/tmp/spark_graft_stream/{run}"
-    in_dir, cp_dir = f"{base}/in", f"{base}/cp"
-    try:
-        ev.select("ts", "event_type").write.mode("overwrite").parquet(in_dir)
-
-        sdf = spark.readStream.schema("ts timestamp, event_type string").parquet(in_dir)
-        agg = (
+    def agg(sdf):
+        return (
             sdf.groupBy(
                 F.window("ts", "60 minutes", "15 minutes").alias("w"),
                 F.col("event_type"),
@@ -491,16 +492,5 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("w.start").alias("win_start"), "event_type", "n")
         )
-        table = f"stream_slide_{run}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(table)
-            .outputMode("complete")
-            .option("checkpointLocation", cp_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return spark.table(table)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+
+    return _drain_windowed_stream(spark, sf_dir, "stream_slide", agg)

@@ -224,9 +224,7 @@ def test_bloom_never_drops_members(spark, member, probe):
     indirectly: membership keys must all survive)."""
     from etl_inreach_spark.operators.bloom import bloom_prune, bloom_words
 
-    dim = spark.createDataFrame([(k,) for k in member] or [(None,)], "k long")
-    if not member:
-        dim = dim.filter(F.col("k").isNotNull())
+    dim = spark.createDataFrame([(k,) for k in member], "k long")
     fact_keys = sorted(set(member) | set(probe))
     fact = spark.createDataFrame([(k,) for k in fact_keys], "k long")
     words = bloom_words(dim, "k", m_bits=1 << 12, k_hashes=4)
