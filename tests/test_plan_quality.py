@@ -104,3 +104,13 @@ def test_bm25_stats_broadcast(spark):
     plan = _plan(spark, "bm25_term_search")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_single_shuffle(spark):
+    """quality gate -> dedup -> split must cost ONE hash exchange (the
+    fingerprint groupBy); the survivor join-back broadcasts at this
+    size (AQE would shuffle it only when the survivor set outgrows the
+    threshold) and the split is a pure projection."""
+    plan = _plan(spark, "corpus_curation_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
