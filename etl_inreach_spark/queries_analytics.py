@@ -700,7 +700,16 @@ def cogroup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     click per purchase via LEFT JOIN + MAX, then a median). Latencies
     are exact integer microseconds divided by 1e6 — same IEEE double
     on both engines; the median of doubles is the same order statistic
-    in numpy and DuckDB (average of the middle two on even counts)."""
+    in numpy and DuckDB (average of the middle two on even counts).
+
+    Upstream pitfall (Spark 4.1, observed here): calling ``.count()``
+    on a cogroup-applyInPandas result lets column pruning push into
+    the cogroup children, so the pandas function receives batches
+    MISSING its declared input columns (collect()/writes are fine —
+    they require every output column). The function therefore probes
+    ``in columns`` membership instead of assuming the schema, and
+    tooling that needs a row count goes through an eager
+    localCheckpoint first (tools/scale_probe.time_query)."""
     import numpy as np
     import pandas as pd
 
@@ -719,10 +728,26 @@ def cogroup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["user_id", "n_purchases", "n_converted", "median_latency_s"]
             )
+        if "user_id" not in purch_pdf.columns or "ts" not in purch_pdf.columns:
+            # count()-style evaluation pruned our declared inputs away
+            # (see docstring) — fail with the diagnosis, not a KeyError
+            raise RuntimeError(
+                "cogroup input pruned to "
+                f"{list(purch_pdf.columns)}: evaluate this query via "
+                "collect()/write (or checkpoint before count()) — "
+                "df.count() prunes cogroup-applyInPandas inputs"
+            )
         p_user = purch_pdf["user_id"].to_numpy()
         p_us = purch_pdf["ts"].astype("int64").to_numpy() // 1000
-        c_user = clicks_pdf["user_id"].to_numpy()
-        c_us = clicks_pdf["ts"].astype("int64").to_numpy() // 1000
+        if clicks_pdf.empty or "user_id" not in clicks_pdf.columns:
+            # a bucket with purchases but no clicks: Spark hands the
+            # empty cogroup side over WITHOUT columns, so probe by
+            # membership, not just .empty
+            c_user = np.empty(0, dtype="int64")
+            c_us = np.empty(0, dtype="int64")
+        else:
+            c_user = clicks_pdf["user_id"].to_numpy()
+            c_us = clicks_pdf["ts"].astype("int64").to_numpy() // 1000
         po = np.lexsort((p_us, p_user))
         p_user, p_us = p_user[po], p_us[po]
         co = np.lexsort((c_us, c_user))

@@ -122,7 +122,15 @@ def time_query(fn, spark, sf_dir: str, repeats: int = 2) -> tuple[float, int]:
     for _ in range(repeats):
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
-        rows = df.count()
+        # Count via an eager checkpoint, NOT df.count(): count() lets
+        # the optimizer prune every output column, and Spark pushes
+        # that pruning into FlatMapCoGroupsInPandas children — the
+        # pandas function then receives batches missing its declared
+        # input columns and crashes (observed on the cogroup query;
+        # collect()/writes are unaffected because they need all
+        # columns). The checkpoint executes the FULL plan, which is
+        # also what the timing should measure.
+        rows = df.localCheckpoint(eager=True).count()
         dt = time.monotonic() - t0
         best = dt if best is None else min(best, dt)
     return best, rows
