@@ -493,3 +493,30 @@ def test_bloom_prune_passes_null_keys_through(spark):
     # member key kept, NULL key passed through, non-member pruned
     # (50 could only survive as a ~1e-5 false positive)
     assert "a" in got and "b" in got
+
+
+def test_bloom_params_sizing():
+    from math import log
+
+    from etl_inreach_spark.operators.bloom import bloom_params
+
+    m, k = bloom_params(10_000, 0.01)
+    assert m >= 10_000 * -log(0.01) / (log(2) ** 2)  # >= textbook bits
+    assert m & (m - 1) == 0  # power of two
+    assert 1 <= k <= 16
+    assert bloom_params(0) == (1 << 10, 1)
+
+
+def test_cogroup_count_pitfall_is_diagnosed(spark):
+    """df.count() on the cogroup query either works (upstream pruning
+    fixed) or fails with OUR diagnostic naming the workaround — never
+    a bare KeyError."""
+    from etl_inreach_spark.queries import all_queries
+
+    q = all_queries()["cogroup_conversion_latency"](spark, "/root/testdata/sf0.001")
+    try:
+        assert q.count() >= 0
+    except Exception as e:
+        assert "pruned" in str(e) and "checkpoint" in str(e)
+    # the sanctioned evaluation path always works
+    assert q.localCheckpoint(eager=True).count() > 0
