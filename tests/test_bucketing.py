@@ -54,8 +54,13 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert "Exchange hashpartitioning(l_orderkey" not in plan
         assert joined.count() > 0
     finally:
+        # conf.get returns None when the conf was never set, so a
+        # conditional restore would LEAK -1 into the shared session
+        # and flip later plan-shape tests to SortMergeJoin
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
