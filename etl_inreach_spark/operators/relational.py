@@ -66,9 +66,14 @@ def asof_join(
     right_ts: str,
     right_value_cols: Sequence[str],
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` on the same key.
+    """As-of join. ``direction="backward"`` (default): for each left
+    row, the LATEST right row with ``right.ts <= left.ts`` on the same
+    key. ``direction="forward"``: the EARLIEST right row with
+    ``right.ts >= left.ts`` — the same one-window rendering with the
+    timeline walked in reverse, so both directions share every scale
+    property below.
 
     Implemented as UNION + single window pass (the scale path): tag
     both sides, sort each key's timeline once, and carry the last seen
@@ -109,9 +114,15 @@ def asof_join(
     # Tie-break among right rows sharing a timestamp: order by the
     # carried struct so `last` is deterministic (left rows have a NULL
     # struct and are already separated by _side).
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # forward = the same carry walked in reverse timeline order:
+    # descending ts with right still sorting before left on ties keeps
+    # the >= (respectively <=) boundary row visible to `last`.
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_vals").asc_nulls_first())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_vals").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

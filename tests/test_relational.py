@@ -170,3 +170,34 @@ def test_funnel_strictly_after_semantics(spark):
     assert out[1] == (t0, None, None, 1)  # tie click didn't advance; purchase needs click
     assert out[2] == (t0, t1, None, 2)
     assert out[3] == (t1, None, None, 1)  # click before first view ignored
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: earliest right row with ts >= left.ts; equal
+    timestamps are visible; later-only lefts get NULLs."""
+    from datetime import datetime
+
+    from etl_inreach_spark.operators.relational import asof_join
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, T(5)), (1, T(10)), (1, T(40)), (2, T(0))],
+        "k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 100.0), (1, T(30), 300.0), (2, T(0), 7.0)],
+        "k long, rts timestamp, v double",
+    )
+    got = {
+        (r["k"], r["lts"].minute, r["fwd_v"])
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["v"],
+            prefix="fwd_", direction="forward",
+        ).collect()
+    }
+    assert got == {
+        (1, 5, 100.0),   # next right at :10
+        (1, 10, 100.0),  # equal timestamp visible (>=)
+        (1, 40, None),   # nothing after :40
+        (2, 0, 7.0),
+    }
