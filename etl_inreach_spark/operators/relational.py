@@ -217,3 +217,56 @@ def salted_join(
     )
     on = [*key_cols, salt_col]
     return big_s.join(small_r, on=on, how=how).drop(salt_col)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    band: int,
+) -> DataFrame:
+    """Interval OVERLAP join with NO equi key — pairs of (left, right)
+    rows whose [start, end] ranges intersect — via band bucketing, the
+    pattern that keeps a pure range theta-join off Spark's
+    broadcast-nested-loop path at scale (genomic-region and
+    time-interval joins).
+
+    Each interval explodes into the ``band``-width buckets it spans;
+    candidates come from an EQUI-join on the bucket id; the exact
+    overlap predicate filters false candidates. A pair spanning
+    several shared buckets would surface once per bucket, so instead
+    of a distinct over the (wide) pair output, each pair is kept only
+    in its CANONICAL bucket — the bucket of max(l_start, r_start),
+    which both sides provably contain (it is where the overlap
+    starts). Cost: sum of per-bucket |L_b| x |R_b| — the caller picks
+    ``band`` near the typical interval length so intervals span O(1)
+    buckets; long outlier intervals degrade gracefully (more bucket
+    rows, same per-bucket math). Bounds are integral (epoch
+    seconds/positions); both endpoints inclusive.
+    """
+    def banded(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
+        return df.withColumn(
+            f"_b_{side}",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / band), F.floor(F.col(end) / band)
+                )
+            ),
+        )
+
+    lb = banded(left, l_start, l_end, "l")
+    rb = banded(right, r_start, r_end, "r")
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    canonical = F.col("_b_l") == F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / band
+    )
+    return (
+        lb.join(rb, F.col("_b_l") == F.col("_b_r"))
+        .filter(overlap & canonical)
+        .drop("_b_l", "_b_r")
+    )

@@ -201,3 +201,32 @@ def test_asof_join_forward(spark):
         (1, 40, None),   # nothing after :40
         (2, 0, 7.0),
     }
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Banded overlap join == naive cross-join filter, each pair once,
+    across band widths that divide/straddle the intervals."""
+    import random
+
+    rng = random.Random(11)
+    L = [(i, a, a + rng.randrange(0, 30)) for i, a in
+         ((i, rng.randrange(0, 200)) for i in range(40))]
+    R = [(j, a, a + rng.randrange(0, 30)) for j, a in
+         ((j, rng.randrange(0, 200)) for j in range(40))]
+    left = spark.createDataFrame(L, "lid long, ls long, le long")
+    right = spark.createDataFrame(R, "rid long, rs long, re long")
+    want = {
+        (i, j)
+        for i, a, b in L
+        for j, c, d in R
+        if a <= d and c <= b
+    }
+    from etl_inreach_spark.operators.relational import interval_overlap_join
+
+    for band in (7, 16, 64):
+        rows = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", band
+        ).collect()
+        got = [(r["lid"], r["rid"]) for r in rows]
+        assert len(got) == len(set(got)), f"dup pairs at band={band}"
+        assert set(got) == want, f"band={band}"
