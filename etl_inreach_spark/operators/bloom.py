@@ -71,7 +71,7 @@ def bloom_words(
             "_pos"
         )
     )
-    return (
+    out = (
         pos.select(
             (F.col("_pos") / 64).cast("bigint").alias("word"),
             # python shiftleft() takes only a LITERAL bit count; the SQL
@@ -82,6 +82,16 @@ def bloom_words(
         )
         .groupBy("word")
         .agg(F.bit_or("_bit").alias("bits"))
+    )
+    # Carry the filter geometry WITH the relation (schema metadata, no
+    # extra job): bloom_prune probes positions on the same (m, k) grid
+    # the words were built on; a mismatch would silently drop true
+    # members (missing words coalesce to 0), so prune validates this.
+    return out.select(
+        F.col("word").alias(
+            "word", metadata={"m_bits": m_bits, "k_hashes": k_hashes}
+        ),
+        "bits",
     )
 
 
@@ -104,7 +114,29 @@ def bloom_prune(
     and whether a NULL-key row survives is the downstream join's
     business (an inner equi-join drops it, an outer join must keep
     it). Callers pruning ahead of an inner join may pre-filter NULLs
-    themselves."""
+    themselves.
+
+    If ``words`` came from :func:`bloom_words`, its schema carries the
+    (m_bits, k_hashes) it was built with; passing different values
+    here raises ``ValueError`` instead of silently returning a filter
+    with false negatives (probes on a different bit grid miss words,
+    and missing words coalesce to 0 = drop)."""
+    meta: dict = {}
+    try:
+        meta = dict(words.schema["word"].metadata or {})
+    except KeyError:
+        pass
+    built_m, built_k = meta.get("m_bits"), meta.get("k_hashes")
+    if built_m is not None and (int(built_m), int(built_k)) != (
+        m_bits,
+        k_hashes,
+    ):
+        raise ValueError(
+            f"bloom_prune called with (m_bits={m_bits}, k_hashes={k_hashes}) "
+            f"but the words relation was built with (m_bits={int(built_m)}, "
+            f"k_hashes={int(built_k)}): probe positions would index a "
+            "different bit grid and silently drop true members"
+        )
     out = fact
     probes = _positions(F.col(key_col), m_bits, k_hashes)
     null_key = F.col(key_col).isNull()

@@ -246,7 +246,24 @@ def interval_overlap_join(
     buckets; long outlier intervals degrade gracefully (more bucket
     rows, same per-bucket math). Bounds are integral (epoch
     seconds/positions); both endpoints inclusive.
+
+    Endpoint columns are referenced unqualified after the join, so the
+    two sides must use DISTINCT endpoint names (rename before calling);
+    sharing one raises ``ValueError`` here instead of an ambiguous-
+    reference analysis error later.
     """
+    if band <= 0:
+        raise ValueError(f"band must be a positive bucket width, got {band}")
+    shared = ({l_start, l_end} & set(right.columns)) | (
+        {r_start, r_end} & set(left.columns)
+    )
+    if shared:
+        raise ValueError(
+            "interval_overlap_join needs distinct endpoint column names "
+            f"on the two sides; {sorted(shared)} exist on both — rename "
+            "one side's endpoints before joining"
+        )
+
     def banded(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
         return df.withColumn(
             f"_b_{side}",

@@ -72,7 +72,11 @@ def _default_driver_mem() -> str:
             total_kb = int(fh.readline().split()[1])
         gib = max(4, min(48, int(total_kb * 0.4 / 1048576)))
     except Exception:
-        gib = 8
+        # /proc unreadable (macOS, restricted containers): fall back to
+        # the pre-sizing fixed default, NOT a smaller number — halving
+        # memory on exactly the hosts we cannot measure reintroduces
+        # the GC/eviction stalls the sizing change was meant to fix.
+        gib = 16
     return f"{gib}g"
 
 

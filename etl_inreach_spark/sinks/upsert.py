@@ -37,6 +37,34 @@ from pyspark.sql import functions as F
 from etl_inreach_spark.operators.dedup import latest_by_key
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the JVM Hadoop API — resolves hdfs://,
+    s3a://, file:// and bare local paths alike, unlike os.path, which
+    only ever sees the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _batch_marker(path: str, batch_id: str) -> str:
+    return f"{path}__applied_batches/{batch_id}"
+
+
+def _batch_applied(spark: SparkSession, path: str, batch_id: str) -> bool:
+    return _path_exists(spark, _batch_marker(path, batch_id))
+
+
+def _mark_batch_applied(spark: SparkSession, path: str, batch_id: str) -> None:
+    fs, jpath = _hadoop_fs(spark, _batch_marker(path, batch_id))
+    fs.create(jpath, True).close()
+
+
 def _merge(
     current: DataFrame | None,
     updates: DataFrame,
@@ -66,7 +94,11 @@ def upsert_latest(
 
     The merged result is written to a sibling temp dir first and
     renamed over the table, so a failed job never leaves a
-    half-written table (rename is atomic on one filesystem)."""
+    half-written table (rename is atomic on one filesystem).
+
+    LOCAL-FS ONLY: the swap uses os.rename, which sees the driver's
+    local disk. On object storage / HDFS use the partitioned variant
+    (Hadoop-FS-aware) or a transactional table format."""
     current = spark.read.parquet(path) if os.path.exists(path) else None
     merged = _merge(current, updates, key_cols, ts_col, arrival_col)
     tmp = f"{path}__tmp_{uuid.uuid4().hex}"
@@ -102,13 +134,17 @@ def upsert_latest_partitioned(
     ]
     if not touched:
         return
-    if os.path.exists(path):
+    if _path_exists(spark, path):
         current = spark.read.parquet(path).filter(
             F.col(partition_col).isin(touched)
         )
     else:
         current = None
     merged = _merge(current, updates, key_cols, ts_col, arrival_col)
+    # Materialize BEFORE the overwrite: merged lazily reads the same
+    # path the write replaces; pinning the read result decouples
+    # correctness from the writer's commit ordering.
+    merged = merged.localCheckpoint(eager=True)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -124,6 +160,7 @@ def merge_aggregate_partitioned(
     key_cols: Sequence[str],
     sum_cols: Sequence[str],
     partition_col: str,
+    batch_id: str | None = None,
 ) -> None:
     """Incremental VIEW MAINTENANCE for commutative-monoid aggregates:
     fold a batch's PARTIAL aggregate into the persisted state by
@@ -138,11 +175,23 @@ def merge_aggregate_partitioned(
     drift per merge order). Only partitions the batch touches are
     read (pruned scan) and rewritten (dynamic partition overwrite);
     at 100 TB each increment costs ~|touched keys|, never a state
-    rescan."""
+    rescan.
+
+    Addition is NOT idempotent (a replayed batch double-counts), so
+    pass a stable ``batch_id`` for exactly-once folding: an already-
+    applied id is skipped, and a marker under ``{path}__applied_batches``
+    is written after the state commit. The unprotected window is a
+    crash between the data commit and the marker write — replaying
+    then double-counts; a transactional table format (Delta/Iceberg
+    MERGE with txn ids) closes it in production. Existence checks and
+    markers go through the Hadoop FileSystem API, so any supported
+    filesystem works (not just the driver's local disk)."""
+    if batch_id is not None and _batch_applied(spark, path, batch_id):
+        return
     touched = [r[0] for r in partial.select(partition_col).distinct().collect()]
     if not touched:
         return
-    if os.path.exists(path):
+    if _path_exists(spark, path):
         current = spark.read.parquet(path).filter(
             F.col(partition_col).isin(touched)
         )
@@ -153,9 +202,15 @@ def merge_aggregate_partitioned(
         )
     else:
         merged = partial
+    # Pin the merged state before overwriting the path it was read from
+    # (lazy read + dynamic overwrite of the same directory must not
+    # depend on commit ordering).
+    merged = merged.localCheckpoint(eager=True)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
+    if batch_id is not None:
+        _mark_batch_applied(spark, path, batch_id)

@@ -449,6 +449,56 @@ def test_merge_aggregate_partitioned_batches(spark, tmp_path):
     assert got == {(1, 15, 2), (2, 8, 2), (3, 100, 1)}
 
 
+def test_merge_aggregate_batch_id_makes_replay_idempotent(spark, tmp_path):
+    """A replayed batch with the same batch_id is skipped (marker under
+    {path}__applied_batches), so sums are NOT double-counted; a batch
+    without an id still folds (documented non-idempotent path)."""
+    import os
+
+    from etl_inreach_spark.sinks.upsert import merge_aggregate_partitioned
+
+    path = os.path.join(str(tmp_path), "state")
+
+    def partial(rows):
+        df = spark.createDataFrame(rows, "k long, v long")
+        return (
+            df.withColumn("bucket", F.pmod(F.col("k"), F.lit(4)))
+            .groupBy("bucket", "k")
+            .agg(F.sum("v").alias("v"))
+        )
+
+    b1 = partial([(1, 10), (2, 7)])
+    merge_aggregate_partitioned(spark, path, b1, ["k"], ["v"], "bucket", batch_id="b1")
+    # replay of b1: must be a no-op
+    merge_aggregate_partitioned(spark, path, b1, ["k"], ["v"], "bucket", batch_id="b1")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 10), (2, 7)}, "replayed batch double-counted"
+    # a NEW id folds normally
+    merge_aggregate_partitioned(
+        spark, path, partial([(1, 1)]), ["k"], ["v"], "bucket", batch_id="b2"
+    )
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 11), (2, 7)}
+
+
+def test_bloom_prune_rejects_mismatched_filter_geometry(spark):
+    """Words built on one (m_bits, k_hashes) grid probed with another
+    would silently drop true members; the relation carries its geometry
+    in schema metadata and prune raises instead."""
+    import pytest
+
+    from etl_inreach_spark.operators.bloom import bloom_prune, bloom_words
+
+    dim = spark.range(100).withColumnRenamed("id", "k")
+    words = bloom_words(dim, "k", m_bits=1 << 12, k_hashes=5)
+    with pytest.raises(ValueError, match="bit grid"):
+        bloom_prune(dim, "k", words, m_bits=1 << 13, k_hashes=5)
+    with pytest.raises(ValueError, match="bit grid"):
+        bloom_prune(dim, "k", words, m_bits=1 << 12, k_hashes=4)
+    # matching geometry still fine
+    assert bloom_prune(dim, "k", words, m_bits=1 << 12, k_hashes=5).count() == 100
+
+
 def test_arrow_argmax_skips_empty_and_null_embeddings(spark):
     """NULL/empty embeddings have no argmax: the op must OMIT those
     rows (the oracle's unnest semantics), not crash np.argmax, and the

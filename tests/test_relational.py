@@ -230,3 +230,21 @@ def test_interval_overlap_join_matches_naive(spark):
         got = [(r["lid"], r["rid"]) for r in rows]
         assert len(got) == len(set(got)), f"dup pairs at band={band}"
         assert set(got) == want, f"band={band}"
+
+
+def test_interval_overlap_join_validates_inputs(spark):
+    """band <= 0 (division-by-zero bucket ids) and endpoint names
+    shared across sides (ambiguous references) fail fast."""
+    import pytest
+
+    from etl_inreach_spark.operators.relational import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, ls long, le long")
+    right = spark.createDataFrame([(2, 5, 15)], "rid long, rs long, re long")
+    with pytest.raises(ValueError, match="band"):
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", 0)
+    with pytest.raises(ValueError, match="band"):
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", -4)
+    same = spark.createDataFrame([(3, 1, 2)], "rid long, ls long, le long")
+    with pytest.raises(ValueError, match="distinct endpoint"):
+        interval_overlap_join(left, same, "ls", "le", "ls", "le", 8)
