@@ -47,43 +47,116 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window as long as the tail stays >= (total - 50) names.
 #
 # Verdict history (rN = CORRECTNESS_r0N):
-#   Round-4 rotation, revised mid-round when 11 new queries landed
-#   (the window is exactly full, so every addition displaces a name).
-#   Staleness bound (VERDICT r3 item 4): a query may sit outside the
-#   window at most 2 consecutive rounds.
+#   Round-5 rotation — executes the ROUND-5 ROTATION PLAN written at
+#   r4 (VERDICT r4 item 1) verbatim, retiring all verification debt:
 #   _FRONT groups, in order:
-#   (a) changed this round — the two r3 red rows (oracle-rendering
-#       fixes), the js_try_to_timestamp widening (flows through both
-#       KML-path queries), the shingle-materialization perf change,
-#       the connected_components non-convergence raise, and the
-#       streaming fixture cleanup (all four streaming fixtures);
-#   (b) NEW this round, never driver-verified — 11 r4 additions
-#       (analytics + curation modules) then the 7 r3-late additions;
-#   (c) stale-since-r2 names rotating back in (out r2+r3 — at the
-#       staleness bound, MUST be verified in r4);
-#   (d) the two rows-only sketches (rows-only row recorded per round);
-#   (e) r3-first-green names granted a second green round — the 8
-#       most structural (packing/corpus/session/skew paths). The other
-#       10 r3-first-greens (simple relational aggregates) rotate to
-#       the tail mid-body and re-enter in r5.
-#
-#   ROUND-5 ROTATION PLAN (write this into _FRONT at r5 start):
-#   1. all 12 _PENDING names — never driver-verified (local
-#      oracle_check PASS only);
-#   2. the _TAIL head block (12 names, top3_orders_per_customer ..
-#      distinct_users_per_type) — out r3+r4, AT the staleness bound;
-#   3. the r3-green/out-r4 mid-tail block (sessionize_events ..
-#      approx_order_percentiles — includes the two rows-only sketches
-#      and the 2 streaming fixtures streaming_tumbling_counts /
-#      streaming_groupstate_latest) — out r4 only, 1 round of
-#      headroom; fill remaining slots from its head;
-#   4. r4-greens rotate to the tail to make room (they will have one
-#      green round; prefer keeping any whose implementation changes
-#      again in r5).
-#   12 + 12 = 24 mandatory; ~26 slots remain for group 3 + changed
-#   queries — fits.
+#   (a) NEW this round, never driver-verified — the three operator-
+#       library extras promoted to oracle-gated queries (VERDICT r4
+#       item 2): forward as-of join, band-bucketed interval-overlap
+#       join, star-contraction connected components;
+#   (b) all 12 former _PENDING names — never driver-verified (local
+#       oracle_check PASS only; includes bloom_prune_join and
+#       incremental_agg_merge, whose operators also changed this
+#       round per ADVICE.md, so their r5 verdict covers the change);
+#   (c) the 12 stale-since-r2 names (out r3+r4 — AT the staleness
+#       bound, MUST be verified in r5);
+#   (d) fill to 50 with the out-r4-only block: the 8 structural
+#       r3-greens, the 2 checkpoint streaming fixtures, the 2
+#       rows-only sketches (rows-only row recorded this round), the
+#       10 r3-green relational aggregates, and the head of the
+#       two-round-stable block (ann_ivf_topk).
+#   _TAIL order encodes r6 priority: the 19 remaining two-round-
+#   stable greens (r2+r3, out r4+r5 — at the bound, MUST enter r6)
+#   lead, then the 50 r4-greens (out r5 only, one round of headroom).
 _FRONT: tuple[str, ...] = (
-    # (a) changed this round
+    # (a) new in r5, never verified
+    "asof_next_purchase_after_click",
+    "interval_overlap_order_windows",
+    "dedup_clusters_star",
+    # (b) former _PENDING — never driver-verified
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_last_shipper",
+    "bm25_term_search",
+    "walk3_centrality",
+    "bloom_prune_join",
+    "incremental_agg_merge",
+    "embedding_argmax_arrow",
+    "pandas_udaf_median_price",
+    "corpus_curation_pipeline",
+    "streaming_sliding_counts",
+    "scd2_point_in_time_join",
+    # (c) out r3+r4 — at the staleness bound
+    "top3_orders_per_customer",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "asof_last_click_before_purchase",
+    "cross_join_region_nation",
+    "range_join_ship_within_90d",
+    "rollup_pricing",
+    "set_ops_repeat_customers",
+    "set_ops_churned_customers",
+    "window_running_stats",
+    "tumbling_15min_counts",
+    "distinct_users_per_type",
+    # (d) out r4 only — structural r3-greens + streaming fixtures
+    "sessionize_events",
+    "session_window_native",
+    "salted_skew_join",
+    "sliding_1h_user_activity",
+    "seq_pack_bins",
+    "repetition_profile",
+    "contamination_check",
+    "upsert_merge_roundtrip",
+    "streaming_tumbling_counts",
+    "streaming_groupstate_latest",
+    # (d) rows-only sketches re-enter for their per-round rows check
+    "approx_distinct_users",
+    "approx_order_percentiles",
+    # (d) r3-green relational aggregates, out r4 only
+    "global_top10_orders",
+    "shipping_priority_top10",
+    "pivot_event_counts",
+    "skew_safe_event_counts",
+    "order_stats_summary",
+    "full_outer_nation_activity",
+    "unpivot_order_flags",
+    "sql_revenue_by_nation",
+    "mode_ship_month",
+    "order_value_percentiles",
+    # (d) head of the two-round-stable block fills slot 50
+    "ann_ivf_topk",
+)
+# Empty this round: every r4 _PENDING name was promoted to _FRONT
+# above, and the r5 additions went straight into _FRONT because they
+# landed before the window froze.
+_PENDING: tuple[str, ...] = ()
+_TAIL: tuple[str, ...] = (
+    # two-round-stable greens (r2 AND r3), out r4+r5 after this
+    # rotation — AT the staleness bound, MUST enter the r6 window
+    # (kept at the tail head so they re-enter first)
+    "ann_lsh_topk",
+    "corr_price_quantity",
+    "date_dim_generate",
+    "doc_fingerprints",
+    "eav_pivot",
+    "embedding_norms",
+    "embedding_topk",
+    "exact_dedup_documents",
+    "grouping_sets_pricing",
+    "hash_split_documents",
+    "kmv_distinct_users",
+    "lang_id_documents",
+    "multimodal_features",
+    "ntile_customer_value",
+    "pricing_summary",
+    "quality_filter_pipeline",
+    "simhash_near_dup",
+    "text_stats",
+    "unit_strip_cast",
+    # r4 window (all green in CORRECTNESS_r04) — out r5 only, one
+    # round of headroom; re-enter r6/r7 in this order after the block
+    # above
     "seq_pack_chunks",
     "multimodal_resize",
     "kml_pipeline_roundtrip",
@@ -92,7 +165,6 @@ _FRONT: tuple[str, ...] = (
     "minhash_lsh_dedup",
     "dedup_clusters",
     "streaming_stateful_latest",
-    # (b) new in r4, never verified: analytics + curation modules
     "scd2_user_state",
     "resample_gapfill_events",
     "data_profile_orders",
@@ -116,7 +188,6 @@ _FRONT: tuple[str, ...] = (
     "cogroup_conversion_latency",
     "zorder_events_key",
     "ansi_safe_functions",
-    # (b) late-r3 additions, never verified
     "doc_chunk_overlap",
     "triangle_count_copurchase",
     "vocab_top_terms",
@@ -124,7 +195,6 @@ _FRONT: tuple[str, ...] = (
     "funnel_conversion",
     "histogram_order_totals",
     "embedding_quantize_int8",
-    # (c) stale since r2, rotating back in (first half of old tail)
     "embedding_cosine_dedup",
     "multimodal_frame_sample",
     "cube_pricing",
@@ -137,98 +207,6 @@ _FRONT: tuple[str, ...] = (
     "time_window_filter",
     "string_functions_showcase",
     "broadcast_config_join",
-    # (d) rows-only sketches both rotated to the tail this round under
-    # window pressure from the 20 new value-oracled queries — their
-    # exact companions (kmv_distinct_users, order_value_percentiles)
-    # carry the value signal; both re-enter in r5
-)
-# Added AFTER the r4 window froze: the window is exactly full with
-# (a) changed + (b) never-verified + (c) at-the-staleness-bound names,
-# so these cannot enter without evicting a name whose verification this
-# round is mandatory. They sit at positions 50.. (head of the middle),
-# carry local oracle_check PASS + pytest evidence, and MUST move to
-# _FRONT in r5 (tests/test_registry_order.py enforces the bookkeeping:
-# every registered query is FRONT, PENDING, or TAIL — nothing silently
-# unverifiable).
-_PENDING: tuple[str, ...] = (
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q21_last_shipper",
-    "bm25_term_search",
-    "walk3_centrality",
-    "bloom_prune_join",
-    "incremental_agg_merge",
-    "embedding_argmax_arrow",
-    "pandas_udaf_median_price",
-    "corpus_curation_pipeline",
-    "streaming_sliding_counts",
-    "scd2_point_in_time_join",
-)
-_TAIL: tuple[str, ...] = (
-    # held-back half of the stale-since-r2 set — 2 rounds unverified
-    # after r4; MUST rotate into the r5 window (keep at tail head so
-    # they re-enter first if window slots free up)
-    "top3_orders_per_customer",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "asof_last_click_before_purchase",
-    "cross_join_region_nation",
-    "range_join_ship_within_90d",
-    "rollup_pricing",
-    "set_ops_repeat_customers",
-    "set_ops_churned_customers",
-    "window_running_stats",
-    "tumbling_15min_counts",
-    "distinct_users_per_type",
-    # r3-first-greens displaced by the r4 additions (green r3, out
-    # r4 — re-enter in r5, one round before their staleness bound)
-    "sessionize_events",
-    "session_window_native",
-    "salted_skew_join",
-    "sliding_1h_user_activity",
-    "seq_pack_bins",
-    "repetition_profile",
-    "contamination_check",
-    "upsert_merge_roundtrip",
-    # r4 change was fixture cleanup only (try/finally rmtree), query
-    # logic unchanged and green in r3 — rotated out under window
-    # pressure, re-enter r5 (stateful coverage stays in-window via
-    # streaming_stateful_latest)
-    "streaming_tumbling_counts",
-    "streaming_groupstate_latest",
-    "approx_distinct_users",
-    "approx_order_percentiles",
-    "global_top10_orders",
-    "shipping_priority_top10",
-    "pivot_event_counts",
-    "skew_safe_event_counts",
-    "order_stats_summary",
-    "full_outer_nation_activity",
-    "unpivot_order_flags",
-    "sql_revenue_by_nation",
-    "mode_ship_month",
-    "order_value_percentiles",
-    # two-round-stable greens (r2 AND r3)
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "corr_price_quantity",
-    "date_dim_generate",
-    "doc_fingerprints",
-    "eav_pivot",
-    "embedding_norms",
-    "embedding_topk",
-    "exact_dedup_documents",
-    "grouping_sets_pricing",
-    "hash_split_documents",
-    "kmv_distinct_users",
-    "lang_id_documents",
-    "multimodal_features",
-    "ntile_customer_value",
-    "pricing_summary",
-    "quality_filter_pipeline",
-    "simhash_near_dup",
-    "text_stats",
-    "unit_strip_cast",
 )
 
 

@@ -678,6 +678,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_clusters_star", oracle=_DUCK_CLUSTERS)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_clusters — components over the exact
+    blocked 9-gram Jaccard pair relation — computed by the LOG-DIAMETER
+    escalation: alternating large-star/small-star contraction (Kiveris
+    et al.; operators/dedup.connected_components_star) instead of
+    min-label propagation. On this corpus's tiny clusters both
+    converge fast; the star variant is the 100 TB path when duplicate
+    CHAINS make component diameter (and thus propagation rounds)
+    large, converging in O(log^2 n) rounds regardless of diameter.
+    Value-oracled against the same recursive transitive closure, so
+    the two CC algorithms are pinned equal on real data, not just in
+    the property test."""
+    tune(spark)
+    from etl_inreach_spark.operators.dedup import connected_components_star
+    from etl_inreach_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", 0.8, length_block=32, shingle_k=9)
+    comp = connected_components_star(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
+    )
+
+
 @query(
     "multimodal_resize",
     oracle="""

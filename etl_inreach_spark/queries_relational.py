@@ -1009,3 +1009,115 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     return funnel_steps(ev, ("view", "click", "purchase"))
+
+
+@query(
+    "asof_next_purchase_after_click",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT min(p.ts) FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND p.ts >= c.ts
+           ) AS next_purchase_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+    """,
+)
+def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 as-of join, FORWARD direction — for each click, the
+    earliest purchase at-or-after it by the same user (time-to-convert
+    attribution; the mirror of asof_last_click_before_purchase and the
+    forward generalization of the reference's closest-report pairing,
+    task.ts:151-159). Same union + one-window rendering as backward
+    (operators/relational.asof_join): one shuffle on user_id, the
+    timeline walked in reverse so `last(ignorenulls)` carries the
+    earliest >= purchase — no per-row range probe at 100 TB."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["ts"], direction="forward"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("next_purchase_ts")
+    )
+
+
+@query(
+    "interval_overlap_order_windows",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 + o_orderkey % 14 AS e
+        FROM orders
+        WHERE o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2000-04-01'
+    )
+    SELECT a.pri AS l_priority, b.pri AS r_priority,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+               AS sum_overlap_days
+    FROM iv a JOIN iv b
+      ON a.s <= b.e AND b.s <= a.e AND a.k < b.k
+    GROUP BY l_priority, r_priority
+    """,
+)
+def interval_overlap_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 joins — interval OVERLAP join with NO equi key: pairs of
+    Q1-2000 order fulfilment windows ([orderdate, orderdate + 0..13d],
+    length varied deterministically by orderkey) that intersect in
+    time, aggregated to pair counts + total overlap days per priority
+    pair. The oracle is the naive cross-join filter (fine at sf0.01);
+    the Spark side is operators/relational.interval_overlap_join —
+    band bucketing (band=16 ~ max interval length, so intervals span
+    O(1) buckets) turns the theta join into an equi-join on bucket id
+    with a canonical-bucket dedup, keeping the plan off
+    broadcast-nested-loop at 100 TB. Each unordered pair is counted
+    once via k_l < k_r; bounds are integral epoch days."""
+    tune(spark)
+    from etl_inreach_spark.operators.relational import interval_overlap_join
+
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("2000-01-01"))
+            & (F.col("o_orderdate") < F.lit("2000-04-01"))
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.col("k") % 14)
+    )
+    left = iv.select(
+        F.col("k").alias("k_l"),
+        F.col("pri").alias("l_priority"),
+        F.col("s").alias("ls"),
+        F.col("e").alias("le"),
+    )
+    right = iv.select(
+        F.col("k").alias("k_r"),
+        F.col("pri").alias("r_priority"),
+        F.col("s").alias("rs"),
+        F.col("e").alias("re"),
+    )
+    pairs = interval_overlap_join(left, right, "ls", "le", "rs", "re", band=16)
+    return (
+        pairs.filter(F.col("k_l") < F.col("k_r"))
+        .groupBy("l_priority", "r_priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.least("le", "re") - F.greatest("ls", "rs") + F.lit(1)
+            ).alias("sum_overlap_days"),
+        )
+    )

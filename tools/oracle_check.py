@@ -6,7 +6,12 @@ given sf dir, and compares row count, column names, and values
 name). Floats are compared exactly first; if not exactly equal we
 report the max abs diff so decimal-discipline regressions are visible.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a machine-readable artifact (one record
+per query: status/rows/seconds/problems) — the per-round full-registry
+sweep commits this as ORACLE_FULL_r{N}.json so every query carries a
+fresh signed verdict even when outside the driver's 50-query window.
 """
 
 from __future__ import annotations
@@ -197,8 +202,14 @@ def compare(name, spark_cols, spark_rows, duck_cols, duck_rows) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     qs, oracles = all_queries(), all_oracles()
     unknown = only - set(qs)
     if unknown:
@@ -220,6 +231,16 @@ def main() -> int:
         spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
     failed = []
+    records: dict[str, dict] = {}
+
+    def record(name, status, rows, t0, problems=None):
+        records[name] = {
+            "status": status,
+            "rows": rows,
+            "seconds": round(time.time() - t0, 2),
+            **({"problems": problems} if problems else {}),
+        }
+
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -230,12 +251,16 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            record(name, "SPARK-ERROR", None, t0, [f"{type(e).__name__}: {e}"])
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows={len(spark_rows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             if len(spark_rows) == 0:
                 failed.append(name)
                 print(f"FAIL {name}: 0 rows on rows-only query")
+                record(name, "ROWS-ONLY-EMPTY", 0, t0, ["0 rows"])
+            else:
+                record(name, "ROWS-ONLY", len(spark_rows), t0)
             continue
         try:
             res = con.execute(oracles[name])
@@ -243,14 +268,37 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            record(name, "DUCK-ERROR", len(spark_rows), t0, [f"{type(e).__name__}: {e}"])
             continue
         problems = compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
         if problems:
             failed.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
+            record(name, "FAIL", len(spark_rows), t0, problems)
         else:
             print(f"PASS {name}: rows={len(spark_rows)} [{time.time()-t0:.1f}s]")
+            record(name, "PASS", len(spark_rows), t0)
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    if json_out:
+        import datetime as _dt
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "generated_utc": _dt.datetime.now(_dt.timezone.utc).isoformat(
+                        timespec="seconds"
+                    ),
+                    "n_queries": len(records),
+                    "n_failures": len(failed),
+                    "failed": sorted(failed),
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
