@@ -153,7 +153,17 @@ def share_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unit_strip_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O14+O15 — unit-suffix strip ('"45.5 ° True"', '"12.0 km/h"',
     task.ts:119-120) and km/h -> m/s with the reference's exact
-    0.277778 constant (task.ts:120; SURVEY.md §2.3.3)."""
+    0.277778 constant (task.ts:120; SURVEY.md §2.3.3).
+
+    Perf note (r4 bench outlier, profiled min-of-6 at sf0.1): cost is
+    the two \\s-class regex strips plus the synthetic raw-string
+    CONSTRUCTION over 600k rows — not try_cast (every non-empty
+    stripped value parses, so the exception path never runs).
+    strip_unit now renders as an anchored regexp_extract('^\\S*')
+    (1.58 -> 1.19 s for the strip stage); the remaining ~1.2 s is the
+    floor for reference-faithful semantics: substring_index(' ')
+    would run in 0.54 s but splits only on LITERAL space, diverging
+    from the reference's /\\s.*/ (tabs/newlines) — rejected."""
     tune(spark)
     from etl_inreach_spark.functions.strings import strip_unit_to_double
     from etl_inreach_spark.functions.units import kmh_to_ms
