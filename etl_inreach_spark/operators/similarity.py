@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_inreach_spark.functions.vectors import cosine
+from etl_inreach_spark.functions.vectors import cosine, l2_norm
 from etl_inreach_spark.operators.dedup import topk_by_key
 
 LSH_SEED = 42
@@ -594,3 +594,135 @@ def ivf_topk(
         scored, [query_id_col], [F.col("cos").desc(), F.col(id_col).asc()], k, rank_col="rank"
     )
     return top.select(query_id_col, id_col, "rank", "cos")
+
+
+def semantic_dedup_cells(
+    corpus: DataFrame,
+    tau: float,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup: assign every
+    vector to its nearest coarse cell (portable hash-sampled
+    centroids, argmax sequential-fold cosine — same quantizer as
+    ``ivf_topk_portable``), then drop any vector that has a
+    SMALLER-id in-cell neighbor with cosine >= ``tau``. Returns
+    (id, cell, kept) for the whole corpus — the min-id survivor rule
+    makes the verdict deterministic and SQL-renderable.
+
+    This is the scale shape of semantic dedup (Abbas et al.,
+    "SemDeDup"): the O(n^2) pair search runs only WITHIN cells, so
+    cost is sum_c |cell_c|^2 — with balanced cells, n^2/nlist — and
+    each cell's pair join is an equi-join on the cell id, never a
+    global cross product. The global-exact companion
+    (``cosine_pairs_exact``) covers the no-structure worst case; this
+    operator is what you run first at 100 TB, with nlist sized so
+    cells fit a task (n/nlist vectors -> |cell|^2 bounded per task).
+    Approximation contract: only SAME-CELL duplicates are seen, the
+    standard SemDeDup trade (recall grows with nprobe if needed)."""
+    cent = portable_centroids(corpus, nlist, id_col, vec_col)
+    asg = _nearest_cells(corpus, cent, 1, id_col, vec_col)
+    a = asg.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = asg.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(tau))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return asg.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left").select(
+        id_col, "cell", F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")
+    )
+
+
+def kmeans_lloyd_distributed(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully DISTRIBUTED spherical k-means (Lloyd's iterations) over a
+    DataFrame — the quantizer trainer for corpora where even a sample
+    misrepresents the distribution and ``train_ivf_centroids``'s
+    driver-side numpy sample is not enough.
+
+    Per round (same loop discipline as operators/dedup
+    connected_components — eager localCheckpoint per iteration as the
+    lineage cut):
+      1. assignment: broadcast the nlist centroids, argmax
+         sequential-fold cosine per vector (one shuffle-free pass);
+      2. update: explode members to (cell, dim, x) and partial-agg
+         avg per (cell, dim) — the shuffle carries nlist*dim rows,
+         NOT the corpus — then re-normalize to the unit sphere and
+         collect the nlist*dim means back into centroid arrays
+         (bounded: nlist rows).
+    Empty cells keep their previous centroid. Initialization is the
+    portable hash-sampled pick (``portable_centroids``) so the whole
+    run is deterministic — no RNG, replay-safe.
+
+    Returns the final (cell, _cvec) centroid relation, same contract
+    as ``portable_centroids`` so callers can feed ``_nearest_cells``.
+    Cost per iter: one corpus pass + a nlist*dim-row shuffle; at
+    100 TB the corpus pass dominates and is embarrassingly parallel.
+    Iterative and order-sensitive -> pytest-verified (inertia
+    non-increasing, parity with the numpy reference on fixed data),
+    not oracle-gated."""
+    cent = portable_centroids(corpus, nlist, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    unit = (
+        corpus.select(
+            id_col,
+            F.col(vec_col).alias("_v"),
+            # norm once per vector, NOT per element inside the divide
+            F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-12)).alias("_n"),
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.col("_v"), lambda x: x.cast("double") / F.col("_n")
+            ).alias("_uv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        asg = _nearest_cells(unit, cent, 1, id_col, "_uv")
+        el = asg.select(
+            "cell", F.posexplode("_uv").alias("dim", "_x")
+        )
+        means = (
+            el.groupBy("cell", "dim")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "_m"))
+                ).alias("_dm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("_dm"), lambda s: s["_m"]).alias("_raw"),
+            )
+        )
+        renorm = means.select(
+            "cell",
+            F.transform(
+                F.col("_raw"),
+                lambda x: x / F.greatest(l2_norm(F.col("_raw")), F.lit(1e-12)),
+            ).alias("_cvec"),
+        )
+        # empty cells: keep the previous centroid
+        cent = (
+            cent.select("cell", F.col("_cvec").alias("_prev"))
+            .join(renorm, "cell", "left")
+            .select("cell", F.coalesce("_cvec", "_prev").alias("_cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return cent

@@ -127,10 +127,16 @@ _FRONT: tuple[str, ...] = (
     # (d) head of the two-round-stable block fills slot 50
     "ann_ivf_topk",
 )
-# Empty this round: every r4 _PENDING name was promoted to _FRONT
-# above, and the r5 additions went straight into _FRONT because they
-# landed before the window froze.
-_PENDING: tuple[str, ...] = ()
+# Added AFTER the r5 window froze (the three operator-extra
+# promotions landed BEFORE the freeze and sit in _FRONT): the
+# count-min sketch, FastSS edit-1 fuzzy join, and SemDeDup
+# cell-scoped dedup queries. Local oracle_check PASS + entries in the
+# regenerated ORACLE_FULL_r5.json; MUST move to _FRONT in r6.
+_PENDING: tuple[str, ...] = (
+    "cms_user_event_counts",
+    "fuzzy_name_pairs_edit1",
+    "semantic_dedup_embeddings",
+)
 _TAIL: tuple[str, ...] = (
     # two-round-stable greens (r2 AND r3), out r4+r5 after this
     # rotation — AT the staleness bound, MUST enter the r6 window

@@ -1153,3 +1153,150 @@ def embedding_argmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         argmax_batches,
         "vec_id bigint, dim bigint, n_pos bigint, argmax_idx bigint",
     )
+
+
+def _cms_oracle() -> str:
+    """DuckDB rendering of the count-min sketch: each sketch row's
+    cells are a plain GROUP BY over the identical affine position
+    expression, the estimate the LEAST over the key's depth cells —
+    deterministic given the fixed hash constants, so the whole sketch
+    is value-hashable, unlike engine-internal HLL/KMV registers."""
+    from etl_inreach_spark.operators.cms import cms_position_sql
+
+    cells = ",\n    ".join(
+        f"c{i} AS (SELECT {cms_position_sql('user_id', i, 1024)} AS pos, "
+        f"CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1)"
+        for i in range(4)
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN c{i} ON c{i}.pos = {cms_position_sql('t.user_id', i, 1024)}"
+        for i in range(4)
+    )
+    est = ", ".join(f"coalesce(c{i}.c, 0)" for i in range(4))
+    return f"""
+    WITH t AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+        FROM events GROUP BY user_id
+        ORDER BY true_count DESC, user_id LIMIT 20
+    ),
+    {cells}
+    SELECT t.user_id, t.true_count, least({est}) AS est_count
+    FROM t
+    {joins}
+    """
+
+
+@query("cms_user_event_counts", oracle=_cms_oracle())
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 1024) over events.user_id,
+    probed for the 20 highest-true-count users: (user_id, true_count,
+    est_count), est >= true always, overestimate = cell collisions.
+    Build is one narrow pass whose shuffle is bounded by the SKETCH
+    size (map-side partial agg collapses to <= 4096 cells); probes are
+    broadcast left joins, zero shuffle of the queried relation
+    (operators/cms.py — the same bounded-relation discipline as
+    operators/bloom.py, and the sketch geometry rides in schema
+    metadata so a mismatched probe grid raises instead of
+    miscounting)."""
+    tune(spark)
+    from etl_inreach_spark.operators.cms import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev.select("user_id"), "user_id", width=1024, depth=4)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top, "user_id", width=1024, depth=4)
+    return est.select("user_id", "true_count", "est_count")
+
+
+@query(
+    "fuzzy_name_pairs_edit1",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_pairs_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-<=1 name pairs via FastSS deletion-neighborhood
+    blocking (operators/fuzzy.py): each name explodes into its |s|+1
+    delete-one variants keyed by xxhash64, candidates are an EQUI-join
+    on the 8-byte variant key (provably no false negatives for
+    distance <= 1), then the exact built-in levenshtein verifies. The
+    oracle is the naive cross-join filter — O(n^2) levenshtein calls,
+    fine at sf0.01, exactly what the blocking avoids at scale: Spark
+    pays sum of per-variant-bucket |b|^2, buckets being names that
+    agree everywhere but one position."""
+    tune(spark)
+    from etl_inreach_spark.operators.fuzzy import edit1_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = edit1_pairs(cust, "c_custkey", "c_name")
+    return pairs.select(
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+        "dist",
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    """Same portable quantizer CTEs as the IVF oracle (nlist=16,
+    nprobe=1), then the min-id survivor rule over in-cell pairs."""
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+    )
+
+    return f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY _h, _cid) AS cell, cvec FROM (
+            SELECT ({PORTABLE_A} * vec_id + {PORTABLE_B}) % {PORTABLE_M} AS _h,
+                   vec_id AS _cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings ORDER BY 1, 2 LIMIT 16
+        )
+    ),
+    asg AS (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), cvec) DESC,
+                            cell ASC
+               ) AS crn
+        FROM embeddings, cent
+    ),
+    casg AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, cell
+             FROM asg WHERE crn = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM casg a JOIN casg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= CAST(0.3 AS DOUBLE)
+    )
+    SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+    FROM casg c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """
+
+
+@query("semantic_dedup_embeddings", oracle=_semantic_dedup_oracle())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style CLUSTER-SCOPED semantic dedup (Abbas et al.):
+    nearest-cell assignment under the portable 16-cell quantizer, then
+    drop any vector with a smaller-id in-cell neighbor at cosine >=
+    0.3 (p99 of this corpus's pair similarity — the synthetic
+    embeddings are near-orthogonal, so 0.3 marks the duplicate tail).
+    Output (vec_id, cell, kept) for the whole corpus. The pair search
+    runs only WITHIN cells — sum_c |cell|^2 ~ n^2/nlist instead of the
+    global n^2 of embedding_cosine_dedup — which is the shape that
+    scales: size nlist so a cell fits one task. Every stage (centroid
+    pick, argmax-cosine assignment, in-cell pair cosine, survivor
+    rule) reproduces bit-for-bit in the DuckDB oracle."""
+    tune(spark)
+    from etl_inreach_spark.operators.similarity import semantic_dedup_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_cells(emb, 0.3, nlist=16)

@@ -1,0 +1,224 @@
+"""Unit/property tests for the round-5 operator additions: count-min
+sketch (operators/cms.py), FastSS edit-1 fuzzy join
+(operators/fuzzy.py), and SemDeDup cell-scoped dedup
+(operators/similarity.semantic_dedup_cells)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """CMS one-sided error law: est >= true for EVERY key, with
+    equality whenever none of the key's cells collide. Checked on a
+    skewed corpus (Zipf-ish repetition) against exact counts."""
+    from etl_inreach_spark.operators.cms import cms_build, cms_estimate
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 200) ** 2 % 997,) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "k long")
+    truth = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    sketch = cms_build(df, "k", width=256, depth=4)
+    est = cms_estimate(sketch, truth, "k", width=256, depth=4)
+    bad = est.filter(F.col("est_count") < F.col("true_count")).count()
+    assert bad == 0, "count-min sketch underestimated a key"
+    # with a roomy grid the estimate is exact for most keys
+    exact = est.filter(F.col("est_count") == F.col("true_count")).count()
+    assert exact >= truth.count() * 0.5
+
+
+def test_cms_rejects_mismatched_geometry(spark):
+    from etl_inreach_spark.operators.cms import cms_build, cms_estimate
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    sketch = cms_build(df, "k", width=256, depth=4)
+    with pytest.raises(ValueError, match="cell grid"):
+        cms_estimate(sketch, df, "k", width=512, depth=4)
+    with pytest.raises(ValueError, match="cell grid"):
+        cms_estimate(sketch, df, "k", width=256, depth=3)
+
+
+def test_cms_merge_is_groupby_sum(spark):
+    """Sketches over disjoint batches merged by summing cells equal
+    the sketch of the union — the monoid law that makes CMS
+    partition-parallel and streamable."""
+    from etl_inreach_spark.operators.cms import cms_build
+
+    a = spark.range(0, 500).withColumnRenamed("id", "k")
+    b = spark.range(300, 900).withColumnRenamed("id", "k")
+    merged = (
+        cms_build(a, "k", width=128, depth=2)
+        .unionByName(cms_build(b, "k", width=128, depth=2))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "k", width=128, depth=2)
+    got = {(r["row"], r["pos"]): r["cnt"] for r in merged.collect()}
+    want = {(r["row"], r["pos"]): r["cnt"] for r in whole.collect()}
+    assert got == want
+
+
+def _naive_edit1_pairs(rows):
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    return {
+        (i1, i2)
+        for (i1, s1) in rows
+        for (i2, s2) in rows
+        if i1 < i2 and lev(s1, s2) <= 1
+    }
+
+
+def test_edit1_pairs_matches_naive(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the levenshtein<=1
+    pairs: substitutions, insertions, deletions, exact dupes, and
+    none of the distance-2 decoys."""
+    rows = [
+        (1, "kitten"),
+        (2, "sitten"),      # substitution of 1
+        (3, "kitte"),       # deletion from 1
+        (4, "kittens"),     # insertion into 1
+        (5, "kitten"),      # exact dup of 1
+        (6, "mitten"),      # substitution of 1
+        (7, "sitting"),     # distance 3 from 1
+        (8, "bitter"),      # distance 2 from 1
+        (9, ""),            # empty: distance 1 to any single char
+        (10, "a"),
+        (11, "b"),
+        (12, "ab"),
+    ]
+    from etl_inreach_spark.operators.fuzzy import edit1_pairs
+
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit1_pairs(df, "id", "s").collect()
+    }
+    assert got == _naive_edit1_pairs(rows)
+
+
+def test_edit1_pairs_random_property(spark):
+    """Random mutation corpus: blocked result == naive result."""
+    rng = random.Random(13)
+    alphabet = "abcd"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(3, 8))) for _ in range(30)]
+    mutated = []
+    for i, s in enumerate(base):
+        mutated.append((2 * i, s))
+        t = list(s)
+        op = rng.randrange(3)
+        p = rng.randrange(len(t))
+        if op == 0:
+            t[p] = rng.choice(alphabet)
+        elif op == 1:
+            del t[p]
+        else:
+            t.insert(p, rng.choice(alphabet))
+        mutated.append((2 * i + 1, "".join(t)))
+    from etl_inreach_spark.operators.fuzzy import edit1_pairs
+
+    df = spark.createDataFrame(mutated, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit1_pairs(df, "id", "s").collect()
+    }
+    assert got == _naive_edit1_pairs(mutated)
+
+
+def test_semantic_dedup_cells_min_id_survivor_rule(spark):
+    """The kept/dropped verdict matches a brute-force recomputation of
+    the rule: dropped iff SOME smaller-id vector in the same cell has
+    cosine >= tau. Crafted corpus: near-duplicate pairs (scaled
+    copies → cosine 1) plus orthogonal singletons."""
+    import math
+
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [2.0, 0.0, 0.0, 0.0],   # dup of 1 (cos = 1)
+        3: [0.0, 1.0, 0.0, 0.0],
+        4: [0.0, 3.0, 0.0, 0.0],   # dup of 3
+        5: [0.0, 0.0, 1.0, 0.0],
+        6: [0.0, 0.0, 0.0, 1.0],
+        7: [1.0, 0.001, 0.0, 0.0],  # dup of 1 and 2
+    }
+    from etl_inreach_spark.operators.similarity import semantic_dedup_cells
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: (r["cell"], r["kept"]) for r in
+           semantic_dedup_cells(df, 0.99, nlist=2).collect()}
+    assert set(out) == set(vecs), "every vector gets a verdict"
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for vid, (cell, kept) in out.items():
+        should_drop = any(
+            o < vid and out[o][0] == cell and cos(vecs[o], vecs[vid]) >= 0.99
+            for o in vecs
+        )
+        assert kept == (not should_drop), (vid, cell, kept)
+
+
+def test_kmeans_lloyd_distributed_matches_numpy_reference(spark):
+    """The distributed Lloyd trainer reproduces a straight numpy
+    implementation of the same algorithm (portable hash init, argmax
+    cosine assignment with lowest-cell ties, member mean, renormalize,
+    empty cells keep previous) to float tolerance — the shuffle only
+    reorders float additions."""
+    import numpy as np
+
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+        kmeans_lloyd_distributed,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 6)
+    ids = list(range(40))
+    nlist, iters = 4, 3
+
+    # numpy reference
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)[:, None]
+    order = sorted(ids, key=lambda i: ((PORTABLE_A * i + PORTABLE_B) % PORTABLE_M, i))
+    cent = unit[order[:nlist]].copy()
+    for _ in range(iters):
+        cos = unit @ cent.T / (
+            np.linalg.norm(unit, axis=1)[:, None] * np.linalg.norm(cent, axis=1)[None, :]
+        )
+        assign = np.argmax(cos, axis=1)  # ties -> lowest cell, matches argmax
+        for c in range(nlist):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["cell"]: np.array(r["_cvec"])
+        for r in kmeans_lloyd_distributed(df, nlist=nlist, iters=iters).collect()
+    }
+    assert set(got) == set(range(1, nlist + 1))
+    for c in range(nlist):
+        assert np.allclose(got[c + 1], cent[c], atol=1e-9), f"cell {c+1}"
