@@ -287,3 +287,47 @@ def interval_overlap_join(
         .filter(overlap & canonical)
         .drop("_b_l", "_b_r")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data-feed GENERATION: diff two snapshots of a keyed
+    table into (key..., change_type in {'insert','update','delete'})
+    — the inverse of cdc_latest_state (which COMPACTS a feed back
+    into a snapshot). This is how a plain-parquet pipeline emits an
+    incremental feed downstream when the source cannot (Delta/Iceberg
+    CDF does this natively; the plan here is the same one they run).
+
+    One full-outer equi-join on the key; rows equal on every
+    ``compare_cols`` (null-safe) are dropped, so the output is
+    |changes|-sized, not |table|-sized. Comparison is per-column
+    IS-NOT-DISTINCT-FROM conjunction — no hashing, so the oracle
+    renders 1:1 and false "changes" are impossible (a hash would
+    admit collisions the other way). At 100 TB both sides shuffle on
+    the key once; with both snapshots bucketed by key the join is
+    co-located and shuffle-free."""
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_ov"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_nv"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, on=list(key_cols), how="full_outer")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~F.col("_ov").eqNullSafe(F.col("_nv")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

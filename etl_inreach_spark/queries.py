@@ -136,6 +136,10 @@ _PENDING: tuple[str, ...] = (
     "cms_user_event_counts",
     "fuzzy_name_pairs_edit1",
     "semantic_dedup_embeddings",
+    "data_quality_checks",
+    "snapshot_diff_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
 )
 _TAIL: tuple[str, ...] = (
     # two-round-stable greens (r2 AND r3), out r4+r5 after this

@@ -543,3 +543,101 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return survivors.select("doc_id", "n_tokens", "n_dups", split.alias("split"))
+
+
+@query(
+    "data_quality_checks",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS dup_orderkeys,
+               CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS neg_totalprice,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS bad_status,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS null_orderdate_frac
+        FROM orders
+    ),
+    l AS (
+        SELECT CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS qty_out_of_range
+        FROM lineitem
+    ),
+    fk AS (
+        SELECT CAST(count(*) AS DOUBLE) AS orphan_lineitems
+        FROM lineitem WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    )
+    SELECT 'orders_pk_unique' AS check_name, dup_orderkeys AS observed,
+           dup_orderkeys = 0 AS passed FROM o
+    UNION ALL SELECT 'orders_totalprice_nonnegative', neg_totalprice,
+           neg_totalprice = 0 FROM o
+    UNION ALL SELECT 'orders_status_domain', bad_status, bad_status = 0 FROM o
+    UNION ALL SELECT 'orders_orderdate_nullrate', null_orderdate_frac,
+           null_orderdate_frac <= 0.01 FROM o
+    UNION ALL SELECT 'lineitem_quantity_range', qty_out_of_range,
+           qty_out_of_range = 0 FROM l
+    UNION ALL SELECT 'lineitem_fk_orders', orphan_lineitems,
+           orphan_lineitems = 0 FROM fk
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ pattern):
+    key uniqueness, value domains, range bounds, null-rate threshold,
+    and referential integrity, evaluated as (check_name, observed,
+    passed) rows. Single-pass economics: all orders-level checks fold
+    into ONE aggregate over one scan (count/distinct/conditional sums
+    computed together), lineitem range checks into a second, and the
+    FK check is a left-anti count — three scans total regardless of
+    how many constraints ride each table, which is what makes running
+    the suite on every batch affordable at 100 TB (vs one pass per
+    constraint). Oracle renders the same constraint algebra."""
+    tune(spark)
+    from functools import reduce
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("double")
+        .alias("dup_orderkeys"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("double")
+        .alias("neg_totalprice"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("double")
+        .alias("bad_status"),
+        (
+            F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("null_orderdate_frac"),
+    )
+    lq = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("qty_out_of_range")
+    )
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("orphan_lineitems"))
+    )
+
+    def row(src: DataFrame, name: str, col: str, passed):
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).alias("observed"),
+            passed(F.col(col)).alias("passed"),
+        )
+
+    zero = lambda c: c == 0  # noqa: E731
+    parts = [
+        row(o, "orders_pk_unique", "dup_orderkeys", zero),
+        row(o, "orders_totalprice_nonnegative", "neg_totalprice", zero),
+        row(o, "orders_status_domain", "bad_status", zero),
+        row(o, "orders_orderdate_nullrate", "null_orderdate_frac", lambda c: c <= 0.01),
+        row(lq, "lineitem_quantity_range", "qty_out_of_range", zero),
+        row(orphans, "lineitem_fk_orders", "orphan_lineitems", zero),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -248,3 +248,28 @@ def test_interval_overlap_join_validates_inputs(spark):
     same = spark.createDataFrame([(3, 1, 2)], "rid long, ls long, le long")
     with pytest.raises(ValueError, match="distinct endpoint"):
         interval_overlap_join(left, same, "ls", "le", "ls", "le", 8)
+
+
+def test_snapshot_diff_classes_and_null_semantics(spark):
+    """insert/update/delete classification, including NULL-involved
+    comparisons: NULL -> value and value -> NULL are updates,
+    NULL -> NULL is unchanged (null-safe struct equality)."""
+    from etl_inreach_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, None, 30), (4, "d", 40), (5, None, None)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged
+         (2, "b", 20),        # NULL -> value: update
+         (3, None, None),     # value -> NULL: update
+         (5, None, None),     # NULL == NULL: unchanged
+         (6, "f", 60)],       # insert; 4 deleted
+        "k long, s string, v long",
+    )
+    got = {
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {(2, "update"), (3, "update"), (4, "delete"), (6, "insert")}
