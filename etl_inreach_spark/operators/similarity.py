@@ -623,16 +623,30 @@ def semantic_dedup_cells(
     standard SemDeDup trade (recall grows with nprobe if needed)."""
     cent = portable_centroids(corpus, nlist, id_col, vec_col)
     asg = _nearest_cells(corpus, cent, 1, id_col, vec_col)
-    a = asg.select(
-        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "cell"
+    # Precompute each vector's norm ONCE: cosine(a,b) recomputes both
+    # norms per pair (3 sequential folds); dot/(na*nb) with carried
+    # norms is the IDENTICAL float expression tree — l2_norm(a) =
+    # sqrt(dot(a,a)) either way — at a third of the fold count over
+    # the |cell|^2 pair relation.
+    from etl_inreach_spark.functions.vectors import dot
+
+    withn = asg.select(
+        F.col(id_col), F.col(vec_col), "cell",
+        l2_norm(F.col(vec_col)).alias("_nrm"),
     )
-    b = asg.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "cell"
+    a = withn.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"), "cell",
     )
+    b = withn.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"), "cell",
+    )
+    pair_cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     dropped = (
         a.join(b, "cell")
         .filter(F.col("_ida") < F.col("_idb"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(tau))
+        .filter(pair_cos >= F.lit(tau))
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )
