@@ -127,11 +127,23 @@ _FRONT: tuple[str, ...] = (
     # (d) head of the two-round-stable block fills slot 50
     "ann_ivf_topk",
 )
-# Added AFTER the r5 window froze (the three operator-extra
-# promotions landed BEFORE the freeze and sit in _FRONT): the
-# count-min sketch, FastSS edit-1 fuzzy join, and SemDeDup
-# cell-scoped dedup queries. Local oracle_check PASS + entries in the
-# regenerated ORACLE_FULL_r5.json; MUST move to _FRONT in r6.
+# ROUND-6 ROTATION PLAN (write this into _FRONT at r6 start):
+#   1. all _PENDING names below — never driver-verified (local
+#      oracle_check PASS + green rows in ORACLE_FULL_r5.json);
+#   2. the _TAIL head block (19 names, ann_lsh_topk ..
+#      unit_strip_cast) — two-round-stable greens out r4+r5, AT the
+#      staleness bound, MUST be verified in r6;
+#   3. fill the remaining ~24 slots from the r4-green tail block
+#      (seq_pack_chunks ..), out r5 only — take its head; the rest
+#      re-enters r7 together with the r5-window names rotating out.
+#   7 + 19 = 26 mandatory; window is 50 — fits with ~24 fill slots.
+#
+# _PENDING: added AFTER the r5 window froze (the three operator-extra
+# promotions landed BEFORE the freeze and sit in _FRONT): count-min
+# sketch, FastSS edit-1 fuzzy join, SemDeDup cell-scoped dedup,
+# data-quality suite, snapshot-diff CDC, TPC-H q7/q10. Local
+# oracle_check PASS + entries in ORACLE_FULL_r5.json; MUST move to
+# _FRONT in r6 (group 1 above).
 _PENDING: tuple[str, ...] = (
     "cms_user_event_counts",
     "fuzzy_name_pairs_edit1",
@@ -140,6 +152,7 @@ _PENDING: tuple[str, ...] = (
     "snapshot_diff_orders",
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
+    "cms_incremental_merge",
 )
 _TAIL: tuple[str, ...] = (
     # two-round-stable greens (r2 AND r3), out r4+r5 after this

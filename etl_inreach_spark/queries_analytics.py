@@ -1340,3 +1340,72 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+def _cms_incr_oracle() -> str:
+    """One-shot CMS cells over ALL events — what the incremental fold
+    must equal by the monoid law."""
+    from etl_inreach_spark.operators.cms import cms_position_sql
+
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS row, "
+        f"CAST({cms_position_sql('user_id', i, 512)} AS BIGINT) AS pos, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 2"
+        for i in range(4)
+    )
+    return f"""
+    {rows}
+    """
+
+
+@query("cms_incremental_merge", oracle=_cms_incr_oracle())
+def cms_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-as-incremental-view: a count-min sketch maintained
+    ACROSS BATCHES through the additive MERGE sink — per-batch CMS
+    partials (operators/cms.cms_build over each half of the event
+    stream, split at the time midpoint) folded into persisted state by
+    per-cell summation (sinks.upsert.merge_aggregate_partitioned).
+    CMS cells are counts, counts are a commutative monoid, so the
+    folded state must hash-match the one-shot sketch over all events —
+    which is exactly what the oracle computes. Composes two
+    independently-oracled operators (cms_build, merge sink) and pins
+    that the COMPOSITION preserves exactness; at 100 TB this is how a
+    frequency sketch stays current for the cost of each increment,
+    with the state bounded at depth*width rows forever."""
+    import shutil
+    import uuid
+
+    tune(spark)
+    from etl_inreach_spark.operators.cms import cms_build
+    from etl_inreach_spark.sinks.upsert import merge_aggregate_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    run = uuid.uuid4().hex[:12]
+    path = f"/tmp/spark_graft_cmsincr/{run}/state"
+    try:
+        for i, batch in enumerate(
+            (
+                ev.filter(F.col("ts") <= F.lit(cutoff)),
+                ev.filter(F.col("ts") > F.lit(cutoff)),
+            )
+        ):
+            partial = cms_build(
+                batch.select("user_id"), "user_id", width=512, depth=4
+            )
+            # partition_col is itself part of the cell key: the sink
+            # groups by (partition_col, *key_cols), so "row" must not
+            # repeat in key_cols
+            merge_aggregate_partitioned(
+                spark, path, partial,
+                key_cols=["pos"],
+                sum_cols=["cnt"],
+                partition_col="row",
+                batch_id=f"batch-{i}",
+            )
+        out = spark.read.parquet(path).select("row", "pos", "cnt")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(f"/tmp/spark_graft_cmsincr/{run}", ignore_errors=True)
+    return out
