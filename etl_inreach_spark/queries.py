@@ -136,14 +136,17 @@ _FRONT: tuple[str, ...] = (
 #   3. fill the remaining ~24 slots from the r4-green tail block
 #      (seq_pack_chunks ..), out r5 only — take its head; the rest
 #      re-enters r7 together with the r5-window names rotating out.
-#   7 + 19 = 26 mandatory; window is 50 — fits with ~24 fill slots.
+#   12 + 19 = 31 mandatory; window is 50 — fits with ~19 fill slots.
 #
 # _PENDING: added AFTER the r5 window froze (the three operator-extra
 # promotions landed BEFORE the freeze and sit in _FRONT): count-min
 # sketch, FastSS edit-1 fuzzy join, SemDeDup cell-scoped dedup,
-# data-quality suite, snapshot-diff CDC, TPC-H q7/q10. Local
+# data-quality suite, snapshot-diff CDC, TPC-H q7/q10/q14,
+# incremental-CMS composition, leakage-safe groupwise split,
+# run-length state compression, token-budget selection. Local
 # oracle_check PASS + entries in ORACLE_FULL_r5.json; MUST move to
-# _FRONT in r6 (group 1 above).
+# _FRONT in r6 (group 1 above). Cap 12/12 — NO further oracle-gated
+# additions this round.
 _PENDING: tuple[str, ...] = (
     "cms_user_event_counts",
     "fuzzy_name_pairs_edit1",
@@ -153,6 +156,10 @@ _PENDING: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
     "cms_incremental_merge",
+    "groupwise_split_documents",
+    "compress_consecutive_events",
+    "tpch_q14_promo_revenue",
+    "token_budget_select",
 )
 _TAIL: tuple[str, ...] = (
     # two-round-stable greens (r2 AND r3), out r4+r5 after this

@@ -1342,6 +1342,78 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                   AS ship_yearmonth,
+               CAST(COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(14,4)) *
+                             (1 - CAST(l_discount AS DECIMAL(6,4))) END)
+                        AS DECIMAL(18,6)),
+                    CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) *
+                        (1 - CAST(l_discount AS DECIMAL(6,4))))
+                    AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+        GROUP BY 1
+    )
+    SELECT ship_yearmonth, promo_revenue, total_revenue,
+           100.0 * promo_revenue / total_revenue AS promo_pct
+    FROM a
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of revenue coming
+    from PROMO-type parts, per ship month — the canonical
+    conditional-aggregation-over-a-dimension-join query. Part is a tiny
+    dim and is BROADCAST, so lineitem never shuffles for the join; the
+    only shuffle is the groupBy on ship_yearmonth with map-side partial
+    aggregation (one combined row per (task, month) — a few hundred
+    rows total reach the reduce side regardless of corpus size). At
+    100 TB the plan shape is unchanged: fact-side scan + broadcast
+    hash join + 2-phase agg. Decimal discipline: both SUMs go through
+    DECIMAL(18,6) then DOUBLE (the q5 hop), and the ratio is computed
+    double/double AFTER the casts so both engines divide bit-identical
+    operands (IEEE division is deterministic); the adapted synthetic
+    p_type domain has exact value 'PROMO' (no LIKE 'PROMO%%' prefix
+    needed). Generalizes /root/reference/task.ts:151-159's
+    "latest-state share" reporting into the standard promo-share form.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price_d = F.col("l_extendedprice").cast("decimal(14,4)")
+    disc_d = F.col("l_discount").cast("decimal(6,4)")
+    rev = price_d * (F.lit(1) - disc_d)
+    ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("bigint")
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(ym.alias("ship_yearmonth"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast(
+                    "decimal(18,6)"
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(18,6)").cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "ship_yearmonth",
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
 def _cms_incr_oracle() -> str:
     """One-shot CMS cells over ALL events — what the incremental fold
     must equal by the monoid law."""

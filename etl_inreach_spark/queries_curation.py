@@ -391,3 +391,195 @@ def hof_array_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.array_distinct("toks")), 1, 5), ","
         ).alias("first5_distinct"),
     )
+
+
+@query(
+    "groupwise_split_documents",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, greatest(length(source), 1)),
+                                      i -> CAST(unicode(substr(source, i, 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007
+               ) AS gh
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN gh % 10 < 8 THEN 'train'
+                WHEN gh % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def groupwise_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level leakage-safe split: the train/val/test decision
+    hashes the SOURCE, not the row, so every document from one source
+    lands in the same split — the contamination guard for eval sets
+    (near-duplicates cluster within a source; a row-level split like
+    hash_split_documents leaks them across the boundary). Same
+    shuffle-free, RNG-free, repartition-proof properties as the
+    row-level split, with the portable polynomial string hash
+    (functions/text.rolling_hash) standing in for the affine integer
+    hash because the group key is a string."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import rolling_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    gh = rolling_hash(F.col("source"))
+    split = (
+        F.when(gh % 10 < 8, F.lit("train"))
+        .when(gh % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "source", split.alias("split"))
+
+
+@query(
+    "compress_consecutive_events",
+    oracle="""
+    WITH o AS (
+        SELECT event_id, user_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts, event_type
+    FROM o
+    WHERE prev_type IS NULL OR prev_type != event_type
+    """,
+)
+def compress_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compression of a state stream: keep only rows where
+    the per-user event_type CHANGES (LAG over the (ts, event_id)
+    timeline) — the changes-only storage pattern that turns a dense
+    sensor/state feed into its transition log (the reference's
+    featuresmap keeps only the latest state; this keeps every
+    TRANSITION, the other standard compaction). One window pass, one
+    shuffle on user_id; downstream joins pay |transitions|, not
+    |events|. NULL-first semantics: a user's first event always
+    survives."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@query(
+    "token_budget_select",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                    AS BIGINT) AS n_tokens,
+               0.3 * least(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                               x -> x != '')) AS DOUBLE) / 100, 1.0)
+                 + 0.4 * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                                     AS DOUBLE) / n_chars)
+                 + 0.3 * (CAST(len(list_intersect(
+                             list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                                       x -> x != '')),
+                             ['the','a','of','and','is'])) AS DOUBLE) / 5)
+                   AS quality_score
+        FROM documents
+        WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0
+    ), c AS (
+        SELECT doc_id, n_tokens, quality_score,
+               CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, n_tokens, quality_score, cum_tokens
+    FROM c
+    WHERE cum_tokens <= 20000
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a global TOKEN BUDGET: rank documents by
+    the composite quality score (same formula text_stats value-gates)
+    and keep the best documents until the cumulative token count
+    reaches the budget — the quality-first corpus-sizing step of a
+    pretraining mix ("give me the best 20k/2B/500B tokens").
+
+    Scale shape: the naive rendering is one GLOBAL ordered window
+    (ORDER BY quality DESC), which funnels the whole corpus through a
+    single partition. Instead the running sum is a two-level
+    distributed prefix sum in QUALITY order (the pack_chunks discipline
+    transplanted from id-order to rank-order): quality is bucketed into
+    B range bins via floor((1-q)*B) — monotone in the sort key, so
+    bucket order IS quality order and ties stay inside one bucket —
+    then per-bucket token totals (B rows) get the only global window,
+    and each row pays one within-bucket window plus a broadcast join.
+    Each row shuffles once; no single-partition pass anywhere. The
+    float sort key is safe cross-engine because both engines compute
+    the identical IEEE double (pinned by text_stats) and the window
+    SUM itself is pure BIGINT.
+
+    Generalizes the reference's keep-the-freshest-rows selection
+    (/root/reference/task.ts:151-159) from per-key latest to
+    global best-under-budget."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import (
+        LANG_MARKERS,
+        marker_hits,
+        punct_count,
+        tokens,
+    )
+
+    num_buckets = 64
+    budget = 20_000
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    stop_ratio = marker_hits(F.array_distinct(toks), LANG_MARKERS["en"]).cast(
+        "double"
+    ) / F.lit(5)
+    punct_ratio = punct_count(F.col("text")).cast("double") / F.col("n_chars")
+    quality = (
+        F.lit(0.3) * F.least(n_tokens.cast("double") / F.lit(100), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    base_rows = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+    ).filter(F.col("n_tokens") > 0)
+
+    bucket = F.least(
+        F.lit(num_buckets - 1),
+        F.floor((F.lit(1.0) - F.col("quality_score")) * num_buckets),
+    ).cast("bigint")
+    b = base_rows.withColumn("_bucket", bucket)
+
+    totals = b.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btot"))
+    # Global window over <= num_buckets rows — intentionally tiny.
+    offsets = totals.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum("_btot").over(
+                Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bucket", "_base")
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn("cum_tokens", (F.col("_base") + F.sum("n_tokens").over(w)).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    )

@@ -192,3 +192,73 @@ def test_morton_interleave_known_values(spark):
     ]
     # interleave: x bits at even positions, y at odd
     assert out == [0, 1, 2, 0b0111, (1 << 32) - 1]
+
+
+def test_groupwise_split_sources_atomic(spark, sf_dir):
+    """Leakage-safety invariant: a source never straddles splits, and
+    the assignment is deterministic across evaluations."""
+    from etl_inreach_spark.queries_curation import groupwise_split_documents
+
+    rows = groupwise_split_documents(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values()), by_source
+    assert set().union(*by_source.values()) <= {"train", "val", "test"}
+    again = {r["doc_id"]: r["split"] for r in groupwise_split_documents(spark, sf_dir).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_compress_consecutive_is_transition_log(spark, sf_dir):
+    """The kept rows are exactly the per-user event_type transitions of
+    the (ts, event_id)-ordered timeline — recomputed in Python."""
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_curation import compress_consecutive_events
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    expected = set()
+    prev_user, prev_type = None, None
+    for r in ev:
+        if r["user_id"] != prev_user or r["event_type"] != prev_type:
+            expected.add(r["event_id"])
+        prev_user, prev_type = r["user_id"], r["event_type"]
+    got = {r["event_id"] for r in compress_consecutive_events(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_token_budget_select_prefix_semantics(spark, sf_dir):
+    """Selection must equal the Python-recomputed quality-ordered
+    prefix: same doc set, same cumulative sums, budget respected."""
+    from etl_inreach_spark.queries_curation import token_budget_select
+    from etl_inreach_spark.queries_extended import text_stats
+
+    stats = [
+        r
+        for r in text_stats(spark, sf_dir).collect()
+        if r["n_tokens"] and r["n_tokens"] > 0
+    ]
+    stats.sort(key=lambda r: (-r["quality_score"], r["doc_id"]))
+    expected, cum = {}, 0
+    for r in stats:
+        cum += r["n_tokens"]
+        if cum > 20_000:
+            break
+        expected[r["doc_id"]] = cum
+    got = {r["doc_id"]: r["cum_tokens"] for r in token_budget_select(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_tpch_q14_ratio_consistency(spark, sf_dir):
+    from etl_inreach_spark.queries_analytics import tpch_q14_promo_revenue
+
+    rows = tpch_q14_promo_revenue(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["promo_revenue"] <= r["total_revenue"]
+        assert r["promo_pct"] == 100.0 * r["promo_revenue"] / r["total_revenue"]
+        assert 190001 <= r["ship_yearmonth"] <= 210012
