@@ -1,0 +1,231 @@
+"""Product quantization (PQ) for embedding columns — the
+memory-bounded scale path for approximate nearest-neighbor search
+(Jégou, Douze, Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011).
+
+The embedding space is split into ``num_sub`` contiguous subspaces;
+each subspace gets its own ``ksub``-centroid codebook (Euclidean
+Lloyd's k-means), and a vector is stored as ``num_sub`` small integer
+codes — e.g. a 64-dim float64 vector (512 bytes) compresses to 8
+one-byte codes. Search runs in the compressed domain via ADC
+(asymmetric distance computation): the query stays exact, each
+corpus vector's distance is approximated as the sum of per-subspace
+[query-subvector -> assigned-centroid] distances read from a tiny
+lookup table.
+
+Spark-first shapes (no Python in any per-row path):
+
+* ``pq_train`` trains ALL ``num_sub`` subquantizers simultaneously:
+  the corpus is exploded ONCE into (id, sub, subvector) rows — a
+  single narrow pass — and every Lloyd iteration is one broadcast
+  assignment pass plus a (sub, code, dim)-keyed partial aggregation
+  whose shuffle carries num_sub * ksub * dsub rows, NOT the corpus.
+  Initialization is the portable hash-sampled pick (same
+  PORTABLE_A/B/M grammar as the IVF quantizer), so training is
+  deterministic, RNG-free, replay-safe.
+* ``pq_encode`` is a broadcast join on ``sub`` (codebooks are
+  num_sub * ksub rows — kilobytes) + min_by argmin + one groupBy per
+  vector id; output is one array<int> codes column per vector.
+* ``pq_adc_topk`` never touches raw corpus vectors: the per-query
+  distance TABLE (num_queries * num_sub * ksub rows) is broadcast,
+  exploded codes equi-join it on (sub, code), and per-(query, id)
+  partial SUMs reduce to the approximate distance — the classic
+  ADC scan as a map-side-combined aggregation. Top-k per query is a
+  bounded window (operators/dedup.topk_by_key).
+
+Like the Lloyd trainer in operators/similarity.py, training averages
+floats, so results are deterministic only up to float-summation order;
+PQ is therefore pytest-pinned (numpy parity + recall sanity), not
+DuckDB-oracle-gated. Complements ivf_topk (cell pruning) — production
+IVF-PQ composes the two: IVF prunes cells, PQ compresses residuals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.operators.dedup import topk_by_key
+from etl_inreach_spark.operators.similarity import (
+    PORTABLE_A,
+    PORTABLE_B,
+    PORTABLE_M,
+)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def subvectors(
+    df: DataFrame, num_sub: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, _sv): the corpus exploded into per-subspace slices,
+    elements cast to double. dim must divide evenly by num_sub."""
+    if dim % num_sub:
+        raise ValueError(f"dim {dim} not divisible by num_sub {num_sub}")
+    dsub = dim // num_sub
+    slices = F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), m * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            )
+            for m in range(num_sub)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("_pid"), F.posexplode(slices).alias("sub", "_sv")
+    )
+
+
+def _assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (id, sub): broadcast equi-join on
+    sub (ksub rows per subspace), exact double distances, min_by with
+    (distance, code) tie-break — no window, pure hash aggregation."""
+    scored = subs.join(F.broadcast(cent), "sub").select(
+        "_pid",
+        "sub",
+        "_sv",
+        "code",
+        _l2sq(F.col("_sv"), F.col("_cvec")).alias("_d"),
+    )
+    return scored.groupBy("_pid", "sub").agg(
+        F.min_by(F.struct("code", "_sv"), F.struct("_d", "code")).alias("_best")
+    ).select("_pid", "sub", F.col("_best.code").alias("code"), F.col("_best._sv").alias("_sv"))
+
+
+def pq_train(
+    corpus: DataFrame,
+    num_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train all subspace codebooks; returns (sub, code, _cvec) with
+    code in [1, ksub]. Init = the subvectors of the ksub corpus ids
+    minimizing the portable hash (global TakeOrdered — bounded heaps,
+    no sort); empty codes keep their previous centroid."""
+    subs = subvectors(corpus, num_sub, dim, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    h = (F.lit(PORTABLE_A) * F.col("_pid") + F.lit(PORTABLE_B)) % F.lit(PORTABLE_M)
+    picked = (
+        subs.select("_pid").distinct().select("_pid", h.alias("_h"))
+        .orderBy("_h", "_pid")
+        .limit(ksub)
+    )
+    coded = picked.select(
+        "_pid",
+        F.row_number().over(Window.orderBy("_h", "_pid")).alias("code"),
+    )
+    cent = (
+        subs.join(F.broadcast(coded), "_pid")
+        .select("sub", "code", F.col("_sv").alias("_cvec"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        asg = _assign(subs, cent)
+        means = (
+            asg.select("sub", "code", F.posexplode("_sv").alias("dim", "_x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "_m"))).alias("_dm"))
+            .select(
+                "sub",
+                "code",
+                F.transform(F.col("_dm"), lambda s: s["_m"]).alias("_new"),
+            )
+        )
+        cent = (
+            cent.join(means, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce(F.col("_new"), F.col("_cvec")).alias("_cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cent: DataFrame,
+    num_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector as its array of per-subspace nearest
+    codebook codes (array ordered by sub). One broadcast join + two
+    hash aggregations; the output is the compressed corpus
+    representation downstream ADC search reads INSTEAD of the
+    embeddings."""
+    asg = _assign(subvectors(corpus, num_sub, dim, id_col, vec_col), cent)
+    return (
+        asg.groupBy("_pid")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
+        .select(
+            F.col("_pid").alias(id_col),
+            F.transform(F.col("_sc"), lambda s: s["code"]).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    cent: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k per query over the COMPRESSED corpus
+    (asymmetric distance computation).
+
+    The distance table (q_id, sub, code, _d) has
+    |queries| * num_sub * ksub rows — tiny, broadcast. Exploded codes
+    join it on (sub, code); SUM per (q_id, id) with map-side combine
+    yields the ADC distance; ties break on corpus id. Output:
+    (q_id, id, adc_dist, rank)."""
+    table = (
+        subvectors(queries, num_sub, dim, q_id_col, q_vec_col)
+        .withColumnRenamed("_pid", "_qid")
+        .join(F.broadcast(cent), "sub")
+        .select(
+            "_qid", "sub", "code", _l2sq(F.col("_sv"), F.col("_cvec")).alias("_d")
+        )
+    )
+    # codes[i] is the code for subspace i — posexplode's position IS
+    # the 0-based sub index subvectors() emits; no offset.
+    code_rows = codes.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    dists = (
+        code_rows.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("_qid", "_pid")
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    return topk_by_key(
+        dists,
+        ["_qid"],
+        [F.col("adc_dist").asc(), F.col("_pid").asc()],
+        k,
+        rank_col="rank",
+    ).select(
+        F.col("_qid").alias(q_id_col),
+        F.col("_pid").alias(id_col),
+        "adc_dist",
+        "rank",
+    )
