@@ -229,3 +229,170 @@ def pq_adc_topk(
         "adc_dist",
         "rank",
     )
+
+
+# ------------------------------------------------------------ IVF-PQ
+
+
+def _l2_nearest_cells(
+    df: DataFrame, cells: DataFrame, n: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Top-n EUCLIDEAN-nearest coarse cells per vector (the L2
+    counterpart of similarity._nearest_cells, which ranks by cosine —
+    PQ distances are L2, so the coarse stage must rank in the same
+    metric). Broadcast cells, bounded per-vector window."""
+    scored = df.crossJoin(F.broadcast(cells)).select(
+        id_col,
+        vec_col,
+        "cell",
+        "_cellvec",
+        _l2sq(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("_cellvec"),
+        ).alias("_cd"),
+    )
+    return topk_by_key(
+        scored, [id_col], [F.col("_cd").asc(), F.col("cell").asc()], n, rank_col="_crn"
+    )
+
+
+def _residual(vec_col: Column, cell_col: Column) -> Column:
+    return F.zip_with(vec_col, cell_col, lambda x, y: x.cast("double") - y)
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    nlist: int = 8,
+    num_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The Faiss-style IVF-PQ index as three relations:
+
+    * ``cells``   (cell, _cellvec): coarse quantizer — the portable
+      hash-sampled pick (deterministic, RNG-free), ranked in L2;
+    * ``books``   (sub, code, _cvec): PQ codebooks trained on the
+      RESIDUALS (vector minus its cell centroid) — residual PQ is
+      what makes the fine quantizer spend its codes on the
+      within-cell structure instead of re-encoding cell position;
+    * ``index``   (id, cell, codes): each vector's cell + its
+      residual's PQ codes — the compressed corpus downstream search
+      reads INSTEAD of the embeddings (1 int + num_sub codes per
+      vector).
+
+    Every stage is the same bounded shape as its standalone
+    counterpart: one broadcast coarse assignment pass, then pq_train /
+    pq_encode on the residual column. The returned relations are
+    eagerly checkpointed — build once, search many."""
+    h = (F.lit(PORTABLE_A) * F.col(id_col) + F.lit(PORTABLE_B)) % F.lit(PORTABLE_M)
+    picked = (
+        corpus.select(
+            h.alias("_h"), F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        )
+        .orderBy("_h", "_cid")
+        .limit(nlist)
+    )
+    cells = picked.select(
+        F.row_number().over(Window.orderBy("_h", "_cid")).alias("cell"),
+        F.transform(F.col("_cv"), lambda x: x.cast("double")).alias("_cellvec"),
+    ).localCheckpoint(eager=True)
+
+    assigned = (
+        _l2_nearest_cells(corpus, cells, 1, id_col, vec_col)
+        .select(
+            id_col,
+            "cell",
+            _residual(F.col(vec_col), F.col("_cellvec")).alias("_res"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    books = pq_train(
+        assigned,
+        num_sub=num_sub,
+        ksub=ksub,
+        iters=iters,
+        dim=dim,
+        id_col=id_col,
+        vec_col="_res",
+    )
+    index = (
+        pq_encode(assigned, books, num_sub=num_sub, dim=dim, id_col=id_col, vec_col="_res")
+        .join(assigned.select(id_col, "cell"), id_col)
+        .localCheckpoint(eager=True)
+    )
+    return cells, books, index
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    cells: DataFrame,
+    books: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    num_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k per query over the IVF-PQ index: probe the
+    ``nprobe`` L2-nearest cells, then ADC over the probed cells'
+    residual codes.
+
+    dist(q, x) ~ sum_m || (q - c_cell)_m  -  book[m][code_m(x)] ||^2
+    — per (query, probed cell) the num_sub * ksub lookup table is
+    built once from the query residual; tables for all (query, cell)
+    pairs total |Q| * nprobe * num_sub * ksub rows — broadcast. The
+    corpus side joins on (cell, sub, code), so only vectors in probed
+    cells are touched (the 1/nlist * nprobe pruning), and the SUM per
+    (query, id) is map-side combined. No raw corpus vector is read at
+    search time."""
+    probed = _l2_nearest_cells(queries, cells, nprobe, q_id_col, q_vec_col).select(
+        F.col(q_id_col).alias("_qid"),
+        "cell",
+        _residual(F.col(q_vec_col), F.col("_cellvec")).alias("_qres"),
+    )
+    # slice inline (not via subvectors()) so each residual's subrows
+    # stay attached to THEIR (query, cell) pair — a query probing two
+    # cells has two DIFFERENT residuals.
+    dsub = dim // num_sub
+    q_slices = F.array(
+        *[F.slice(F.col("_qres"), m * dsub + 1, dsub) for m in range(num_sub)]
+    )
+    table = (
+        probed.select("_qid", "cell", F.posexplode(q_slices).alias("sub", "_sv"))
+        .join(F.broadcast(books), "sub")
+        .select(
+            "_qid",
+            "cell",
+            "sub",
+            "code",
+            _l2sq(F.col("_sv"), F.col("_cvec")).alias("_d"),
+        )
+    )
+    code_rows = index.select(
+        F.col(id_col).alias("_pid"),
+        "cell",
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    dists = (
+        code_rows.join(F.broadcast(table), ["cell", "sub", "code"])
+        .groupBy("_qid", "_pid")
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    return topk_by_key(
+        dists,
+        ["_qid"],
+        [F.col("adc_dist").asc(), F.col("_pid").asc()],
+        k,
+        rank_col="rank",
+    ).select(
+        F.col("_qid").alias(q_id_col),
+        F.col("_pid").alias(id_col),
+        "adc_dist",
+        "rank",
+    )

@@ -41,7 +41,10 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Same constants as queries_curation's deterministic samplers.
+# Same constants as queries_curation's deterministic samplers; like
+# there, the multiply is overflow-free for ids < 2^32 (id * MULT <
+# 2^63) — for larger production id spaces swap in xxhash64(id) (same
+# plan shape; the Knuth form is what a SQL oracle can render 1:1).
 HASH_MULT = 2654435761
 HASH_MOD = 4294967296  # 2^32
 

@@ -224,3 +224,87 @@ def test_pq_adc_topk_matches_numpy(spark):
         assert [i for _, i, _ in rows] == expect
         for _, i, dist in rows:
             assert abs(dist - adc[i]) < 1e-9
+
+
+def test_ivf_pq_build_and_search_match_numpy(spark):
+    """End-to-end IVF-PQ parity with a straight-numpy replica:
+    hash-picked coarse cells, L2 cell assignment (lowest-cell ties),
+    residual PQ codebooks, and nprobe-cell ADC search."""
+    from etl_inreach_spark.operators.pq import ivf_pq_build, ivf_pq_topk
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim, num_sub, ksub, nlist, nprobe, iters = 36, 8, 2, 4, 3, 2, 2
+    vecs = rng.randn(n, dim)
+    ids = list(range(n))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+
+    # numpy replica --------------------------------------------------
+    order = sorted(ids, key=lambda i: ((PORTABLE_A * i + PORTABLE_B) % PORTABLE_M, i))
+    cellvecs = vecs[order[:nlist]].astype(float)  # cell c -> cellvecs[c-1]
+    d2cells = ((vecs[:, None, :] - cellvecs[None, :, :]) ** 2).sum(axis=2)
+    cell_of = np.argmin(d2cells, axis=1)  # ties -> lowest cell
+    residuals = vecs - cellvecs[cell_of]
+    ref_books = _numpy_pq_train(residuals, ids, num_sub, ksub, iters)
+    dsub = dim // num_sub
+    ref_codes = {}
+    for i in ids:
+        cs = []
+        for m in range(num_sub):
+            sv = residuals[i, m * dsub : (m + 1) * dsub]
+            cs.append(int(np.argmin(((ref_books[m] - sv[None, :]) ** 2).sum(axis=1))))
+        ref_codes[i] = cs
+
+    cells, books, index = ivf_pq_build(
+        df, nlist=nlist, num_sub=num_sub, ksub=ksub, iters=iters, dim=dim
+    )
+    got_cells = {r["cell"]: np.array(r["_cellvec"]) for r in cells.collect()}
+    for c in range(nlist):
+        assert np.allclose(got_cells[c + 1], cellvecs[c], atol=1e-12)
+    got_books = {(r["sub"], r["code"]): np.array(r["_cvec"]) for r in books.collect()}
+    for m in range(num_sub):
+        for c in range(ksub):
+            assert np.allclose(got_books[(m, c + 1)], ref_books[m, c], atol=1e-9)
+    got_index = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in index.collect()}
+    for i in ids:
+        assert got_index[i] == (int(cell_of[i]) + 1, [c + 1 for c in ref_codes[i]]), i
+
+    # search parity --------------------------------------------------
+    qvecs = rng.randn(2, dim)
+    queries = spark.createDataFrame(
+        [(200 + i, [float(x) for x in qvecs[i]]) for i in range(2)],
+        "q_id long, embedding array<double>",
+    )
+    got = {}
+    for r in ivf_pq_topk(
+        index, cells, books, queries, k=4, nprobe=nprobe, num_sub=num_sub, dim=dim
+    ).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["adc_dist"]))
+
+    for qi in range(2):
+        qd2 = ((cellvecs - qvecs[qi][None, :]) ** 2).sum(axis=1)
+        probe = sorted(range(nlist), key=lambda c: (qd2[c], c))[:nprobe]
+        adc = {}
+        for i in ids:
+            c = int(cell_of[i])
+            if c not in probe:
+                continue
+            qres = qvecs[qi] - cellvecs[c]
+            d = 0.0
+            for m in range(num_sub):
+                qsv = qres[m * dsub : (m + 1) * dsub]
+                cv = ref_books[m, ref_codes[i][m]]
+                d += float(((qsv - cv) ** 2).sum())
+            adc[i] = d
+        expect = sorted(adc, key=lambda i: (adc[i], i))[:4]
+        rows = sorted(got[200 + qi])
+        assert [i for _, i, _ in rows] == expect, (qi, rows, expect)
+        for _, i, dist in rows:
+            assert abs(dist - adc[i]) < 1e-9
