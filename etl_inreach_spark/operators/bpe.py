@@ -1,0 +1,122 @@
+"""Distributed BPE tokenizer induction (byte-pair encoding merges,
+Sennrich et al., "Neural Machine Translation of Rare Words with
+Subword Units", ACL 2016) — the missing trainer half of the repo's
+text-analysis suite (functions/text.subword_count applies a fixed
+BPE-ish segmentation; this LEARNS the merge table from the corpus).
+
+Scale shape — the part that matters at 100 TB:
+
+* The corpus is scanned exactly ONCE, to build the weighted word
+  vocabulary (whitespace words -> groupBy counts, map-side combined).
+  Every merge round thereafter runs over the VOCAB relation, whose
+  size is bounded by distinct-word count (Heaps' law: millions), not
+  corpus tokens (trillions) — the same corpus-pass/vocab-pass split
+  the reference trainers (subword-nmt, HuggingFace tokenizers) use,
+  here as DataFrame ops so the vocab itself can be arbitrarily large.
+* Per round: adjacent symbol pairs explode from each word's symbol
+  array (zip_with of two slices — no UDF), a count(wc)-weighted
+  groupBy picks the best pair, and ONE driver collect of ONE row
+  decides the merge — the same bounded-collect discipline as the
+  connected-components convergence fingerprint
+  (operators/dedup.py). The merge itself is a pure JVM-side
+  ``aggregate`` fold over each symbol array (left-to-right
+  non-overlapping, exactly the reference semantics), then an eager
+  localCheckpoint cuts the per-round lineage.
+* Determinism: ties on pair count break lexicographically (pa, pb) —
+  pinned against the straight-Python reference in
+  tests/test_bpe.py — so the learned merge table is reproducible on
+  any cluster and any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _merge_expr(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (a, b)
+    with a+b, as a JVM-side fold: append each symbol unless the
+    accumulator ends with ``a`` and the symbol is ``b``, in which case
+    the tail ``a`` is replaced by ``a+b``. The merged token is
+    strictly longer than ``a``, so it can never immediately re-merge —
+    this fold IS the scan-with-skip of the reference implementation."""
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    return F.zip_with(
+        F.slice(syms, F.lit(1), F.size(syms) - 1),
+        F.slice(syms, F.lit(2), F.size(syms) - 1),
+        lambda x, y: F.struct(x.alias("pa"), y.alias("pb")),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn up to ``n_merges`` BPE merges from a document corpus.
+
+    Returns ``(merges, vocab)``: merges as
+    [(rank, left, right, weighted_count), ...] in application order,
+    and the final vocab DataFrame (word, wc, syms) with each distinct
+    word's symbol array after all merges — the trained segmenter
+    state. Stops early when no pair reaches ``min_pair_count``.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = words.select(
+        "word", "wc", F.split("word", "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            vocab.select("wc", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pa").asc(), F.col("pb").asc())
+            .limit(1)
+            .collect()  # ONE row — the bounded per-round driver decision
+        )
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        a, b, c = best[0]["pa"], best[0]["pb"], int(best[0]["c"])
+        merges.append((rank, a, b, c))
+        vocab = vocab.withColumn("syms", _merge_expr(F.col("syms"), a, b)).localCheckpoint(
+            eager=True
+        )
+    return merges, vocab
+
+
+def bpe_merges_df(spark: SparkSession, merges) -> DataFrame:
+    """The learned merge table as a relation (rank, left, right,
+    weighted_count) — broadcastable state for a downstream apply
+    stage or a MERGE-maintained tokenizer asset."""
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, weighted_count bigint"
+    )

@@ -1,0 +1,68 @@
+"""BPE trainer parity: the distributed merge loop must reproduce a
+straight-Python reference (same weighted counts, same lexicographic
+tie-break, same left-to-right non-overlapping merge) exactly."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.operators.bpe import bpe_train
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            wc = word_counts[w]
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += wc
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), c = best
+        if c < min_pair_count:
+            break
+        merges.append((rank, a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    wc = Counter()
+    for r in d.select("text").collect():
+        for w in r["text"].split():
+            wc[w] += 1
+    ref_merges, ref_vocab = _py_bpe(dict(wc), 12)
+
+    merges, vocab = bpe_train(d, "text", 12)
+    assert merges == ref_merges
+    got = {r["word"]: (r["wc"], list(r["syms"])) for r in vocab.collect()}
+    assert set(got) == set(ref_vocab)
+    for w in ref_vocab:
+        assert got[w] == (wc[w], ref_vocab[w]), w
+
+
+def test_bpe_early_stop_and_tiny_corpus(spark):
+    df = spark.createDataFrame(
+        [("aa aa ab",), ("aa xy",)], "text string"
+    )
+    merges, vocab = bpe_train(df, "text", 50)
+    # ('a','a') appears in aa(x3 words? aa,aa,aa? -> words: aa:3, ab:1, xy:1)
+    # pair (a,a) weighted 3 wins round 0; after that the only adjacent
+    # pairs are (a,b) and (x,y) at count 1 < min_pair_count=2 -> stop.
+    assert merges == [(0, "a", "a", 3)]
+    got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert got == {"aa": ["aa"], "ab": ["a", "b"], "xy": ["x", "y"]}
