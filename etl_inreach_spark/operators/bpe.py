@@ -120,3 +120,62 @@ def bpe_merges_df(spark: SparkSession, merges) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, weighted_count bigint"
     )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    text_col: str,
+    merges,
+    id_col: str,
+    out_col: str = "subwords",
+) -> DataFrame:
+    """Apply a learned merge table to NEW text — the inference half of
+    the trainer. Output: (id, subwords array<string>) with each
+    document's whitespace words segmented by replaying the merges in
+    rank order.
+
+    Merge application is inherently iterative per word (each merge
+    rewrites the symbol sequence the next one reads), so this is the
+    sanctioned pandas-tier escape hatch: an Arrow-batched mapInPandas
+    whose closure captures the (tiny) merge list — the same
+    ship-small-state-in-the-closure shape as the repo's multimodal
+    ops. Per-word memoization inside each batch exploits the Zipf
+    skew (a batch's distinct-word count is far below its token
+    count). No shuffle: the op is a narrow map over documents.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    ranked = [(a, b) for _rank, a, b, _c in sorted(merges)]
+
+    def seg_word(w: str, cache: dict) -> list[str]:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        for a, b in ranked:
+            if len(syms) < 2:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[w] = syms
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            cache: dict = {}
+            out = [
+                [s for w in (t.split() if t else []) for s in seg_word(w, cache)]
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, {out_col} array<string>"
+    )

@@ -66,3 +66,21 @@ def test_bpe_early_stop_and_tiny_corpus(spark):
     assert merges == [(0, "a", "a", 3)]
     got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
     assert got == {"aa": ["aa"], "ab": ["a", "b"], "xy": ["x", "y"]}
+
+
+def test_bpe_segment_consistent_with_training_vocab(spark, sf_dir):
+    """Replaying the learned merges over the training corpus must
+    reproduce exactly the trainer's final per-word symbolization."""
+    from etl_inreach_spark.operators.bpe import bpe_segment
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(d, "text", 10)
+    final_syms = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+
+    got = {
+        r["doc_id"]: list(r["subwords"])
+        for r in bpe_segment(d, "text", merges, "doc_id").collect()
+    }
+    for r in d.select("doc_id", "text").collect():
+        expect = [s for w in r["text"].split() for s in final_syms[w]]
+        assert got[r["doc_id"]] == expect, r["doc_id"]
