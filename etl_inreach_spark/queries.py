@@ -138,6 +138,17 @@ _FRONT: tuple[str, ...] = (
 #      re-enters r7 together with the r5-window names rotating out.
 #   12 + 19 = 31 mandatory; window is 50 — fits with ~19 fill slots.
 #
+# r6 NEW-QUERY candidates (operators landed + pytest-pinned in r5,
+# oracle-renderable, waiting for _PENDING capacity):
+#   * priority_sample (operators/sampling.py) — DuckDB oracle: the
+#     same w * 2^32 / (h+1) double division, window row_number,
+#     greatest(w, tau);
+#   * negative_sample (operators/indexing.py) — oracle: row_number
+#     index + the double-hash position arithmetic, anti self/group;
+#   * global_row_index — oracle: row_number() over (order col);
+#   * ivf_pq / bpe_train are float-iteration / loop-collect ops —
+#     rows-only or pytest-only by nature, do NOT oracle-gate.
+#
 # _PENDING: added AFTER the r5 window froze (the three operator-extra
 # promotions landed BEFORE the freeze and sit in _FRONT): count-min
 # sketch, FastSS edit-1 fuzzy join, SemDeDup cell-scoped dedup,
