@@ -108,3 +108,28 @@ def test_negative_sample_rejects_bad_k(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         negative_sample(d, "doc_id", 0)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=40),
+    buckets=st.sampled_from([1, 2, 7, 256]),
+)
+def test_global_row_index_property(spark, ids, buckets):
+    """For ARBITRARY sparse non-negative id sets and bucket counts the
+    index must equal the sorted position."""
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["row_index"]
+        for r in global_row_index(df, "id", num_buckets=buckets).collect()
+    }
+    expect = {v: i for i, v in enumerate(sorted(ids))}
+    assert got == expect

@@ -308,3 +308,33 @@ def test_ivf_pq_build_and_search_match_numpy(spark):
         assert [i for _, i, _ in rows] == expect, (qi, rows, expect)
         for _, i, dist in rows:
             assert abs(dist - adc[i]) < 1e-9
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.integers(1, 1000)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 8),
+)
+def test_priority_sample_property(spark, rows, k):
+    """Arbitrary (id, weight) sets: Spark selection == the Python DLT
+    definition, including ranks and adjusted weights."""
+    df = spark.createDataFrame(rows, "id long, w long")
+    expected = _py_sample(rows, k)
+    got = {
+        r["id"]: (r["sample_rank"], r["est_weight"])
+        for r in priority_sample(df, "id", "w", k).collect()
+    }
+    assert got == expected
