@@ -276,8 +276,26 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # xor-fold fingerprint: order-insensitive and overflow-free
-        # (a SUM of xxhash64 values can overflow bigint under ANSI)
+        # Direct fixed-point test — saves the whole confirm-round the
+        # fingerprint method needs: after small-star every edge is
+        # (_root < _v) oriented, so the edge set is a star forest with
+        # MINIMAL roots iff no node appears both as a root (_a) and a
+        # leaf (_b); a star forest of minimal roots maps to itself
+        # under both contractions, so we are done. One bounded
+        # semi-join over the just-checkpointed relation (LIMIT 1 —
+        # any witness suffices).
+        overlap = (
+            cur.select("_b")
+            .join(cur.select(F.col("_a").alias("_b")).distinct(), "_b", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap == 0:
+            break
+        # xor-fold fingerprint as the no-progress backstop (stuck
+        # before reaching a star forest would otherwise loop to
+        # max_iter): order-insensitive and overflow-free (a SUM of
+        # xxhash64 values can overflow bigint under ANSI)
         fp = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(_a, _b))").alias("h"),
