@@ -162,7 +162,7 @@ def connected_components(
     labels = (
         sym.select("_n").distinct().select(F.col("_n").alias("id"), F.col("_n").alias("component"))
     ).localCheckpoint(eager=True)
-    changed = -1
+    converged = False
     for _ in range(max_iter):
         nb = (
             sym.join(labels, sym["_m"] == labels["id"])
@@ -174,23 +174,32 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
+        labels = new_labels
+        # Convergence = every EDGE has label-equal endpoints — knowable
+        # one round EARLIER than "no label changed" (which needs the
+        # fixpoint round to run once more just to observe no change):
+        # if all edges agree now, the next propagation is the identity.
+        # One LIMIT-1 witness count over the checkpointed labels.
+        ln = labels.select(F.col("id").alias("_n"), F.col("component").alias("_cn"))
+        lm = labels.select(F.col("id").alias("_m"), F.col("component").alias("_cm"))
+        bad = (
+            sym.join(ln, "_n")
+            .join(lm, "_m")
+            .filter(F.col("_cn") != F.col("_cm"))
+            .limit(1)
             .count()
         )
-        labels = new_labels
-        if changed == 0:
+        if bad == 0:
+            converged = True
             break
-    if changed != 0:
+    if not converged:
         # Partially-propagated labels are silently WRONG component ids —
         # a graph whose diameter exceeds max_iter (long duplicate
         # chains) must fail loudly, not dedup against bogus canonicals.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); the edge graph has "
-            "diameter > max_iter — raise max_iter or use "
+            "(edges with label-unequal endpoints remain); the edge graph "
+            "has diameter > max_iter — raise max_iter or use "
             "connected_components_star for log-diameter convergence"
         )
     return labels
