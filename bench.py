@@ -153,6 +153,16 @@ def main() -> None:
                 rdd.unpersist()
         except Exception:
             pass
+        # Full GC between queries (untimed): the checkpoint-heavy
+        # iterative queries leave multi-GB heap debt that otherwise
+        # surfaces as consistent multi-second slowdowns in whichever
+        # queries FOLLOW them alphabetically (doc_fingerprints after
+        # dedup_clusters_star spiked 1.6 -> 5.9 s across all 4 repeats
+        # while standalone min-of-6 stayed at 1.7 s).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
