@@ -287,19 +287,31 @@ def connected_components_star(
         )
         # Direct fixed-point test — saves the whole confirm-round the
         # fingerprint method needs: after small-star every edge is
-        # (_root < _v) oriented, so the edge set is a star forest with
-        # MINIMAL roots iff no node appears both as a root (_a) and a
-        # leaf (_b); a star forest of minimal roots maps to itself
-        # under both contractions, so we are done. One bounded
-        # semi-join over the just-checkpointed relation (LIMIT 1 —
-        # any witness suffices).
-        overlap = (
-            cur.select("_b")
-            .join(cur.select(F.col("_a").alias("_b")).distinct(), "_b", "left_semi")
+        # (_root < _v) oriented, so the edge set is a DISJOINT star
+        # forest with minimal roots iff (a) no node appears both as a
+        # root (_a) and a leaf (_b), AND (b) no leaf carries edges to
+        # TWO roots — small-star deliberately produces multi-rooted
+        # leaves as the glue that merges roots next round (caught by
+        # the union-find property test), so (a) alone is NOT enough.
+        # Under (a)+(b) components are exactly the stars, each rooted
+        # at its minimum, and both contractions are the identity. Two
+        # bounded LIMIT-1 witness scans over the just-checkpointed
+        # relation.
+        leaf_stats = cur.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+        bad = (
+            leaf_stats.filter(F.col("_c") > 1)
+            .select("_b")
+            .unionByName(
+                leaf_stats.join(
+                    cur.select(F.col("_a").alias("_b")).distinct(),
+                    "_b",
+                    "left_semi",
+                ).select("_b")
+            )
             .limit(1)
             .count()
         )
-        if overlap == 0:
+        if bad == 0:
             break
         # xor-fold fingerprint as the no-progress backstop (stuck
         # before reaching a star forest would otherwise loop to

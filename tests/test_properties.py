@@ -276,3 +276,25 @@ def test_merge_aggregate_equals_oneshot(spark, rows, cut, tmp_path_factory):
         (r["k"], r["v"], r["n"]) for r in partial(rows).collect()
     }
     assert got == want
+
+
+def test_connected_components_star_shared_leaf_regression(spark):
+    """Regression for the premature fixed-point detection: after one
+    large/small-star round a LEAF can hold edges to two different
+    roots (the glue merging those roots next round) — e.g. two stars
+    meeting at a shared node. Declaring a star forest on root/leaf
+    DISJOINTNESS alone stops before the roots merge; the detector must
+    also require every leaf to appear exactly once."""
+    from etl_inreach_spark.operators.dedup import connected_components_star
+
+    cases = [
+        [(1, 3), (2, 3)],                       # shared leaf, two roots
+        [(5, 9), (6, 9), (6, 7), (5, 8)],        # two stars glued at 9
+        [(10, 12), (11, 12), (11, 13), (10, 14), (13, 15)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
+        nodes = {x for e in edges for x in e}
+        lo = min(nodes)
+        assert got == {x: lo for x in nodes}, (edges, got)
