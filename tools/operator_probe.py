@@ -90,6 +90,31 @@ def main() -> int:
     )
     results["negative_sample"] = {"n_docs": n_doc, "k": 4, "sec": t_ns, "pairs": ns_rows}
 
+    # KMV overlap estimation between two event-type user populations.
+    from pyspark.sql import functions as F
+
+    from etl_inreach_spark.operators.kmv import kmv_set_estimates, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    n_ev = ev.count()
+
+    def _kmv():
+        a = kmv_sketch(ev.filter(F.col("event_type") == "click"), F.col("user_id"), 256)
+        b = kmv_sketch(ev.filter(F.col("event_type") == "view"), F.col("user_id"), 256)
+        return kmv_set_estimates(a, b, 256).first()
+
+    t_kmv, row = timed(_kmv)
+    results["kmv_overlap"] = {
+        "n_events": n_ev,
+        "sec": t_kmv,
+        "jaccard_est": round(row["jaccard_est"], 4),
+    }
+
+    from etl_inreach_spark.operators.heavyhitters import heavy_hitters
+
+    t_hh, hh_rows = timed(lambda: heavy_hitters(ev, "user_id", k=64).count())
+    results["heavy_hitters"] = {"n_events": n_ev, "k": 64, "sec": t_hh, "rows": hh_rows}
+
     print(json.dumps({"sf_dir": sf_dir, "operators": results}, separators=(",", ":")))
     return 0
 
