@@ -47,118 +47,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window as long as the tail stays >= (total - 50) names.
 #
 # Verdict history (rN = CORRECTNESS_r0N):
-#   Round-5 rotation — executes the ROUND-5 ROTATION PLAN written at
-#   r4 (VERDICT r4 item 1) verbatim, retiring all verification debt:
-#   _FRONT groups, in order:
-#   (a) NEW this round, never driver-verified — the three operator-
-#       library extras promoted to oracle-gated queries (VERDICT r4
-#       item 2): forward as-of join, band-bucketed interval-overlap
-#       join, star-contraction connected components;
-#   (b) all 12 former _PENDING names — never driver-verified (local
-#       oracle_check PASS only; includes bloom_prune_join and
-#       incremental_agg_merge, whose operators also changed this
-#       round per ADVICE.md, so their r5 verdict covers the change);
-#   (c) the 12 stale-since-r2 names (out r3+r4 — AT the staleness
-#       bound, MUST be verified in r5);
-#   (d) fill to 50 with the out-r4-only block: the 8 structural
-#       r3-greens, the 2 checkpoint streaming fixtures, the 2
-#       rows-only sketches (rows-only row recorded this round), the
-#       10 r3-green relational aggregates, and the head of the
-#       two-round-stable block (ann_ivf_topk).
-#   _TAIL order encodes r6 priority: the 19 remaining two-round-
-#   stable greens (r2+r3, out r4+r5 — at the bound, MUST enter r6)
-#   lead, then the 50 r4-greens (out r5 only, one round of headroom).
+#   Round-6 rotation — executes the ROUND-6 ROTATION PLAN written at
+#   r5 verbatim (CORRECTNESS_r05 was 50/50 green, so every name in
+#   the r5 window now has a fresh verdict and rotates out with one
+#   round of headroom). _FRONT groups, in order:
+#   (a) all 12 former _PENDING names — never driver-verified (local
+#       oracle_check PASS + green rows in ORACLE_FULL_r5.json);
+#   (b) the 19 two-round-stable greens (r2 AND r3, out r4+r5 — AT
+#       the staleness bound, MUST be verified in r6);
+#   (c) fill to 50 with the head of the r4-green block (out r5
+#       only): seq_pack_chunks .. udtf_token_runs (19 names).
+#   _TAIL order encodes r7 priority: the 31 remaining r4-greens
+#   (out r5+r6 after this rotation — at the bound, MUST enter r7)
+#   lead, then the 50 r5-window greens (out r6 only, one round of
+#   headroom).
 _FRONT: tuple[str, ...] = (
-    # (a) new in r5, never verified
-    "asof_next_purchase_after_click",
-    "interval_overlap_order_windows",
-    "dedup_clusters_star",
-    # (b) former _PENDING — never driver-verified
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q21_last_shipper",
-    "bm25_term_search",
-    "walk3_centrality",
-    "bloom_prune_join",
-    "incremental_agg_merge",
-    "embedding_argmax_arrow",
-    "pandas_udaf_median_price",
-    "corpus_curation_pipeline",
-    "streaming_sliding_counts",
-    "scd2_point_in_time_join",
-    # (c) out r3+r4 — at the staleness bound
-    "top3_orders_per_customer",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "asof_last_click_before_purchase",
-    "cross_join_region_nation",
-    "range_join_ship_within_90d",
-    "rollup_pricing",
-    "set_ops_repeat_customers",
-    "set_ops_churned_customers",
-    "window_running_stats",
-    "tumbling_15min_counts",
-    "distinct_users_per_type",
-    # (d) out r4 only — structural r3-greens + streaming fixtures
-    "sessionize_events",
-    "session_window_native",
-    "salted_skew_join",
-    "sliding_1h_user_activity",
-    "seq_pack_bins",
-    "repetition_profile",
-    "contamination_check",
-    "upsert_merge_roundtrip",
-    "streaming_tumbling_counts",
-    "streaming_groupstate_latest",
-    # (d) rows-only sketches re-enter for their per-round rows check
-    "approx_distinct_users",
-    "approx_order_percentiles",
-    # (d) r3-green relational aggregates, out r4 only
-    "global_top10_orders",
-    "shipping_priority_top10",
-    "pivot_event_counts",
-    "skew_safe_event_counts",
-    "order_stats_summary",
-    "full_outer_nation_activity",
-    "unpivot_order_flags",
-    "sql_revenue_by_nation",
-    "mode_ship_month",
-    "order_value_percentiles",
-    # (d) head of the two-round-stable block fills slot 50
-    "ann_ivf_topk",
-)
-# ROUND-6 ROTATION PLAN (write this into _FRONT at r6 start):
-#   1. all _PENDING names below — never driver-verified (local
-#      oracle_check PASS + green rows in ORACLE_FULL_r5.json);
-#   2. the _TAIL head block (19 names, ann_lsh_topk ..
-#      unit_strip_cast) — two-round-stable greens out r4+r5, AT the
-#      staleness bound, MUST be verified in r6;
-#   3. fill the remaining ~24 slots from the r4-green tail block
-#      (seq_pack_chunks ..), out r5 only — take its head; the rest
-#      re-enters r7 together with the r5-window names rotating out.
-#   12 + 19 = 31 mandatory; window is 50 — fits with ~19 fill slots.
-#
-# r6 NEW-QUERY candidates (operators landed + pytest-pinned in r5,
-# oracle-renderable, waiting for _PENDING capacity):
-#   * priority_sample (operators/sampling.py) — DuckDB oracle: the
-#     same w * 2^32 / (h+1) double division, window row_number,
-#     greatest(w, tau);
-#   * negative_sample (operators/indexing.py) — oracle: row_number
-#     index + the double-hash position arithmetic, anti self/group;
-#   * global_row_index — oracle: row_number() over (order col);
-#   * ivf_pq / bpe_train are float-iteration / loop-collect ops —
-#     rows-only or pytest-only by nature, do NOT oracle-gate.
-#
-# _PENDING: added AFTER the r5 window froze (the three operator-extra
-# promotions landed BEFORE the freeze and sit in _FRONT): count-min
-# sketch, FastSS edit-1 fuzzy join, SemDeDup cell-scoped dedup,
-# data-quality suite, snapshot-diff CDC, TPC-H q7/q10/q14,
-# incremental-CMS composition, leakage-safe groupwise split,
-# run-length state compression, token-budget selection. Local
-# oracle_check PASS + entries in ORACLE_FULL_r5.json; MUST move to
-# _FRONT in r6 (group 1 above). Cap 12/12 — NO further oracle-gated
-# additions this round.
-_PENDING: tuple[str, ...] = (
+    # (a) former _PENDING — never driver-verified
     "cms_user_event_counts",
     "fuzzy_name_pairs_edit1",
     "semantic_dedup_embeddings",
@@ -171,11 +75,7 @@ _PENDING: tuple[str, ...] = (
     "compress_consecutive_events",
     "tpch_q14_promo_revenue",
     "token_budget_select",
-)
-_TAIL: tuple[str, ...] = (
-    # two-round-stable greens (r2 AND r3), out r4+r5 after this
-    # rotation — AT the staleness bound, MUST enter the r6 window
-    # (kept at the tail head so they re-enter first)
+    # (b) out r4+r5 — at the staleness bound
     "ann_lsh_topk",
     "corr_price_quantity",
     "date_dim_generate",
@@ -195,9 +95,7 @@ _TAIL: tuple[str, ...] = (
     "simhash_near_dup",
     "text_stats",
     "unit_strip_cast",
-    # r4 window (all green in CORRECTNESS_r04) — out r5 only, one
-    # round of headroom; re-enter r6/r7 in this order after the block
-    # above
+    # (c) r4-green block head, out r5 only — fill to 50
     "seq_pack_chunks",
     "multimodal_resize",
     "kml_pipeline_roundtrip",
@@ -217,6 +115,35 @@ _TAIL: tuple[str, ...] = (
     "reservoir_sample_per_source",
     "domain_mix_weights",
     "udtf_token_runs",
+)
+# ROUND-7 ROTATION PLAN (write this into _FRONT at r7 start):
+#   1. all _PENDING names below — never driver-verified;
+#   2. the _TAIL head block (31 names, pseudonymize_customers ..
+#      broadcast_config_join) — r4-greens out r5+r6, AT the
+#      staleness bound, MUST be verified in r7;
+#   3. fill the remaining slots from the r5-window block head
+#      (asof_next_purchase_after_click ..), out r6 only.
+#   |_PENDING| + 31 mandatory; window is 50.
+#
+# r6 NEW-QUERY candidates (operators landed + pytest-pinned in r5,
+# oracle-renderable, waiting for _PENDING capacity):
+#   * priority_sample (operators/sampling.py) — DuckDB oracle: the
+#     same w * 2^32 / (h+1) double division, window row_number,
+#     greatest(w, tau);
+#   * negative_sample (operators/indexing.py) — oracle: row_number
+#     index + the double-hash position arithmetic, anti self/group;
+#   * global_row_index — oracle: row_number() over (order col);
+#   * ivf_pq / bpe_train are float-iteration / loop-collect ops —
+#     rows-only or pytest-only by nature, do NOT oracle-gate.
+#
+# _PENDING: oracle-gated queries added AFTER the r6 window froze (the
+# 50-name _FRONT above is the frozen window). Names here MUST move to
+# _FRONT in r7 (group 1 of the plan above). Cap 12 (test-enforced).
+_PENDING: tuple[str, ...] = ()
+_TAIL: tuple[str, ...] = (
+    # r4-greens out r5+r6 after this rotation — AT the staleness
+    # bound, MUST enter the r7 window (kept at the tail head so they
+    # re-enter first)
     "pseudonymize_customers",
     "hof_array_zoo",
     "window_function_zoo",
@@ -248,6 +175,59 @@ _TAIL: tuple[str, ...] = (
     "time_window_filter",
     "string_functions_showcase",
     "broadcast_config_join",
+    # r5 window (all green in CORRECTNESS_r05) — out r6 only, one
+    # round of headroom; re-enter r7 in this order after the block
+    # above
+    "asof_next_purchase_after_click",
+    "interval_overlap_order_windows",
+    "dedup_clusters_star",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_last_shipper",
+    "bm25_term_search",
+    "walk3_centrality",
+    "bloom_prune_join",
+    "incremental_agg_merge",
+    "embedding_argmax_arrow",
+    "pandas_udaf_median_price",
+    "corpus_curation_pipeline",
+    "streaming_sliding_counts",
+    "scd2_point_in_time_join",
+    "top3_orders_per_customer",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "asof_last_click_before_purchase",
+    "cross_join_region_nation",
+    "range_join_ship_within_90d",
+    "rollup_pricing",
+    "set_ops_repeat_customers",
+    "set_ops_churned_customers",
+    "window_running_stats",
+    "tumbling_15min_counts",
+    "distinct_users_per_type",
+    "sessionize_events",
+    "session_window_native",
+    "salted_skew_join",
+    "sliding_1h_user_activity",
+    "seq_pack_bins",
+    "repetition_profile",
+    "contamination_check",
+    "upsert_merge_roundtrip",
+    "streaming_tumbling_counts",
+    "streaming_groupstate_latest",
+    "approx_distinct_users",
+    "approx_order_percentiles",
+    "global_top10_orders",
+    "shipping_priority_top10",
+    "pivot_event_counts",
+    "skew_safe_event_counts",
+    "order_stats_summary",
+    "full_outer_nation_activity",
+    "unpivot_order_flags",
+    "sql_revenue_by_nation",
+    "mode_ship_month",
+    "order_value_percentiles",
+    "ann_ivf_topk",
 )
 
 
