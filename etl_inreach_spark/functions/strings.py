@@ -69,12 +69,18 @@ def strip_unit(value: Column) -> Column:
     """O14 (task.ts:119-120, ``.replace(/\\s.*/, '')``) — drop
     everything from the first whitespace: '"123.0 ° True"' ->
     '"123.0"'. Rendered as ``regexp_extract('^\\S*')`` — the leading
-    non-whitespace run, provably the same result for every input
-    (including NULL, empty, and leading-whitespace strings) — because
-    the anchored extract scans once and copies only the keep-side,
-    measured 1.58 -> 1.19 s on the 600k-row sf0.1 strip query
-    (min-of-6; replace must also build the replacement string, and
-    split(\\s, 2) was slower still at 2.0 s)."""
+    non-whitespace run — because the anchored extract scans once and
+    copies only the keep-side, measured 1.58 -> 1.19 s on the 600k-row
+    sf0.1 strip query (min-of-6; replace must also build the
+    replacement string, and split(\\s, 2) was slower still at 2.0 s).
+
+    Equivalence scope: identical to ``regexp_replace('\\s.*$', '')``
+    for every input WITHOUT line terminators (incl. NULL, empty, and
+    leading-whitespace strings). On embedded newlines the variants
+    diverge three ways ('a b\\nc': extract -> 'a', replace-$ -> 'a b',
+    the JS reference /\\s.*/ -> 'a\\nc'); the feed's coordinate/speed/
+    course strings are single-line, so the divergence is unreachable
+    on real data and the faster extract is kept."""
     return F.regexp_extract(value, r"^\S*", 0)
 
 

@@ -127,9 +127,13 @@ def bloom_prune(
     except KeyError:
         pass
     built_m, built_k = meta.get("m_bits"), meta.get("k_hashes")
-    if built_m is not None and (int(built_m), int(built_k)) != (
-        m_bits,
-        k_hashes,
+    # Validate only when BOTH are present: metadata carrying one but
+    # not the other (never written by bloom_words) must not TypeError
+    # on int(None) before the intended ValueError can explain itself.
+    if (
+        built_m is not None
+        and built_k is not None
+        and (int(built_m), int(built_k)) != (m_bits, k_hashes)
     ):
         raise ValueError(
             f"bloom_prune called with (m_bits={m_bits}, k_hashes={k_hashes}) "

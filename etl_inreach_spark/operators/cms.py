@@ -117,7 +117,14 @@ def cms_estimate(
     except KeyError:
         pass
     built_w, built_d = meta.get("width"), meta.get("depth")
-    if built_w is not None and (int(built_w), int(built_d)) != (width, depth):
+    # Both must be present before validating — int(None) on a sketch
+    # carrying width but not depth would TypeError ahead of the
+    # intended ValueError (cms_build always writes both).
+    if (
+        built_w is not None
+        and built_d is not None
+        and (int(built_w), int(built_d)) != (width, depth)
+    ):
         raise ValueError(
             f"cms_estimate called with (width={width}, depth={depth}) but the "
             f"sketch was built with (width={int(built_w)}, depth={int(built_d)}): "

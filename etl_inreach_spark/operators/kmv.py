@@ -43,8 +43,15 @@ KMV_M = (1 << 31) - 1
 
 
 def kmv_hash(key: Column) -> Column:
-    """Portable universal hash into [0, 2^31-1)."""
-    return (F.lit(KMV_A) * key.cast("bigint") + F.lit(KMV_B)) % F.lit(KMV_M)
+    """Portable universal hash into [0, 2^31-1).
+
+    The key is folded mod M BEFORE the affine multiply (same pattern
+    as ``cms._fold``): the product then tops out at ~2.4e18 < 2^63,
+    so the hash is ANSI-overflow-safe over the FULL bigint key range,
+    and ``pmod`` keeps negative keys non-negative instead of silently
+    skewing the (k-1)*M/kth estimator."""
+    folded = F.pmod(key.cast("bigint"), F.lit(KMV_M))
+    return F.pmod(F.lit(KMV_A) * folded + F.lit(KMV_B), F.lit(KMV_M))
 
 
 def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:

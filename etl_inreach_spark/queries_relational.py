@@ -430,8 +430,12 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # KMV (k-minimum-values) sketch parameters — shared by the Spark query
-# and its DuckDB oracle below. Hash is (A*u + B) mod the Mersenne prime
-# 2^31-1: portable integer arithmetic both engines compute identically.
+# and its DuckDB oracle below. Hash is (A*(u mod M) + B) mod the
+# Mersenne prime M = 2^31-1: the key is folded mod M BEFORE the affine
+# multiply so the product stays < 2^63 (ANSI-overflow-safe for any
+# bigint key) and non-negative-mod keeps negative keys from skewing
+# the estimator — portable integer arithmetic both engines compute
+# identically (same grammar as operators/kmv.py and operators/cms.py).
 _KMV_K = 64
 _KMV_A = 1103515245
 _KMV_B = 12345
@@ -443,7 +447,7 @@ _KMV_M = (1 << 31) - 1
     oracle=f"""
     WITH dh AS (
         SELECT DISTINCT event_type,
-               ({_KMV_A} * user_id + {_KMV_B}) % {_KMV_M} AS h
+               ({_KMV_A} * (((user_id % {_KMV_M}) + {_KMV_M}) % {_KMV_M}) + {_KMV_B}) % {_KMV_M} AS h
         FROM events
     ),
     ranked AS (
@@ -472,7 +476,11 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges associatively, so the same plan holds at 100 TB."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    h = (F.lit(_KMV_A) * F.col("user_id") + F.lit(_KMV_B)) % F.lit(_KMV_M)
+    h = F.pmod(
+        F.lit(_KMV_A) * F.pmod(F.col("user_id").cast("bigint"), F.lit(_KMV_M))
+        + F.lit(_KMV_B),
+        F.lit(_KMV_M),
+    )
     dh = ev.select("event_type", h.alias("_h")).distinct()
     w = Window.partitionBy("event_type").orderBy(F.col("_h").asc())
     ranked = dh.withColumn("_rn", F.row_number().over(w))

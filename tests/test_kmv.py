@@ -20,7 +20,8 @@ from etl_inreach_spark.operators.kmv import (
 
 
 def _py_hash(u: int) -> int:
-    return (KMV_A * u + KMV_B) % KMV_M
+    # fold-first grammar (Python % is already non-negative for M > 0)
+    return (KMV_A * (u % KMV_M) + KMV_B) % KMV_M
 
 
 def _py_sketch(keys, k):
