@@ -139,7 +139,17 @@ _FRONT: tuple[str, ...] = (
 # _PENDING: oracle-gated queries added AFTER the r6 window froze (the
 # 50-name _FRONT above is the frozen window). Names here MUST move to
 # _FRONT in r7 (group 1 of the plan above). Cap 12 (test-enforced).
-_PENDING: tuple[str, ...] = ()
+# All five below: local oracle_check PASS at sf0.001/0.01/0.1 this
+# round; operators pytest-pinned since r5 (sampling/indexing/
+# heavyhitters/kmv), promoted to oracle-gated queries per the r6
+# candidate list above.
+_PENDING: tuple[str, ...] = (
+    "priority_sample_documents",
+    "global_row_index_orders",
+    "negative_sample_contrastive",
+    "heavy_hitters_lang",
+    "kmv_corpus_overlap",
+)
 _TAIL: tuple[str, ...] = (
     # r4-greens out r5+r6 after this rotation — AT the staleness
     # bound, MUST enter the r7 window (kept at the tail head so they

@@ -583,3 +583,140 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
     )
+
+
+@query(
+    "priority_sample_documents",
+    oracle="""
+    WITH pri AS (
+        SELECT source, doc_id, n_chars,
+               (CAST(n_chars AS DOUBLE) * 4294967296.0)
+                 / CAST(((doc_id * 2654435761) % 4294967296) + 1 AS DOUBLE)
+                 AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars, priority,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY priority DESC, doc_id ASC) AS rn
+        FROM pri
+    ),
+    tau AS (
+        SELECT source,
+               coalesce(max(CASE WHEN rn = 4 THEN priority END), 0.0) AS tau
+        FROM ranked GROUP BY source
+    )
+    SELECT r.doc_id, r.source, r.priority,
+           CAST(r.rn AS INT) AS sample_rank,
+           greatest(CAST(r.n_chars AS DOUBLE), t.tau) AS est_weight
+    FROM ranked r JOIN tau t ON t.source = r.source
+    WHERE r.rn <= 3
+    """,
+)
+def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling for corpus curation: a per-source PRIORITY
+    SAMPLE (Duffield-Lund-Thorup, JACM 2007) of 3 documents weighted
+    by n_chars, with the adjusted weight max(w, tau) that makes any
+    subset-sum over the sample an unbiased estimate of the full
+    corpus — the weighted counterpart of the value-oracled uniform
+    samplers (stratified_sample_documents / reservoir_sample_per_source).
+    Priorities are w * 2^32 / (knuth_hash(id) + 1): pure integer hash +
+    ONE double division, so the sample is deterministic on any
+    partitioning and bit-identical on any engine (no RNG, no libm).
+    Scale shape (operators/sampling.py): one shuffle on the strata key
+    + a bounded per-stratum heap; tau comes from the (k+1)-th row of
+    the SAME window pass. Generalizes the reference's keep-best-rows
+    selection (/root/reference/task.ts:151-159) to weighted-k-with-
+    estimation."""
+    tune(spark)
+    from etl_inreach_spark.operators.sampling import priority_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return priority_sample(
+        d.select("doc_id", "source", "n_chars"),
+        "doc_id",
+        "n_chars",
+        3,
+        strata_cols=["source"],
+    ).select("doc_id", "source", "priority", "sample_rank", "est_weight")
+
+
+@query(
+    "global_row_index_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+             AS row_index
+    FROM orders
+    """,
+)
+def global_row_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dense 0-based global row index in key order — the
+    DataFrame-native zipWithIndex Spark lacks. The oracle is the
+    textbook single-partition row_number; the Spark side MUST NOT run
+    that plan (a 100 TB relation cannot funnel through one partition):
+    operators/indexing.global_row_index range-buckets on the key, puts
+    the only global window over the <=B-row bucket-count relation, and
+    gives each row one within-bucket window + a broadcast join — the
+    two-level distributed prefix sum (same discipline as
+    operators/packing.pack_chunks), plan-shape-pinned in
+    tests/test_indexing.py. Equality with the oracle holds because the
+    bucket function floor(key*B/(max+1)) is monotone in the key."""
+    tune(spark)
+    from etl_inreach_spark.operators.indexing import global_row_index
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return global_row_index(o, "o_orderkey").select("o_orderkey", "row_index")
+
+
+@query(
+    "negative_sample_contrastive",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY doc_id) - 1 AS ri
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    slots AS (
+        SELECT a.doc_id AS anchor_id, a.source AS anchor_source,
+               s.slot,
+               ((a.doc_id * 2654435761) % 4294967296) AS h1
+        FROM idx a CROSS JOIN (SELECT unnest(range(4)) AS slot) s
+    ),
+    probes AS (
+        SELECT anchor_id, anchor_source, slot,
+               (h1 + slot * ((h1 * 2 + 1) % 4294967296))
+                 % (SELECT n FROM n) AS trow
+        FROM slots
+    )
+    SELECT p.anchor_id,
+           CAST(min(p.slot) AS INT) AS slot,
+           i.doc_id AS neg_id,
+           min(p.anchor_source) AS anchor_source,
+           min(i.source) AS neg_source
+    FROM probes p JOIN idx i ON i.ri = p.trow
+    WHERE i.doc_id <> p.anchor_id
+      AND p.anchor_source IS DISTINCT FROM i.source
+    GROUP BY p.anchor_id, i.doc_id
+    """,
+)
+def negative_sample_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: up to
+    4 pseudo-random negatives per document, excluding the anchor and
+    any same-source document (near-dup clusters make same-group rows
+    FALSE negatives). Slot j of anchor a targets global corpus
+    position (h1(a) + j*h2(a)) mod N — double hashing over the exact
+    row index — so candidate generation is ONE equi-join against the
+    globally-indexed corpus: never a cross join, never a per-row UDF,
+    uniform by construction (every position receives ~k probes), and
+    reproducible on any cluster/partitioning. The oracle replays the
+    identical integer arithmetic on DuckDB; collision dedup keeps the
+    lowest slot per (anchor, negative) pair on both engines."""
+    tune(spark)
+    from etl_inreach_spark.operators.indexing import negative_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return negative_sample(
+        d.select("doc_id", "source"), "doc_id", 4, group_cols=["source"]
+    )

@@ -1300,3 +1300,136 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_cells(emb, 0.3, nlist=16)
+
+
+@query(
+    "heavy_hitters_lang",
+    oracle="""
+    WITH n AS (SELECT count(lang) AS n_total FROM documents)
+    SELECT lang AS item,
+           CAST(count(*) AS BIGINT) AS exact_count,
+           (SELECT CAST(n_total AS BIGINT) FROM n) AS n_total
+    FROM documents
+    GROUP BY lang
+    HAVING count(*) * 5 > (SELECT n_total FROM n)
+    """,
+)
+def heavy_hitters_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item detection WITHOUT a full-cardinality groupBy: a
+    distributed Misra-Gries k=4 summary (operators/heavyhitters.py —
+    per-partition Arrow-batched summaries, PODS'12 relational merge)
+    proposes candidates, then ONE exact counting pass over just those
+    candidates (broadcast semi join) emits the items with true count
+    > n/(k+1). MG guarantees every such item survives the sketch for
+    ANY partitioning, and the rescore makes the counts exact — so the
+    output equals the plain GROUP BY / HAVING oracle deterministically
+    while never shuffling the full key space (at 100 TB the groupBy
+    shuffles billions of vocabulary keys; this shuffles P*k summary
+    rows + |candidates| counts). k=4 < 5 distinct langs, so the
+    eviction path of the sketch is genuinely exercised."""
+    tune(spark)
+    from etl_inreach_spark.operators.heavyhitters import heavy_hitters
+
+    k = 4
+    d = load_table(spark, sf_dir, "documents")
+    cand = heavy_hitters(d, "lang", k=k).select(
+        F.col("item"), F.col("n_total")
+    )
+    exact = (
+        d.join(F.broadcast(cand), d["lang"] == cand["item"], "inner")
+        .groupBy("item", "n_total")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return exact.filter(
+        F.col("exact_count") * (k + 1) > F.col("n_total")
+    ).select("item", "exact_count", "n_total")
+
+
+# KMV set-operation parameters — shared by the Spark query and its
+# DuckDB oracle (fold-first hash grammar, see operators/kmv.py).
+_KMVO_K = 32
+_KMVO_A = 1103515245
+_KMVO_B = 12345
+_KMVO_M = (1 << 31) - 1
+_KMVO_H = (
+    f"({_KMVO_A} * (((user_id % {_KMVO_M}) + {_KMVO_M}) % {_KMVO_M})"
+    f" + {_KMVO_B}) % {_KMVO_M}"
+)
+
+
+@query(
+    "kmv_corpus_overlap",
+    oracle=f"""
+    WITH ka AS (
+        SELECT h FROM (SELECT DISTINCT {_KMVO_H} AS h FROM events
+                       WHERE event_type = 'click')
+        ORDER BY h LIMIT {_KMVO_K}
+    ),
+    kb AS (
+        SELECT h FROM (SELECT DISTINCT {_KMVO_H} AS h FROM events
+                       WHERE event_type = 'view')
+        ORDER BY h LIMIT {_KMVO_K}
+    ),
+    km AS (
+        SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        ORDER BY h LIMIT {_KMVO_K}
+    ),
+    stats AS (
+        SELECT (SELECT count(*) FROM ka) AS na,
+               (SELECT max(h) FROM ka) AS ka_kth,
+               (SELECT count(*) FROM kb) AS nb,
+               (SELECT max(h) FROM kb) AS kb_kth,
+               (SELECT count(*) FROM km) AS nm,
+               (SELECT max(h) FROM km) AS km_kth,
+               (SELECT count(*) FROM km
+                WHERE h IN (SELECT h FROM ka)
+                  AND h IN (SELECT h FROM kb)) AS in_both
+    )
+    SELECT
+      CASE WHEN na >= {_KMVO_K}
+           THEN {float(_KMVO_K - 1) * _KMVO_M} / ka_kth
+           ELSE CAST(na AS DOUBLE) END AS distinct_a,
+      CASE WHEN nb >= {_KMVO_K}
+           THEN {float(_KMVO_K - 1) * _KMVO_M} / kb_kth
+           ELSE CAST(nb AS DOUBLE) END AS distinct_b,
+      CASE WHEN nm >= {_KMVO_K}
+           THEN {float(_KMVO_K - 1) * _KMVO_M} / km_kth
+           ELSE CAST(nm AS DOUBLE) END AS union_est,
+      CASE WHEN nm > 0 THEN CAST(in_both AS DOUBLE) / nm
+           ELSE 0.0 END AS jaccard_est,
+      (CASE WHEN nm > 0 THEN CAST(in_both AS DOUBLE) / nm
+            ELSE 0.0 END)
+        * (CASE WHEN nm >= {_KMVO_K}
+                THEN {float(_KMVO_K - 1) * _KMVO_M} / km_kth
+                ELSE CAST(nm AS DOUBLE) END) AS intersect_est
+    FROM stats
+    """,
+)
+def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap ESTIMATION from two kilobyte sketches: KMV
+    (k-minimum-values) sketches of the click-user and view-user sets
+    merge into an exact sketch of their union (KMV's defining
+    mergeability), and |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)| is an
+    unbiased Jaccard estimator (Beyer et al., SIGMOD 2007) — so
+    union / Jaccard / intersection of two corpora come from one pass
+    per corpus + constant-size array arithmetic, where the exact
+    answer (contamination_check) needs a join between them. At 100 TB
+    the sketches are per-corpus monoid state the incremental-MERGE
+    sink maintains per batch. Portable fold-first hash grammar
+    (operators/kmv.py) makes every estimate bit-identical on DuckDB;
+    k=32 < |users|, so the ESTIMATOR path (k-1)*M/kth is exercised,
+    not the exact-small-set fallback."""
+    tune(spark)
+    from etl_inreach_spark.operators.kmv import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sa = kmv_sketch(
+        ev.filter(F.col("event_type") == "click"), F.col("user_id"), _KMVO_K
+    )
+    sb = kmv_sketch(
+        ev.filter(F.col("event_type") == "view"), F.col("user_id"), _KMVO_K
+    )
+    return kmv_set_estimates(sa, sb, _KMVO_K)
