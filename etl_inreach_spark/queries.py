@@ -149,6 +149,16 @@ _PENDING: tuple[str, ...] = (
     "negative_sample_contrastive",
     "heavy_hitters_lang",
     "kmv_corpus_overlap",
+    # TPC-H widening (q6/q8/q15/q17/q19/q22 — q17/q19/q22 adapted to
+    # the synthetic schema, adaptations documented in docstrings;
+    # q2/q4/q9/q11/q12/q16/q20 are impossible: no partsupp table, no
+    # l_commitdate/l_receiptdate/l_shipmode/l_shipinstruct columns)
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q22_sales_opportunity",
 )
 _TAIL: tuple[str, ...] = (
     # r4-greens out r5+r6 after this rotation — AT the staleness

@@ -1481,3 +1481,354 @@ def cms_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(f"/tmp/spark_graft_cmsincr/{run}", ignore_errors=True)
     return out
+
+
+def _drev(price="l_extendedprice", disc="l_discount"):
+    """Decimal-fold TPC-H revenue term extprice*(1-discount) — exact
+    and order-insensitive on both engines (SURVEY §7 hard-parts #4)."""
+    return F.col(price).cast("decimal(18,4)") * (
+        F.lit(1) - F.col(disc).cast("decimal(18,4)")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate. The whole query is ONE parquet scan with
+    every predicate pushed to the reader (date range, discount band,
+    quantity cap — all appear under PushedFilters) and a two-column
+    ReadSchema, then a map-side partial sum: zero shuffles beyond the
+    1-row final merge — the shape that proves predicate pushdown and
+    column pruning survive into the physical plan. Decimal-fold
+    product for the exact cross-engine sum."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH flat AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+          AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    revenue among ASIA-region customers, by order year. Plan shape:
+    region -> nation -> customer prune by BROADCAST before touching
+    orders; part's p_type filter broadcasts into lineitem (the most
+    selective prune first); supplier's nation name broadcasts last.
+    The only big shuffles are lineitem-orders-customer. The share is a
+    ratio of two decimal-fold sums divided as doubles — exact and
+    order-insensitive on both engines."""
+    tune(spark)
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nations = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("_cnk"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nations), F.col("c_nationkey") == F.col("_cnk")
+    ).select("c_custkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_snk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    flat = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _drev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue-view + scalar-subquery
+    pattern. The per-supplier revenue relation is built ONCE and
+    localCheckpointed (it is consumed twice: the max and the
+    equality filter — without the pin the lineitem scan+agg would run
+    twice, the filtered-broadcast trap from the r5 memory); the max is
+    a 1-row broadcast joined back, never a driver collect. Equality on
+    total_revenue is safe because the decimal-fold makes both engines'
+    revenue bit-identical before the double cast."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_drev()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=True)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#4' AND p_size < 15
+    ),
+    thr AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(*)) AS qty_thr
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN pa ON pa.p_partkey = l.l_partkey
+    JOIN thr ON thr.l_partkey = l.l_partkey
+    WHERE l.l_quantity < thr.qty_thr
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: the synthetic
+    part table has no p_container, so the part filter is
+    (p_brand, p_size < 15) — same selectivity role, same plan. The
+    correlated scalar subquery (per-part 20%-of-average quantity
+    threshold) is DECORRELATED into one groupBy over lineitem joined
+    back by part key — the aggregate-then-join rendering Spark's
+    optimizer also picks for correlated scalar subqueries, expressed
+    explicitly. The threshold avg decimal-folds (sum exact, then ONE
+    double division) so both engines filter on bit-identical
+    thresholds. The part filter BROADCASTS into both sides."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    thr = li.groupBy(F.col("l_partkey").alias("_tpk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thr")
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thr, F.col("l_partkey") == F.col("_tpk"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: the synthetic lineitem
+    has no l_shipinstruct/l_shipmode, so the disjunction is the
+    (brand, size, quantity) triple alone — the part of Q19 that
+    exercises the optimizer. The point is DISJUNCTION HANDLING:
+    Catalyst extracts the common l_partkey equi-join key from the OR,
+    derives the part-side union filter (brand IN ... AND size <= 15)
+    and pushes it to the part SCAN, so the broadcast dim carries only
+    matching parts; the mixed part+lineitem disjuncts evaluate post-
+    join in one codegen stage — no union-of-three-joins rewrite, no
+    double scan of lineitem."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_drev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22_sales_opportunity",
+    oracle="""
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+    ),
+    avgbal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS ab
+        FROM pool WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM pool c
+    WHERE c_acctbal > (SELECT ab FROM avgbal)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= DATE '1999-01-01'
+          )
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: the synthetic
+    customer has no c_phone, so the country-code IN-list is a
+    c_nationkey IN-list, and because every synthetic customer has at
+    least one order the anti-join condition is 'no order since
+    1999-01-01' (lapsed, not never-ordered) — same operators, same
+    plan: an uncorrelated scalar-subquery average (1-row broadcast),
+    then a LEFT ANTI join against the date-filtered orders (the
+    NOT-EXISTS decorrelation; the date filter pushes to the orders
+    scan so the anti side shrinks before the shuffle), then a
+    nationkey hash agg. Decimal-fold for the average and the output
+    sum."""
+    tune(spark)
+    pool = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avgbal = pool.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_ab")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, pool["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
