@@ -114,3 +114,67 @@ def test_curation_pipeline_single_shuffle(spark):
     plan = _plan(spark, "corpus_curation_pipeline")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_full_pushdown_no_join_shuffle(spark):
+    """Q6 is one scan + partial agg: every predicate reaches the
+    parquet reader and the ReadSchema carries only the four columns
+    the query touches — no join, no hash-partition exchange."""
+    df = all_queries()["tpch_q6_forecast_revenue"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    full = qe.explainString(mode)  # toString truncates long filter lists
+    for f in ("GreaterThanOrEqual(l_discount", "LessThan(l_quantity", "LessThan(l_shipdate"):
+        assert f in full, f"predicate {f} not pushed"
+    assert "l_orderkey" not in full  # column pruning
+    assert qe.executedPlan().toString().count("Exchange hashpartitioning") == 0
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """Catalyst must extract per-side unions of the OR: the part scan
+    gets the brand/size disjunction, the lineitem scan the quantity
+    disjunction — neither side scans unfiltered, and the join stays a
+    single broadcast equi-join (no union-of-three-joins rewrite)."""
+    plan = _plan(spark, "tpch_q19_disjunctive_filter")
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan parquet" in ln]
+    part_scan = next(s for s in scans if "part.parquet" in s)
+    li_scan = next(s for s in scans if "lineitem.parquet" in s)
+    assert "p_brand" in part_scan and "Or(" in part_scan
+    assert "l_quantity" in li_scan and "Or(" in li_scan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    """The revenue relation is pinned (localCheckpoint) and consumed
+    twice — max side and filter side — so the plan must contain NO
+    second lineitem scan, and the max joins back as a broadcast."""
+    plan = _plan(spark, "tpch_q15_top_supplier")
+    assert plan.count("lineitem.parquet") == 0  # checkpointed, not rescanned
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_prunes_orders_scan(spark):
+    """NOT EXISTS renders as LEFT ANTI, and the o_orderdate >= bound
+    pushes into the orders scan so the anti side shrinks pre-shuffle."""
+    plan = _plan(spark, "tpch_q22_sales_opportunity")
+    assert "LeftAnti" in plan
+    orders_scan = next(
+        ln for ln in plan.splitlines()
+        if ("Scan parquet" in ln or "FileScan parquet" in ln) and "orders.parquet" in ln
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in orders_scan
+
+
+def test_global_row_index_no_full_relation_global_window(spark):
+    """The only unpartitioned window runs over the <=B-row bucket
+    relation; every row-stream window is partitioned by _bucket."""
+    plan = _plan(spark, "global_row_index_orders")
+    assert "windowspecdefinition(_bucket" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """The exact rescore joins the tiny candidate set by BROADCAST —
+    the document relation must never shuffle for the join."""
+    plan = _plan(spark, "heavy_hitters_lang")
+    assert "BroadcastHashJoin" in plan
