@@ -159,6 +159,10 @@ _PENDING: tuple[str, ...] = (
     "tpch_q17_small_qty_revenue",
     "tpch_q19_disjunctive_filter",
     "tpch_q22_sales_opportunity",
+    # lakehouse layout: OPTIMIZE ZORDER BY (operators/zorder.py) —
+    # the Morton code is a pure integer function of the row + global
+    # bounds, so the oracle replays the bit interleave exactly
+    "zorder_locality_orders",
 )
 _TAIL: tuple[str, ...] = (
     # r4-greens out r5+r6 after this rotation — AT the staleness

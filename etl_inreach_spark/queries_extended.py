@@ -1433,3 +1433,69 @@ def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"), F.col("user_id"), _KMVO_K
     )
     return kmv_set_estimates(sa, sb, _KMVO_K)
+
+
+# Morton interleave rendered as ANSI SQL: bucket column j of n
+# contributes bit i at output position i*n + j (must mirror
+# operators/zorder.zvalue exactly).
+def _zorder_sql_terms(bucket_exprs: "list[str]", bits: int = 16) -> str:
+    n = len(bucket_exprs)
+    terms = [
+        f"((({b} >> {i}) & 1) << {i * n + j})"
+        for j, b in enumerate(bucket_exprs)
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_locality_orders",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS o_secs
+        FROM orders
+    ),
+    bounds AS (
+        SELECT min(o_custkey) AS lc, max(o_custkey) AS hc,
+               min(o_secs) AS ls, max(o_secs) AS hs
+        FROM base
+    ),
+    kb AS (
+        SELECT o_orderkey,
+               CAST(floor(CAST((o_custkey - lc) * 65536 AS DOUBLE)
+                          / (hc - lc + 1)) AS BIGINT) AS bc,
+               CAST(floor(CAST((o_secs - ls) * 65536 AS DOUBLE)
+                          / (hs - ls + 1)) AS BIGINT) AS bs
+        FROM base, bounds
+    )
+    SELECT o_orderkey,
+           {_zorder_sql_terms(["bc", "bs"])} AS zkey
+    FROM kb
+    """,
+)
+def zorder_locality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout pass (Delta/Iceberg OPTIMIZE ZORDER BY): the
+    Morton code of (o_custkey, o_orderdate-epoch) that
+    operators/zorder.zorder_repartition range-partitions by, so every
+    output file carries a tight min-max envelope on BOTH columns and
+    zonemap pruning serves custkey AND date predicates from one
+    layout — the 100 TB table-maintenance operator (you cannot resort
+    100 TB per query; you interleave once). All JVM scalar bit
+    arithmetic constant-folded into one codegen stage (no UDF), one
+    1-row bounds broadcast, one range shuffle; the code is a pure
+    integer function of the row and the global bounds, so the oracle
+    replays it bit-for-bit (floor over the double division — a raw
+    double→bigint CAST truncates on Spark but rounds on DuckDB;
+    tests/test_extended.py pins the locality win the layout exists
+    for)."""
+    tune(spark)
+    from etl_inreach_spark.operators.zorder import zorder_repartition
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("bigint").alias("o_secs"),
+    )
+    z = zorder_repartition(o, ["o_custkey", "o_secs"], bits=16)
+    return z.select("o_orderkey", F.col("_zvalue").alias("zkey"))
