@@ -80,18 +80,15 @@ def minmax_bucket(col: Column, lo: Column, hi: Column, bits: int = 16) -> Column
     ).cast("bigint")
 
 
-def zorder_repartition(
+def with_zvalue(
     df: DataFrame,
     cols: Sequence[str],
     bits: int = 16,
-    num_partitions: int | None = None,
     z_col: str = "_zvalue",
 ) -> DataFrame:
-    """``df`` range-partitioned by the Morton code of ``cols`` (the
-    OPTIMIZE ZORDER layout pass, minus the file writer). Appends the
-    code as ``z_col`` so callers can sortWithinPartitions / write and
-    tests can audit locality. One 1-row aggregate (broadcast) for the
-    min-max bounds + one range shuffle; no other passes."""
+    """Append the Morton code of ``cols`` as ``z_col``: one 1-row
+    aggregate (broadcast) for the global min-max bounds, then pure
+    scalar bit arithmetic — no shuffle of ``df`` itself."""
     bounds = df.agg(
         *[F.min(c).alias(f"_lo_{c}") for c in cols],
         *[F.max(c).alias(f"_hi_{c}") for c in cols],
@@ -106,9 +103,111 @@ def zorder_repartition(
         ],
         bits,
     )
-    b = b.withColumn(z_col, z).drop(
+    return b.withColumn(z_col, z).drop(
         *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols]
     )
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    z_col: str = "_zvalue",
+) -> DataFrame:
+    """``df`` range-partitioned by the Morton code of ``cols`` (the
+    OPTIMIZE ZORDER layout pass, minus the file writer). Appends the
+    code as ``z_col`` so callers can sortWithinPartitions / write and
+    tests can audit locality. One 1-row aggregate (broadcast) for the
+    min-max bounds + one range shuffle; no other passes. Sampled
+    range boundaries -> evenly SIZED partitions (what you want for
+    shuffle/compute); ``write_zordered`` snaps boundaries to the
+    z-grid instead (what you want for tight file zonemaps)."""
+    b = with_zvalue(df, cols, bits, z_col)
     if num_partitions:
         return b.repartitionByRange(num_partitions, F.col(z_col))
     return b.repartitionByRange(F.col(z_col))
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet laid out by the Morton code of
+    ``cols``: one file per cell of the top-bits z-GRID, rows sorted
+    by the full code WITHIN each file, so every file's min-max
+    envelope is one small rectangle in column space and every ROW
+    GROUP inside it is an even smaller one — both the file-skipping
+    layer (zonemaps / table-format metadata at 100 TB) and Spark's
+    own parquet row-group filter pushdown benefit without any reader
+    cooperation. The z column itself is dropped: the layout IS the
+    artifact; readers filter on the original columns.
+
+    Boundary choice matters: SAMPLED range boundaries (what
+    ``zorder_repartition`` does, and the right call for balancing
+    compute) land mid-grid-cell, so file envelopes straddle cells and
+    a measured 10%-of-domain predicate still touched 75% of 16 files.
+    Snapping boundaries to the top ``log2(num_files)`` z-bits trades
+    file-size evenness (cells hold whatever rows fall in them) for
+    envelopes that ARE grid cells: the same predicate touches <= 50%,
+    scaling down with file count. num_files is rounded down to a
+    power of two; empty cells write no file."""
+    k = max(1, (num_files).bit_length() - 1)  # floor(log2)
+    total = bits * len(cols)
+    z = with_zvalue(df, cols, bits=bits)
+    zq = F.shiftright(F.col("_zvalue"), total - k)
+    (
+        z.withColumn("_zcell", zq)
+        .repartitionByRange(1 << k, F.col("_zcell"))
+        .sortWithinPartitions("_zcell", "_zvalue")
+        .drop("_zvalue", "_zcell")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_envelopes(path: str, cols: Sequence[str]) -> "list[dict]":
+    """Per-file min-max envelopes on ``cols`` read straight from the
+    parquet footers (pyarrow, no data pages touched) — the same
+    metadata a lakehouse zonemap/file-skipping index serves. Audit /
+    planning utility: runs on the driver over footers only, never row
+    data, so it is metadata-bounded (one footer per file) exactly like
+    the table-format manifest scan it stands in for."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        env: dict = {"file": f.name, "rows": md.num_rows}
+        for c in cols:
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            env[c] = (lo, hi)
+        out.append(env)
+    return out
+
+
+def files_to_read(envelopes: "list[dict]", col: str, lo, hi) -> "list[str]":
+    """The files a zonemap-pruned scan of ``col BETWEEN lo AND hi``
+    must actually read: those whose [min, max] envelope intersects
+    the predicate range (a file with no stats must be read). The
+    prune FRACTION 1 - len(files_to_read)/len(envelopes) is the
+    quantity the z-order layout exists to maximize on every
+    participating column at once."""
+    keep = []
+    for e in envelopes:
+        emin, emax = e[col]
+        if emin is None or (emax >= lo and emin <= hi):
+            keep.append(e["file"])
+    return keep

@@ -672,3 +672,76 @@ def test_zorder_plans_range_partitioning_no_udf(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(_zvalue" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_write_zordered_zonemap_prunes_both_columns(spark, sf_dir, tmp_path):
+    """End of the layout story: footers of a z-ordered write carry
+    tight per-file envelopes on BOTH columns, so a zonemap scan of a
+    ~10%-of-domain predicate on EITHER column reads a small fraction
+    of the files — while the single-column-sorted control prunes only
+    its own column and must read ~every file for the other."""
+    from pyspark.sql import functions as F
+
+    from etl_inreach_spark.operators.zorder import (
+        file_envelopes,
+        files_to_read,
+        write_zordered,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("bigint").alias("o_secs"),
+    )
+    dom = o.agg(
+        F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
+        F.min("o_secs").alias("sl"), F.max("o_secs").alias("sh"),
+    ).first()
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(o, zpath, ["o_custkey", "o_secs"], num_files=16)
+    env = file_envelopes(zpath, ["o_custkey", "o_secs"])
+    assert 8 <= len(env) <= 16 and all(e["rows"] > 0 for e in env)
+
+    # five 10%-of-domain slabs across the domain (includes placements
+    # straddling grid boundaries); judge the MEAN read fraction
+    def slabs(lo, hi, frac=0.1):
+        span = hi - lo
+        return [
+            (lo + int(span * s), lo + int(span * (s + frac)))
+            for s in (0.05, 0.25, 0.45, 0.65, 0.85)
+        ]
+
+    def mean_frac(e, col, lo, hi):
+        return sum(
+            len(files_to_read(e, col, a, b)) / len(e)
+            for a, b in slabs(lo, hi)
+        ) / 5
+
+    ck_frac = mean_frac(env, "o_custkey", dom["cl"], dom["ch"])
+    ts_frac = mean_frac(env, "o_secs", dom["sl"], dom["sh"])
+    assert ck_frac <= 0.45, f"custkey scan reads {ck_frac:.0%} of files"
+    assert ts_frac <= 0.45, f"date scan reads {ts_frac:.0%} of files"
+
+    # control: sort by custkey only — perfect on custkey, no pruning
+    # on the date column
+    spath = str(tmp_path / "sorted")
+    o.repartitionByRange(16, F.col("o_custkey")).sortWithinPartitions(
+        "o_custkey"
+    ).write.mode("overwrite").parquet(spath)
+    senv = file_envelopes(spath, ["o_custkey", "o_secs"])
+    s_ck = mean_frac(senv, "o_custkey", dom["cl"], dom["ch"])
+    s_ts = mean_frac(senv, "o_secs", dom["sl"], dom["sh"])
+    assert s_ck <= 0.25  # single-column sort beats z-order on its own column
+    assert s_ts > 0.8  # ...and cannot serve the other column at all
+
+    # pruning is sound: the zonemap-kept files contain every match
+    ck_lo, ck_hi = slabs(dom["cl"], dom["ch"])[2]
+    kept = files_to_read(env, "o_custkey", ck_lo, ck_hi)
+    full = o.filter(F.col("o_custkey").between(ck_lo, ck_hi)).count()
+    from_kept = (
+        spark.read.parquet(*[f"{zpath}/{f}" for f in kept])
+        .filter(F.col("o_custkey").between(ck_lo, ck_hi))
+        .count()
+    )
+    assert from_kept == full
