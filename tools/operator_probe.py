@@ -115,6 +115,111 @@ def main() -> int:
     t_hh, hh_rows = timed(lambda: heavy_hitters(ev, "user_id", k=64).count())
     results["heavy_hitters"] = {"n_events": n_ev, "k": 64, "sec": t_hh, "rows": hh_rows}
 
+    # Round-6: collocation lift + bigram LM scoring (thresholds scale
+    # with the corpus so the surviving vocabulary stays a fixed slice
+    # and cross-SF timings are comparable).
+    from etl_inreach_spark.operators.cooccur import (
+        bigram_lm_score,
+        term_cooccurrence_lift,
+    )
+
+    min_df = max(2, n_doc // 120)
+    t_lift, lift_rows = timed(
+        lambda: term_cooccurrence_lift(
+            docs, min_df=min_df, min_pair_df=max(2, min_df // 2)
+        ).count()
+    )
+    results["term_lift"] = {
+        "n_docs": n_doc,
+        "min_df": min_df,
+        "sec": t_lift,
+        "pairs": lift_rows,
+    }
+
+    t_lm, lm_rows = timed(lambda: bigram_lm_score(docs).count())
+    results["bigram_lm_score"] = {"n_docs": n_doc, "sec": t_lm, "rows": lm_rows}
+
+    # Round-6: z-ordered write + zonemap prune fractions (64 files,
+    # mean over five 10%-of-domain slabs per column).
+    import tempfile
+
+    from etl_inreach_spark.operators.zorder import (
+        file_envelopes,
+        files_to_read,
+        write_zordered,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("bigint").alias("o_secs"),
+    )
+    n_ord = o.count()
+    with tempfile.TemporaryDirectory() as td:
+        zpath = os.path.join(td, "z")
+        t_zw, _ = timed(
+            lambda: write_zordered(o, zpath, ["o_custkey", "o_secs"], num_files=64)
+        )
+        env = file_envelopes(zpath, ["o_custkey", "o_secs"])
+        dom = o.agg(
+            F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
+            F.min("o_secs").alias("sl"), F.max("o_secs").alias("sh"),
+        ).first()
+
+        def mean_frac(col, lo, hi):
+            span = hi - lo
+            fr = [
+                len(
+                    files_to_read(
+                        env, col, lo + int(span * s), lo + int(span * (s + 0.1))
+                    )
+                )
+                / len(env)
+                for s in (0.05, 0.25, 0.45, 0.65, 0.85)
+            ]
+            return round(sum(fr) / len(fr), 3)
+
+        results["write_zordered"] = {
+            "n_rows": n_ord,
+            "files": len(env),
+            "write_sec": t_zw,
+            "read_frac_custkey": mean_frac("o_custkey", dom["cl"], dom["ch"]),
+            "read_frac_date": mean_frac("o_secs", dom["sl"], dom["sh"]),
+        }
+
+    # Round-6: bucketed-table write + exchange-free join vs the plain
+    # shuffled join on the same relations.
+    import uuid
+
+    from etl_inreach_spark.sinks.bucketed import bucketed_equijoin, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    t1 = f"probe_o_{uuid.uuid4().hex[:8]}"
+    t2 = f"probe_l_{uuid.uuid4().hex[:8]}"
+    try:
+        t_bw, _ = timed(
+            lambda: (
+                write_bucketed(o, t1, ["o_orderkey"], 16),
+                write_bucketed(li, t2, ["o_orderkey"], 16),
+            )
+        )
+        t_bj, bj_rows = timed(
+            lambda: bucketed_equijoin(spark, t1, t2, ["o_orderkey"]).count()
+        )
+        t_pj, _ = timed(lambda: o.join(li, "o_orderkey").count())
+        results["bucketed_join"] = {
+            "n_left": n_ord,
+            "write_sec": t_bw,
+            "bucketed_join_sec": t_bj,
+            "shuffled_join_sec": t_pj,
+            "rows": bj_rows,
+        }
+    finally:
+        for t in (t1, t2):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     print(json.dumps({"sf_dir": sf_dir, "operators": results}, separators=(",", ":")))
     return 0
 
