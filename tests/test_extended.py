@@ -745,3 +745,93 @@ def test_write_zordered_zonemap_prunes_both_columns(spark, sf_dir, tmp_path):
         .count()
     )
     assert from_kept == full
+
+
+def test_hilbert_curve_properties(spark):
+    """Unit-step locality (every consecutive code pair is
+    grid-adjacent — the property Morton lacks) and bijectivity, on
+    the full 32x32 grid."""
+    from etl_inreach_spark.operators.zorder import _hilbert_xy2d, hilbert_lookup
+
+    n = 32
+    lut = {
+        (r["_hx"], r["_hy"]): r["_hvalue"]
+        for r in hilbert_lookup(spark, bits=5).collect()
+    }
+    assert len(lut) == n * n
+    assert sorted(lut.values()) == list(range(n * n))  # bijective
+    by_d = {d: xy for xy, d in lut.items()}
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = by_d[d - 1], by_d[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"jump at d={d}"
+    # and the relation matches the scalar reference it was built from
+    assert lut[(3, 7)] == _hilbert_xy2d(n, 3, 7)
+
+
+def test_write_hilbert_even_files_and_tight_envelopes(spark, sf_dir, tmp_path):
+    """The Hilbert claim: with SAMPLED (size-balancing) boundaries,
+    Morton envelopes blow up at curve jumps (measured 75% mean read
+    fraction) while Hilbert stays tight on BOTH columns — so Hilbert
+    delivers even file sizes and zonemap pruning at once."""
+    from pyspark.sql import functions as F
+
+    from etl_inreach_spark.operators.zorder import (
+        file_envelopes,
+        files_to_read,
+        write_hilbert,
+        zorder_repartition,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("bigint").alias("o_secs"),
+    )
+    dom = o.agg(
+        F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
+        F.min("o_secs").alias("sl"), F.max("o_secs").alias("sh"),
+    ).first()
+
+    hpath = str(tmp_path / "hilbert")
+    write_hilbert(o, hpath, ["o_custkey", "o_secs"], num_files=16)
+    henv = file_envelopes(hpath, ["o_custkey", "o_secs"])
+    assert len(henv) == 16
+
+    # sampled-boundary Morton control, same file count
+    mpath = str(tmp_path / "morton_sampled")
+    zorder_repartition(o, ["o_custkey", "o_secs"], num_partitions=16).sortWithinPartitions(
+        "_zvalue"
+    ).drop("_zvalue").write.mode("overwrite").parquet(mpath)
+    menv = file_envelopes(mpath, ["o_custkey", "o_secs"])
+
+    def mean_frac(env, col, lo, hi):
+        span = hi - lo
+        fr = [
+            len(files_to_read(env, col, lo + int(span * s), lo + int(span * (s + 0.1))))
+            / len(env)
+            for s in (0.05, 0.25, 0.45, 0.65, 0.85)
+        ]
+        return sum(fr) / len(fr)
+
+    h_ck = mean_frac(henv, "o_custkey", dom["cl"], dom["ch"])
+    h_ts = mean_frac(henv, "o_secs", dom["sl"], dom["sh"])
+    m_ck = mean_frac(menv, "o_custkey", dom["cl"], dom["ch"])
+    m_ts = mean_frac(menv, "o_secs", dom["sl"], dom["sh"])
+    assert h_ck <= 0.5 and h_ts <= 0.5, (h_ck, h_ts)
+    assert h_ck <= m_ck and h_ts <= m_ts, (h_ck, m_ck, h_ts, m_ts)
+
+    # even file sizes — the property grid-snapped Morton gives up
+    rows = [e["rows"] for e in henv]
+    assert max(rows) <= 3 * min(rows), rows
+
+    # pruning soundness
+    span = dom["ch"] - dom["cl"]
+    lo, hi = dom["cl"] + int(span * 0.45), dom["cl"] + int(span * 0.55)
+    kept = files_to_read(henv, "o_custkey", lo, hi)
+    full = o.filter(F.col("o_custkey").between(lo, hi)).count()
+    got = (
+        spark.read.parquet(*[f"{hpath}/{f}" for f in kept])
+        .filter(F.col("o_custkey").between(lo, hi))
+        .count()
+    )
+    assert got == full > 0
