@@ -116,3 +116,72 @@ def test_incremental_dedup_no_python_udf(spark, tmp_path):
     out = incremental_dedup(spark, d, str(tmp_path / "s"), "b0")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_as_streaming_foreachbatch(spark, tmp_path):
+    """Deployment mode: a file stream of document batches dripped
+    through foreachBatch(incremental_dedup). State accumulates across
+    micro-batches and a later batch's near-copy of an earlier batch's
+    doc is dropped first-wins — the same semantics as the manual
+    calls, now under Structured Streaming's retry/replay contract
+    (batch_id comes from the engine, so a replayed micro-batch cannot
+    double-append state)."""
+    import json
+    import os
+    import time
+
+    from etl_inreach_spark.operators.incremental_dedup import incremental_dedup
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    state = str(tmp_path / "state")
+    labels_dir = str(tmp_path / "labels")
+
+    def drop(name, rows):
+        p = feed / f"{name}.json"
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    drop("b1", [{"doc_id": 1, "text": BASE}, {"doc_id": 2, "text": "about owls " * 20}])
+
+    def handle(batch_df, batch_id):
+        out = incremental_dedup(
+            spark, batch_df, state, f"stream-{batch_id}"
+        )
+        out.write.mode("append").parquet(labels_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+
+    drop("b2", [{"doc_id": 10, "text": BASE + "late suffix"}, {"doc_id": 11, "text": "about glaciers " * 20}])
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream2.awaitTermination(120)
+
+    lab = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(labels_dir).collect()
+    }
+    assert lab[1]["keep"] and lab[2]["keep"] and lab[11]["keep"]
+    assert not lab[10]["keep"] and lab[10]["dup_of"] == 1
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(state).select("doc_id").distinct().collect()
+    }
+    assert ids == {1, 2, 11}
