@@ -220,6 +220,31 @@ def main() -> int:
         for t in (t1, t2):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    # Round-6: incremental dedup — seed the state with the WHOLE
+    # corpus, then measure a FIXED-SIZE 500-doc increment. The claim
+    # under test: increment cost is O(batch + collisions), flat as
+    # the corpus grows 10x.
+    from etl_inreach_spark.operators.incremental_dedup import incremental_dedup
+
+    with tempfile.TemporaryDirectory() as td:
+        st = os.path.join(td, "state")
+        t_seed, _ = timed(
+            lambda: incremental_dedup(spark, docs, st, "seed").count()
+        )
+        inc = (
+            docs.orderBy("doc_id")
+            .limit(500)
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        ).localCheckpoint(eager=True)
+        t_inc, _ = timed(
+            lambda: incremental_dedup(spark, inc, st, "inc").count()
+        )
+        results["incremental_dedup"] = {
+            "n_docs_state": n_doc,
+            "seed_sec": t_seed,
+            "increment500_sec": t_inc,
+        }
+
     print(json.dumps({"sf_dir": sf_dir, "operators": results}, separators=(",", ":")))
     return 0
 
