@@ -396,3 +396,30 @@ def ivf_pq_topk(
         "adc_dist",
         "rank",
     )
+
+
+def save_ivf_pq(
+    path: str, cells: DataFrame, books: DataFrame, index: DataFrame
+) -> None:
+    """Persist the three index relations as parquet subdirectories.
+    The build is the expensive pass over the corpus (k-means iters +
+    encode); search only ever reads these relations — so the serving
+    pattern is build-once / probe-per-query-batch, exactly like the
+    incremental-dedup signature state. ``index`` (1 cell int +
+    num_sub codes per vector) is the compressed corpus: at 100 TB of
+    raw embeddings this is the ~100x-smaller artifact that search
+    fans out over, partitioned by cell so an nprobe-cell probe is a
+    partition-pruned scan."""
+    cells.write.mode("overwrite").parquet(f"{path}/cells")
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    index.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
+
+
+def load_ivf_pq(spark, path: str) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """(cells, books, index) read back; drop-in for the build's return
+    value (bit-identical search results — pinned in tests)."""
+    return (
+        spark.read.parquet(f"{path}/cells"),
+        spark.read.parquet(f"{path}/books"),
+        spark.read.parquet(f"{path}/index"),
+    )

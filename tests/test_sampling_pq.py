@@ -338,3 +338,48 @@ def test_priority_sample_property(spark, rows, k):
         for r in priority_sample(df, "id", "w", k).collect()
     }
     assert got == expected
+
+
+def test_ivf_pq_save_load_roundtrip(spark, tmp_path):
+    """Persisted index relations are a drop-in for the build's return
+    value: identical top-k (ids, ranks, distances) from the loaded
+    index, with the compressed corpus partitioned by cell on disk."""
+    import os
+
+    from etl_inreach_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_topk,
+        load_ivf_pq,
+        save_ivf_pq,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim, num_sub, ksub, nlist = 40, 8, 2, 4, 3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(dim)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    built = ivf_pq_build(df, nlist=nlist, num_sub=num_sub, ksub=ksub, iters=2, dim=dim)
+    p = str(tmp_path / "ivfpq")
+    save_ivf_pq(p, *built)
+    loaded = load_ivf_pq(spark, p)
+
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.randn(dim)]) for i in range(3)],
+        "q_id long, embedding array<double>",
+    )
+
+    def run(cells, books, index):
+        return sorted(
+            (r["q_id"], r["rank"], r["vec_id"], round(r["adc_dist"], 9))
+            for r in ivf_pq_topk(
+                index, cells, books, queries, k=5, nprobe=2, num_sub=num_sub, dim=dim
+            ).collect()
+        )
+
+    c0, b0, i0 = built
+    assert run(loaded[0], loaded[1], loaded[2]) == run(c0, b0, i0)
+    # the on-disk index is cell-partitioned (probe = pruned scan)
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(p, "index"))
+    )
