@@ -136,6 +136,21 @@ _FRONT: tuple[str, ...] = (
 #   * ivf_pq / bpe_train are float-iteration / loop-collect ops —
 #     rows-only or pytest-only by nature, do NOT oracle-gate.
 #
+# r7 NEW-QUERY candidates (operators landed + pytest-pinned in r6,
+# oracle-renderable, waiting for _PENDING capacity after the r7
+# promotion):
+#   * term_cooccurrence_lift (operators/cooccur.py) — oracle: distinct
+#     (doc,term) CTE -> df counts -> self-join -> the same integer
+#     ppm DIV arithmetic (sketch in docstring);
+#   * bigram_lm_score (operators/cooccur.py) — oracle: bigram CTE via
+#     list_zip over string_split_regex, counts, left join, ppm floor
+#     then sum (order-insensitive by construction);
+#   * hilbert clustering (operators/zorder.py) — oracle: DuckDB
+#     recursive CTE replaying the 8-level rotation recurrence;
+#   * incremental_dedup / compaction / bucketed / binary_media /
+#     write_zordered are stateful or file-layout operators — pytest
+#     coverage by nature, do NOT oracle-gate.
+#
 # _PENDING: oracle-gated queries added AFTER the r6 window froze (the
 # 50-name _FRONT above is the frozen window). Names here MUST move to
 # _FRONT in r7 (group 1 of the plan above). Cap 12 (test-enforced).
