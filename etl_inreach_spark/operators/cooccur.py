@@ -56,6 +56,14 @@ def term_cooccurrence_lift(
     DuckDB oracle sketch: distinct (doc,term) CTE -> df counts ->
     self-join a.term < b.term -> HAVING pair count >= min_pair_df ->
     the same integer `//` arithmetic.
+
+    ANSI-overflow precondition (same documentation discipline as
+    sampling.py's id-range note): the bigint numerator requires
+    ``ppm * n_docs * df_ab < 2^63``, i.e. ``n_docs * df_ab <
+    ~9.2e12`` — ample for per-source/per-shard statistics, but a
+    whole 1e10-doc corpus needs the DECIMAL(38,0) hop for the
+    multiply (values unchanged; both engines carry exact integers in
+    decimal).
     """
     dt = (
         docs.select(F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("term"))

@@ -119,6 +119,12 @@ def incremental_dedup(
                 (F.col("n.band_id") == F.col("h.band_id"))
                 & (F.col("n.band_hash") == F.col("h.band_hash")),
             )
+            # a doc is never a duplicate of ITSELF: on a replayed /
+            # re-ingested batch each doc collides with its own stored
+            # signature, and without this filter the replay would flip
+            # its label from keep to dup-of-self (label idempotence is
+            # part of the replay contract, pinned in tests)
+            .filter(F.col("n.doc_id") != F.col("h.doc_id"))
             .filter(_sig_agreement(F.col("n.sig"), F.col("h.sig")) >= threshold)
             .groupBy(F.col("n.doc_id").alias("doc_id"))
             .agg(F.min(F.col("h.doc_id")).alias("dup_of"))

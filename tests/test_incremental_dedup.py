@@ -72,11 +72,11 @@ def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
         for r in incremental_dedup(spark, b1, state, "b1").collect()
     }
     assert spark.read.parquet(state).count() == n1
-    # replay labels doc 1/2 as dups OF THEMSELVES in history? No —
-    # they match their own stored signatures; first-wins keeps the
-    # historical copy, which IS them. The labels mark them non-kept
-    # against history with dup_of = their own id.
-    assert l2 == {1: False, 2: False}
+    # label idempotence: each doc collides with its OWN stored
+    # signature on replay, which must not flip its label to
+    # dup-of-self — the self-match filter keeps replay labels equal
+    # to the first run's
+    assert l2 == {1: True, 2: True}
 
 
 def test_incremental_signatures_match_one_shot_operator(spark, tmp_path):
