@@ -298,3 +298,58 @@ def test_connected_components_star_shared_leaf_regression(spark):
         nodes = {x for e in edges for x in e}
         lo = min(nodes)
         assert got == {x: lo for x in nodes}, (edges, got)
+
+
+# --- layout primitives (operators/zorder.py) --------------------------
+
+zpoints = st.lists(
+    st.tuples(st.integers(-(10**9), 10**9), st.integers(-(10**9), 10**9)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=zpoints)
+def test_zvalue_pipeline_matches_python_replica(spark, data):
+    """End-to-end (minmax_bucket -> zvalue) parity with exact Python
+    integer/float math on arbitrary signed inputs, including
+    single-value domains (span 1) and extreme spans."""
+    from etl_inreach_spark.operators.zorder import minmax_bucket, zvalue
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(data)], "i long, a long, b long"
+    )
+    los = {c: min(v[j] for v in data) for j, c in enumerate("ab")}
+    his = {c: max(v[j] for v in data) for j, c in enumerate("ab")}
+    bits = 16
+    out = df.select(
+        "i",
+        zvalue(
+            [
+                minmax_bucket(F.col(c), F.lit(los[c]), F.lit(his[c]), bits)
+                for c in "ab"
+            ],
+            bits,
+        ).alias("z"),
+    ).collect()
+
+    def bucket(x, lo, hi):
+        import math
+
+        return math.floor((x - lo) * (1 << bits) / (hi - lo + 1))
+
+    def zval(ba, bb):
+        return sum(((ba >> i) & 1) << (2 * i) for i in range(bits)) + sum(
+            ((bb >> i) & 1) << (2 * i + 1) for i in range(bits)
+        )
+
+    expect = {
+        i: zval(
+            bucket(a, los["a"], his["a"]), bucket(b, los["b"], his["b"])
+        )
+        for i, (a, b) in enumerate(data)
+    }
+    assert {r["i"]: r["z"] for r in out} == expect
+    # buckets stay in range => codes stay in [0, 2^(2*bits))
+    assert all(0 <= r["z"] < 1 << (2 * bits) for r in out)
