@@ -149,7 +149,16 @@ _FRONT: tuple[str, ...] = (
 #     recursive CTE replaying the 8-level rotation recurrence;
 #   * incremental_dedup / compaction / bucketed / binary_media /
 #     write_zordered are stateful or file-layout operators — pytest
-#     coverage by nature, do NOT oracle-gate.
+#     coverage by nature, do NOT oracle-gate;
+#   * kmeans_cluster_sizes (operators/clustering.py) — ORACLE-ABLE
+#     despite being iterative, because every compared/accumulated
+#     quantity is int64: fix iters=3 (no convergence gate) and unroll
+#     3 CTE rounds in DuckDB — quantize via floor(x*2^20 + 0.5),
+#     init = the k min-portable-hash rows, assignment = arg_min over
+#     the centroid relation of |c|^2 - 2*list_sum(list_transform(
+#     list_zip(q, c), ...)), update = integer sums + the
+#     (2s + n) // (2n) grid rounding; output (cluster, size,
+#     centroid_checksum) is atomic and order-free.
 #
 # _PENDING: oracle-gated queries added AFTER the r6 window froze (the
 # 50-name _FRONT above is the frozen window). Names here MUST move to

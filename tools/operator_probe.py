@@ -245,6 +245,23 @@ def main() -> int:
             "increment500_sec": t_inc,
         }
 
+    # Round-6: deterministic integer-grid k-means — fit cost is
+    # max_iter corpus scans with k*d-row shuffles; the claim under
+    # test is near-linear fit wall-clock in corpus size and a
+    # shuffle-free assignment pass.
+    from etl_inreach_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    t_fit, model = timed(lambda: kmeans_fit(emb, k=16, max_iter=25))
+    t_asg, n_asg = timed(lambda: kmeans_assign(emb, model).count())
+    results["kmeans"] = {
+        "n_vectors": n_vec,
+        "fit_sec": t_fit,
+        "n_iter": model.n_iter,
+        "converged": model.converged,
+        "assign_sec": t_asg,
+        "assigned": n_asg,
+    }
+
     print(json.dumps({"sf_dir": sf_dir, "operators": results}, separators=(",", ":")))
     return 0
 
