@@ -28,14 +28,25 @@ standard trick from integer DSP):
   * ties in the argmin break to the LOWEST cluster index (first
     occurrence), also exactly.
 
-Spark shapes (assignment is SHUFFLE-FREE — no join, no UDF):
+Spark shapes (assignment is SHUFFLE-FREE — no join, no groupBy):
 
-  * the k quantized centroids are inlined into the plan as a literal
-    array<array<bigint>> (k*d ints — ~1k literals for k=16, d=64; far
-    below any plan-size concern). Each row computes its k scores with
-    ``transform`` + ``zip_with`` + ``aggregate`` (bigint fold) and
-    takes ``array_position(scores, array_min(scores))`` — whole-stage
-    codegen, zero Python, zero shuffle.
+  * two interchangeable per-row assignment paths, pinned identical by
+    tests. DEFAULT (``use_arrow=True``): an Arrow-batched
+    ``pandas_udf`` whose body is one int64 numpy matmul per batch
+    (``scores = |C|^2 - 2 Q C^T``, argmin axis=1 — np.argmin takes
+    the first occurrence, matching the tie-break). int64 numpy
+    arithmetic is exact under the documented overflow bounds and
+    per-row, so Arrow batch boundaries cannot change a result — the
+    determinism claim survives. ALTERNATIVE (``use_arrow=False``): a
+    pure-JVM expression — the k quantized centroids enter the plan as
+    ONE ``from_json`` string literal (NOT k*d unrolled ``lit`` nodes:
+    measured 0.43 s vs 2.4 s of Catalyst analysis per fresh plan at
+    k=16,d=64; the optimizer constant-folds the parse), each row then
+    folds ``zip_with`` + ``aggregate`` per centroid. Zero Python,
+    zero shuffle — but Spark evaluates higher-order-function lambdas
+    INTERPRETED, ~2.5 us per element-op single-threaded (measured),
+    ~1000x slower than the vectorized matmul. Use it where a
+    no-Python-workers constraint outranks throughput.
   * one Lloyd iteration = one job: scan the (localCheckpointed once)
     quantized relation → per-row argmin map → ``posexplode`` →
     partial-aggregated ``groupBy(cluster, dim)`` whose shuffle volume
@@ -74,6 +85,7 @@ stand-in).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -129,15 +141,14 @@ def quantize_vectors(
 
 
 def _lit_centroids(qcentroids: tuple[tuple[int, ...], ...]) -> Column:
-    """The k quantized centroids as a literal array<array<bigint>> —
-    inlined constants, so assignment needs no join and no broadcast
-    variable plumbing."""
-    return F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("bigint") for v in row])
-            for row in qcentroids
-        ]
-    )
+    """The k quantized centroids as ONE from_json string literal (the
+    optimizer constant-folds the parse to a nested-array literal).
+    One plan node instead of k*d unrolled ``lit``s: Catalyst analysis
+    of a fresh plan drops 2.4 s -> 0.43 s at k=16, d=64 — decisive
+    when every Lloyd iteration builds a new plan. No join, no
+    broadcast-variable plumbing."""
+    payload = json.dumps([[int(v) for v in row] for row in qcentroids])
+    return F.from_json(F.lit(payload), "array<array<bigint>>")
 
 
 def _assign_expr(qvec: Column, qcentroids: tuple[tuple[int, ...], ...]) -> Column:
@@ -147,7 +158,7 @@ def _assign_expr(qvec: Column, qcentroids: tuple[tuple[int, ...], ...]) -> Colum
     csq = [sum(int(v) * int(v) for v in row) for row in qcentroids]
     scores = F.zip_with(
         _lit_centroids(qcentroids),
-        F.array(*[F.lit(int(s)).cast("bigint") for s in csq]),
+        F.from_json(F.lit(json.dumps(csq)), "array<bigint>"),
         lambda cvec, sq: sq
         - F.lit(2).cast("bigint")
         * F.aggregate(
@@ -157,6 +168,36 @@ def _assign_expr(qvec: Column, qcentroids: tuple[tuple[int, ...], ...]) -> Colum
         ),
     )
     return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+
+
+def _assign_arrow(
+    qvec: Column, qcentroids: tuple[tuple[int, ...], ...]
+) -> Column:
+    """Vectorized assignment: an Arrow-batched pandas_udf computing
+    the identical integer argmin as ``_assign_expr`` via one int64
+    numpy matmul per batch (np.argmin axis=1 = first-occurrence
+    tie-break). Exact under the module's overflow bounds; per-row, so
+    Arrow batch boundaries cannot change a result. ~1000x the
+    throughput of the interpreted-HOF expression path (measured
+    ~2.5 us/element-op there vs ns-scale vectorized here)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    cents = np.asarray([list(row) for row in qcentroids], dtype=np.int64)
+    csq = (cents * cents).sum(axis=1, dtype=np.int64)
+
+    # explicit SCALAR: signature inference is unreliable under
+    # `from __future__ import annotations` (stringized hints)
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def _argmin(batch):
+        if batch.empty:
+            return pd.Series([], dtype="int32")
+        q = np.vstack(batch.to_numpy()).astype(np.int64, copy=False)
+        scores = csq[None, :] - 2 * (q @ cents.T)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return _argmin(qvec)
 
 
 def _round_div_half_up(s: int, n: int) -> int:
@@ -191,10 +232,14 @@ def kmeans_fit(
     vec_col: str = "embedding",
     scale_bits: int = 20,
     max_iter: int = 25,
+    use_arrow: bool = True,
 ) -> KMeansModel:
     """Train the deterministic integer-grid k-means model. One job per
     Lloyd iteration; the quantized relation is localCheckpointed once
-    so upstream ETL runs exactly once regardless of max_iter."""
+    so upstream ETL runs exactly once regardless of max_iter. The two
+    assignment paths (``use_arrow``, see module header) train the
+    bit-identical model — pinned by tests."""
+    assign = _assign_arrow if use_arrow else _assign_expr
     qdf = df.select(
         F.col(id_col), quantize_vectors(df, vec_col, scale_bits).alias("_qvec")
     ).localCheckpoint(eager=True)
@@ -206,7 +251,7 @@ def kmeans_fit(
         n_iter += 1
         stats = (
             qdf.select(
-                _assign_expr(F.col("_qvec"), cents).alias("_c"),
+                assign(F.col("_qvec"), cents).alias("_c"),
                 F.posexplode("_qvec").alias("_dim", "_x"),
             )
             .groupBy("_c", "_dim")
@@ -247,12 +292,15 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id_col, cluster): shuffle-free nearest-centroid assignment
-    under the model — the same literal-centroid integer argmin the
-    trainer used, so fit-time and serve-time assignments can never
-    disagree."""
+    under the model — the same integer argmin the trainer used, so
+    fit-time and serve-time assignments can never disagree.
+    ``use_arrow`` picks the vectorized default or the pure-JVM
+    expression path (module header); both produce identical values."""
     qvec = quantize_vectors(df, vec_col, model.scale_bits)
+    assign = _assign_arrow if use_arrow else _assign_expr
     return df.select(
-        F.col(id_col), _assign_expr(qvec, model.qcentroids).alias(cluster_col)
+        F.col(id_col), assign(qvec, model.qcentroids).alias(cluster_col)
     )
