@@ -117,13 +117,16 @@ _FRONT: tuple[str, ...] = (
     "udtf_token_runs",
 )
 # ROUND-7 ROTATION PLAN (write this into _FRONT at r7 start):
-#   1. all _PENDING names below — never driver-verified;
+#   1a. all _PENDING names below — never driver-verified;
+#   1b. the r6 LATE ADDITIONS at the _TAIL end (term_lift_pairs,
+#       bigram_lm_quality, ...) — also never driver-verified;
 #   2. the _TAIL head block (31 names, pseudonymize_customers ..
 #      broadcast_config_join) — r4-greens out r5+r6, AT the
 #      staleness bound, MUST be verified in r7;
-#   3. fill the remaining slots from the r5-window block head
+#   3. fill any remaining slots from the r5-window block head
 #      (asof_next_purchase_after_click ..), out r6 only.
-#   |_PENDING| + 31 mandatory; window is 50.
+#   |_PENDING| (12) + |late| + 31 mandatory; window is 50, so the
+#   late-addition block must stay <= 7 names.
 #
 # r6 NEW-QUERY candidates (operators landed + pytest-pinned in r5,
 # oracle-renderable, waiting for _PENDING capacity):
@@ -139,26 +142,18 @@ _FRONT: tuple[str, ...] = (
 # r7 NEW-QUERY candidates (operators landed + pytest-pinned in r6,
 # oracle-renderable, waiting for _PENDING capacity after the r7
 # promotion):
-#   * term_cooccurrence_lift (operators/cooccur.py) — oracle: distinct
-#     (doc,term) CTE -> df counts -> self-join -> the same integer
-#     ppm DIV arithmetic (sketch in docstring);
-#   * bigram_lm_score (operators/cooccur.py) — oracle: bigram CTE via
-#     list_zip over string_split_regex, counts, left join, ppm floor
-#     then sum (order-insensitive by construction);
+#   * term_cooccurrence_lift / bigram_lm_score — DONE late-r6: now
+#     registered as term_lift_pairs / bigram_lm_quality (tail-end
+#     late-addition block; see the rotation plan);
 #   * hilbert clustering (operators/zorder.py) — oracle: DuckDB
 #     recursive CTE replaying the 8-level rotation recurrence;
 #   * incremental_dedup / compaction / bucketed / binary_media /
 #     write_zordered are stateful or file-layout operators — pytest
 #     coverage by nature, do NOT oracle-gate;
-#   * kmeans_cluster_sizes (operators/clustering.py) — ORACLE-ABLE
-#     despite being iterative, because every compared/accumulated
-#     quantity is int64: fix iters=3 (no convergence gate) and unroll
-#     3 CTE rounds in DuckDB — quantize via floor(x*2^20 + 0.5),
-#     init = the k min-portable-hash rows, assignment = arg_min over
-#     the centroid relation of |c|^2 - 2*list_sum(list_transform(
-#     list_zip(q, c), ...)), update = integer sums + the
-#     (2s + n) // (2n) grid rounding; output (cluster, size,
-#     centroid_checksum) is atomic and order-free.
+#   * kmeans_cluster_sizes — DONE late-r6: registered in the tail-end
+#     late-addition block with the 3-round unrolled DuckDB oracle
+#     (exact floor-division form — DuckDB // truncates, Python //
+#     floors).
 #
 # _PENDING: oracle-gated queries added AFTER the r6 window froze (the
 # 50-name _FRONT above is the frozen window). Names here MUST move to
@@ -276,6 +271,16 @@ _TAIL: tuple[str, ...] = (
     "mode_ship_month",
     "order_value_percentiles",
     "ann_ivf_topk",
+    # --- r6 LATE ADDITIONS (never driver-verified) ---------------------
+    # Registered after the r6 window froze AND after _PENDING hit its
+    # 12-name cap, so they park at the tail END — outside the driver
+    # window, displacing no verified name. Local verdicts: PASS at
+    # sf0.001/0.01/0.1 this round and green rows in ORACLE_FULL_r6.json
+    # (regenerated after they landed). They are group 1b of the ROUND-7
+    # ROTATION PLAN above and MUST enter _FRONT in r7.
+    "term_lift_pairs",
+    "bigram_lm_quality",
+    "kmeans_cluster_sizes",
 )
 
 

@@ -1499,3 +1499,211 @@ def zorder_locality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = zorder_repartition(o, ["o_custkey", "o_secs"], bits=16)
     return z.select("o_orderkey", F.col("_zvalue").alias("zkey"))
+
+
+@query(
+    "term_lift_pairs",
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x != '')) AS term
+            FROM documents)
+    ), dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM dt GROUP BY term HAVING COUNT(*) >= 2
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+    ), kept AS (
+        SELECT dt.doc_id, dt.term, dfreq.df FROM dt JOIN dfreq USING (term)
+    ), pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               a.df AS df_a, b.df AS df_b,
+               CAST(COUNT(*) AS BIGINT) AS df_ab
+        FROM kept a JOIN kept b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*) >= 2
+    )
+    SELECT term_a, term_b, df_a, df_b, df_ab, n_docs,
+           (1000000 * n_docs * df_ab) // (df_a * df_b) AS lift_ppm
+    FROM pairs CROSS JOIN n
+    """,
+)
+def term_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level co-occurrence lift for every
+    frequent term pair (lift > 1 <=> positive PMI), in exact ppm
+    integers — no libm log ever touches the value gate (the lift is
+    monotone in PMI, so thresholds/rankings are unchanged). The
+    operator (operators/cooccur.py) applies the a-priori cut: terms
+    are df-filtered BEFORE the per-doc pair self-join, so the
+    quadratic blowup is bounded by frequent-terms-per-doc, and the
+    pair join is a doc_id equi-join (co-partitioned shuffle), never a
+    cross join. At 100 TB the post-min_df vocabulary broadcast-prunes
+    the (doc, term) relation; all division is integer DIV (both
+    engines truncate — every operand here is positive)."""
+    tune(spark)
+    from etl_inreach_spark.operators.cooccur import term_cooccurrence_lift
+
+    d = load_table(spark, sf_dir, "documents")
+    return term_cooccurrence_lift(d, min_df=2, min_pair_df=2)
+
+
+@query(
+    "bigram_lm_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+        FROM documents
+    ), bigs AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ), cnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+        FROM bigs GROUP BY w1, w2
+    ), pre AS (
+        SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_pre FROM cnt GROUP BY w1
+    ), model AS (
+        SELECT w1, w2, c_big, c_pre FROM cnt JOIN pre USING (w1)
+    ), scored AS (
+        SELECT b.doc_id, (1000000 * m.c_big) // m.c_pre AS p_ppm
+        FROM bigs b LEFT JOIN model m USING (w1, w2)
+    ), agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(p_ppm) AS BIGINT) AS score_ppm_sum
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.score_ppm_sum, 0) AS score_ppm_sum,
+           CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                THEN a.score_ppm_sum // a.n_bigrams
+                ELSE 0 END AS mean_prob_ppm
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style 'does this text look like the corpus' LM filter
+    with the probability kept RATIONAL: train a bigram MLE model on
+    the corpus itself (two groupBys), score every document as the
+    ppm-floored sum/mean of per-bigram p(w2|w1). Floor-then-sum makes
+    each addend an exact bigint, so the aggregate is order-insensitive
+    — identical on any partitioning and in the DuckDB replay. Bigram
+    extraction is a narrow in-row zip (no shuffle, no UDF); scoring is
+    one equi-join against the model relation, which shards by term
+    pair at web scale. Every division is integer DIV on positive
+    operands, so Spark's truncation and DuckDB's agree."""
+    tune(spark)
+    from etl_inreach_spark.operators.cooccur import bigram_lm_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(d)
+
+
+def _km_round_sql(prev: str, r: str) -> str:
+    """One unrolled integer Lloyd round as DuckDB CTEs: assignment
+    under the centroid relation ``prev`` (argmin of |c|^2 - 2<q,c>,
+    ties to the lowest cluster), int sums per (cluster, dim), and the
+    exact floor((2s+n)/(2n)) grid re-entry — the remainder-subtraction
+    form, because DuckDB ``//`` truncates toward zero on negatives
+    while the trainer's Python ``//`` floors. Empty clusters keep the
+    previous centroid via the LEFT JOIN."""
+    return f"""
+    scores{r} AS (
+        SELECT v.vec_id, v.qv, c.cluster,
+               list_sum(list_transform(c.cv, y -> y * y))
+               - 2 * list_sum(list_transform(range(1, 1 + len(v.qv)),
+                                             i -> v.qv[i] * c.cv[i])) AS score
+        FROM q v, {prev} c
+    ), asg{r} AS (
+        SELECT vec_id, qv, cluster FROM (
+            SELECT vec_id, qv, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cluster) AS rn
+            FROM scores{r}) WHERE rn = 1
+    ), upd{r} AS (
+        SELECT cluster, i AS dim,
+               CAST(SUM(qv[i]) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM asg{r}, UNNEST(range(1, 1 + len(qv))) AS u(i)
+        GROUP BY cluster, i
+    ), cents{r} AS (
+        SELECT p.cluster, COALESCE(nc.cv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN (
+            SELECT cluster, list(comp ORDER BY dim) AS cv FROM (
+                SELECT cluster, dim,
+                       CAST(((2*s + n) - ((((2*s + n) % (2*n)) + (2*n)) % (2*n)))
+                            // (2*n) AS BIGINT) AS comp
+                FROM upd{r}) GROUP BY cluster) nc USING (cluster)
+    )"""
+
+
+@query(
+    "kmeans_cluster_sizes",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ), init AS (
+        SELECT rn - 1 AS cluster, qv AS cv FROM (
+            SELECT vec_id, qv,
+                   row_number() OVER (
+                       ORDER BY (1103515245 * vec_id + 12345) % 2147483647,
+                                vec_id) AS rn
+            FROM q) WHERE rn <= 8
+    ), {_km_round_sql('init', '1')}, {_km_round_sql('cents1', '2')},
+       {_km_round_sql('cents2', '3')}, {_km_round_sql('cents3', '4')},
+    counts AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size
+        FROM asg4 GROUP BY cluster
+    )
+    SELECT CAST(c.cluster AS BIGINT) AS cluster,
+           COALESCE(ct.size, 0) AS size,
+           CAST(list_sum(list_transform(range(1, 1 + len(c.cv)),
+                                        j -> j * c.cv[j])) AS BIGINT)
+               AS centroid_checksum
+    FROM cents3 c LEFT JOIN counts ct USING (cluster)
+    """,
+)
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means, value-gated DESPITE being
+    iterative: because every compared/accumulated quantity in
+    operators/clustering.py is a 64-bit integer, a DuckDB replay of 3
+    unrolled Lloyd rounds lands on the bit-identical model — the
+    oracle proof that 'deterministic' is literal, not approximate (the
+    float trainers pq_train/train_ivf_centroids could never pass this
+    gate: their means depend on float-summation order). Fixed
+    iters=3 (no convergence early-exit divergence: the integer grid
+    is a fixed point once converged, so extra oracle rounds are
+    no-ops), k=8 on the embeddings table. Output: per cluster, the
+    member count under the FINAL centroids (a fourth assignment pass
+    — the serving semantics) and a position-weighted centroid
+    checksum. Spark side: max_iter bounded jobs, each one corpus scan
+    with a k*d-row partial-agg shuffle; assignment is the vectorized
+    Arrow int64 matmul; the k-row model relation joins broadcast."""
+    tune(spark)
+    from etl_inreach_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=8, max_iter=3)
+    counts = kmeans_assign(emb, model).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    cents = spark.createDataFrame(
+        [
+            (c, sum((j + 1) * int(v) for j, v in enumerate(row)))
+            for c, row in enumerate(model.qcentroids)
+        ],
+        "cluster int, centroid_checksum long",
+    )
+    return cents.join(F.broadcast(counts), "cluster", "left").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.coalesce(F.col("size"), F.lit(0)).cast("bigint").alias("size"),
+        F.col("centroid_checksum").cast("bigint").alias("centroid_checksum"),
+    )
