@@ -268,6 +268,41 @@ def hilbert_lookup(spark, bits: int = 8) -> DataFrame:
     return spark.createDataFrame(rows, "_hx bigint, _hy bigint, _hvalue bigint")
 
 
+def with_hilbert(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    h_col: str = "_hvalue",
+) -> DataFrame:
+    """Append the 2-D Hilbert code of ``cols`` as ``h_col``: one 1-row
+    bounds aggregate (broadcast), min-max bucketize both columns to
+    the 2^bits grid, then broadcast-hash-join the driver-built
+    (bx, by) -> code lookup — no UDF, no shuffle of ``df`` itself.
+    The layout key write_hilbert partitions by, exposed for querying
+    and oracle replay (a DuckDB recursive CTE runs the same 8-level
+    rotation recurrence per row; pinned exactly equal to the lookup
+    for the whole 256x256 grid)."""
+    if len(cols) != 2:
+        raise ValueError("with_hilbert is 2-D")
+    spark = df.sparkSession
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    )
+    b = df.crossJoin(F.broadcast(bounds))
+    bx, by = (
+        minmax_bucket(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
+        for c in cols
+    )
+    lut = hilbert_lookup(spark, bits).withColumnRenamed("_hvalue", h_col)
+    return (
+        b.withColumn("_hx", bx)
+        .withColumn("_hy", by)
+        .join(F.broadcast(lut), ["_hx", "_hy"])
+        .drop("_hx", "_hy", *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+    )
+
+
 def write_hilbert(
     df: DataFrame,
     path: str,
@@ -286,22 +321,8 @@ def write_hilbert(
     grid-snapped Morton 0.22/0.23 with unbounded size skew."""
     if len(cols) != 2:
         raise ValueError("write_hilbert is 2-D; use write_zordered for other arities")
-    spark = df.sparkSession
-    bounds = df.agg(
-        *[F.min(c).alias(f"_lo_{c}") for c in cols],
-        *[F.max(c).alias(f"_hi_{c}") for c in cols],
-    )
-    b = df.crossJoin(F.broadcast(bounds))
-    bx, by = (
-        minmax_bucket(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
-        for c in cols
-    )
-    lut = hilbert_lookup(spark, bits)
     (
-        b.withColumn("_hx", bx)
-        .withColumn("_hy", by)
-        .join(F.broadcast(lut), ["_hx", "_hy"])
-        .drop("_hx", "_hy", *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+        with_hilbert(df, cols, bits)
         .repartitionByRange(num_files, F.col("_hvalue"))
         .sortWithinPartitions("_hvalue")
         .drop("_hvalue")

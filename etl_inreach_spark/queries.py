@@ -145,8 +145,10 @@ _FRONT: tuple[str, ...] = (
 #   * term_cooccurrence_lift / bigram_lm_score — DONE late-r6: now
 #     registered as term_lift_pairs / bigram_lm_quality (tail-end
 #     late-addition block; see the rotation plan);
-#   * hilbert clustering (operators/zorder.py) — oracle: DuckDB
-#     recursive CTE replaying the 8-level rotation recurrence;
+#   * hilbert clustering — DONE late-r6: registered as
+#     hilbert_key_orders (tail-end late-addition block) with the
+#     recursive-CTE rotation-recurrence oracle, pinned equal to the
+#     driver LUT over the full 256x256 grid;
 #   * incremental_dedup / compaction / bucketed / binary_media /
 #     write_zordered are stateful or file-layout operators — pytest
 #     coverage by nature, do NOT oracle-gate;
@@ -281,6 +283,7 @@ _TAIL: tuple[str, ...] = (
     "term_lift_pairs",
     "bigram_lm_quality",
     "kmeans_cluster_sizes",
+    "hilbert_key_orders",
 )
 
 
