@@ -284,6 +284,7 @@ _TAIL: tuple[str, ...] = (
     "bigram_lm_quality",
     "kmeans_cluster_sizes",
     "hilbert_key_orders",
+    "rrf_hybrid_retrieval",
 )
 
 

@@ -1776,3 +1776,154 @@ def hilbert_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_hilbert(o, ["o_custkey", "o_secs"], bits=8).select(
         "o_orderkey", F.col("_hvalue").alias("hkey")
     )
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term = 'spark' GROUP BY doc_id
+    ), dfreq AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS df FROM tf
+    ), lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY
+                   ((n_docs - df + 0.5) / (df + 0.5))
+                     * (CAST(tf AS DOUBLE) * 2.2)
+                     / (CAST(tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   DESC, doc_id ASC) AS BIGINT) AS rank_lex
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfreq
+    ), qd AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                             AS BIGINT)) AS qq
+        FROM embeddings WHERE vec_id = 0
+    ), sem AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY dot DESC, vec_id ASC)
+                    AS BIGINT) AS rank_sem
+        FROM (
+            SELECT vec_id,
+                   list_sum(list_transform(range(1, 1 + len(qv)),
+                                           i -> qv[i] * qq[i])) AS dot
+            FROM (SELECT vec_id,
+                         list_transform(embedding,
+                             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0
+                                             + 0.5) AS BIGINT)) AS qv
+                  FROM embeddings), qd)
+    )
+    SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+           COALESCE(l.rank_lex, 0) AS rank_lex,
+           COALESCE(s.rank_sem, 0) AS rank_sem,
+           COALESCE(1000000 // (60 + l.rank_lex), 0)
+             + COALESCE(1000000 // (60 + s.rank_sem), 0) AS rrf_ppm
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+    ORDER BY rrf_ppm DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion, the RAG-serving primitive that merges
+    a lexical and a semantic candidate list: BM25('spark') ranks from
+    the documents table, exact integer inner-product ranks against the
+    query embedding (vec_id 0, both sides on the 2^20 grid), fused by
+    reciprocal-rank fusion (Cormack et al.) with the reciprocal
+    floored to ppm — the OUTPUT is therefore all-integer (ranks and
+    rrf_ppm), so the value gate never sees a float even though BM25
+    scores doubles internally (both engines compute them in the
+    identical IEEE op order, the bm25_term_search discipline, so the
+    RANKS agree exactly). Docs outside one modality keep the other's
+    contribution (FULL OUTER; missing rank floors that term to 0 via
+    COALESCE). Scale shape: term filter before the tf agg; 1-row
+    stats/df broadcast; the quantized query vector rides as one
+    from_json literal (no join); the global rank windows are the
+    candidate-list sizes (top-k-bounded in production serving), and
+    the fusion join is candidate-sized, never corpus-sized."""
+    tune(spark)
+    import json as _json
+    import math as _math
+
+    from etl_inreach_spark.functions.text import tokens
+    from etl_inreach_spark.operators.clustering import quantize_vectors
+    from etl_inreach_spark.operators.text_dedup import _materialize_enabled
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    if _materialize_enabled(True):
+        dl = dl.localCheckpoint(eager=True)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term") == "spark")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.agg(F.count(F.lit(1)).alias("df"))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    score = (
+        ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        * (tfd * F.lit(2.2))
+        / (tfd + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dld / F.col("avgdl"))))
+    )
+    lex = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(score.desc(), F.col("doc_id").asc()))
+            .cast("bigint")
+            .alias("rank_lex"),
+        )
+    )
+
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qq = [int(_math.floor(float(x) * 1048576.0 + 0.5)) for x in qvec]
+    qlit = F.from_json(F.lit(_json.dumps(qq)), "array<bigint>")
+    dot = F.aggregate(
+        F.zip_with(quantize_vectors(e, "embedding", 20), qlit, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sem = e.select(
+        "vec_id",
+        F.row_number()
+        .over(W.orderBy(dot.desc(), F.col("vec_id").asc()))
+        .cast("bigint")
+        .alias("rank_sem"),
+    )
+
+    rrf = F.coalesce(
+        F.expr("1000000L DIV (60 + rank_lex)"), F.lit(0).cast("bigint")
+    ) + F.coalesce(F.expr("1000000L DIV (60 + rank_sem)"), F.lit(0).cast("bigint"))
+    return (
+        lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+            F.coalesce(F.col("rank_lex"), F.lit(0).cast("bigint")).alias("rank_lex"),
+            F.coalesce(F.col("rank_sem"), F.lit(0).cast("bigint")).alias("rank_sem"),
+            rrf.alias("rrf_ppm"),
+        )
+        .orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
