@@ -285,6 +285,14 @@ _TAIL: tuple[str, ...] = (
     "kmeans_cluster_sizes",
     "hilbert_key_orders",
     "rrf_hybrid_retrieval",
+    # second late-addition batch (same policy — outside the frozen
+    # window, local PASS at sf0.001/0.01/0.1, group 1b of the r7 plan):
+    # substring-level span dedup, Spark-4 SQL-surface pins (recursive
+    # CTE / lateral), and the window-rendered skyline
+    "dup_span_maximal",
+    "recursive_nation_chain",
+    "lateral_top2_customers",
+    "pareto_frontier_orders",
 )
 
 

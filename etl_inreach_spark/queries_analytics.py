@@ -1832,3 +1832,65 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM u o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM u d
+        WHERE d.o_orderdate >= o.o_orderdate
+          AND d.o_totalprice >= o.o_totalprice
+          AND (d.o_orderdate > o.o_orderdate
+               OR d.o_totalprice > o.o_totalprice)
+    )
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over urgent orders on the two maximize
+    dimensions (o_orderdate, o_totalprice): an order survives iff no
+    other urgent order is at least as late AND at least as expensive
+    with one strict. The textbook rendering is the O(n^2) dominance
+    anti-join the ORACLE runs (DuckDB's IEJoin keeps it feasible at
+    oracle scale); the Spark side is the linear two-window form —
+    (1) per-date partition keeps only rows tying the date's max price
+    (same-date dominance), then (2) one ordered pass marks a survivor
+    iff the running max price over STRICTLY-LATER dates is below its
+    own (RANGE frame on negated epoch seconds, bound -1 = any later
+    date, so date ties never dominate each other and duplicate
+    (date, price) pairs all survive — matching NOT EXISTS semantics
+    exactly). Stage 2's window is single-partition but runs on the
+    per-date maxima only (|distinct dates| rows, ~2.4k for 7 years of
+    days — bounded by the calendar, not the table); at 100 TB stage 1
+    has already collapsed the data 5 orders of magnitude, which is
+    what makes the global frame safe. Prices/dates pass through raw
+    (no arithmetic), so doubles are bit-identical parquet values."""
+    tune(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    per_date = Window.partitionBy("o_orderdate")
+    cand = o.withColumn(
+        "_mx", F.max("o_totalprice").over(per_date)
+    ).where(F.col("o_totalprice") == F.col("_mx"))
+    later = (
+        Window.orderBy(F.col("_negu"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        cand.withColumn("_negu", -F.unix_timestamp("o_orderdate"))
+        .withColumn("_later_mx", F.max("o_totalprice").over(later))
+        .where(
+            F.col("_later_mx").isNull()
+            | (F.col("_later_mx") < F.col("o_totalprice"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )

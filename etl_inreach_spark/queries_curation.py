@@ -720,3 +720,56 @@ def negative_sample_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sample(
         d.select("doc_id", "source"), "doc_id", 4, group_cols=["source"]
     )
+
+
+_SPAN_K = 8  # tokens per duplicated window (Lee et al. use 50 BPE tokens)
+
+
+@query(
+    "dup_span_maximal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(list_slice(t, i, i + {_SPAN_K} - 1), ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
+        WHERE len(t) >= {_SPAN_K}
+    ), dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS n
+            FROM grams
+        ) WHERE n >= 2
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                         OR pos - LAG(pos) OVER w > {_SPAN_K}
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {_SPAN_K} - MIN(pos) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at k-token granularity: maximal contiguous
+    regions of each document whose every 8-token window occurs at
+    least twice in the corpus — the span-removal pass a training-data
+    pipeline runs AFTER document-level dedup (near-dup docs share long
+    spans; boilerplate shares short ones). The DuckDB oracle replays
+    the identical tokenize -> window-count -> gaps-and-islands
+    pipeline, so values (token indices) match exactly; see
+    operators/text_dedup.py:duplicated_spans for the plan shape and
+    the xxhash64 shuffle-key swap at 100 TB."""
+    tune(spark)
+    from etl_inreach_spark.operators.text_dedup import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", k=_SPAN_K, min_count=2)

@@ -1129,3 +1129,83 @@ def interval_overlap_order_windows(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("sum_overlap_days"),
         )
     )
+
+
+# Shared SQL text for the recursive nation-chain walk: Spark 4's
+# WITH RECURSIVE and DuckDB's accept the identical statement, so the
+# oracle IS the query — the strongest possible parity pin for the
+# iterative-plan surface (Spark executes it as a driver-coordinated
+# UnionLoop; each step is a distributed hash join).
+_NATION_CHAIN_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT n_regionkey, n_nationkey AS src,
+               LEAD(n_nationkey) OVER (
+                   PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        FROM nation
+    ), chain AS (
+        SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+               CAST(MIN(src) AS BIGINT) AS nation_key,
+               CAST(0 AS BIGINT) AS depth
+        FROM edges GROUP BY n_regionkey
+        UNION ALL
+        SELECT c.region_key, CAST(e.dst AS BIGINT) AS nation_key,
+               c.depth + 1 AS depth
+        FROM chain c
+        JOIN edges e
+          ON e.n_regionkey = c.region_key AND e.src = c.nation_key
+        WHERE e.dst IS NOT NULL
+    )
+    SELECT region_key, nation_key, depth FROM chain
+"""
+
+
+@query("recursive_nation_chain", oracle=_NATION_CHAIN_SQL)
+def recursive_nation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 SQL surface — recursive CTE (new in Spark 4): walk each
+    region's nation chain (nations linked in n_nationkey order by a
+    window LEAD) from the region head, emitting (region, nation,
+    depth). Exercises the iterative UnionLoop plan: anchor = one hash
+    agg, each step = one equi-join of the frontier against the edge
+    relation, terminating when a step yields zero rows — the same
+    frontier-join shape as the label-propagation CC operator, but
+    expressed declaratively. The oracle is the IDENTICAL statement run
+    by DuckDB. Scale note: recursion depth is bounded by the longest
+    chain (data-dependent); for unbounded-depth graphs at 100 TB use
+    the log-diameter star-contraction operator instead
+    (operators/dedup.py) — linear chains are the recursive CTE's
+    worst case and the doc says so rather than hiding it."""
+    tune(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_NATION_CHAIN_SQL)
+
+
+_LATERAL_TOP2_SQL = """
+    SELECT n.n_name,
+           CAST(x.c_custkey AS BIGINT) AS c_custkey,
+           x.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2
+    ) x
+"""
+
+
+@query("lateral_top2_customers", oracle=_LATERAL_TOP2_SQL)
+def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 SQL surface — correlated LATERAL subquery with ORDER BY +
+    LIMIT (Spark 4 lateral join): the two highest-balance customers
+    per nation, written the way an analyst ports it from Postgres.
+    Catalyst decorrelates the lateral into a ranked window over a
+    hash join (no per-nation re-scan), i.e. the same physical plan as
+    the explicit row_number rendering in top3_orders_per_customer —
+    this query pins that the DECLARATIVE form is accepted and planned
+    without a nested loop. Oracle: the identical statement on DuckDB
+    (deterministic tie-break on c_custkey; c_acctbal emitted raw, no
+    arithmetic, so doubles are bit-identical parquet values)."""
+    tune(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOP2_SQL)

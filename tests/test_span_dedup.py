@@ -1,0 +1,104 @@
+"""Maximal duplicated-span extraction (substring-level dedup) and the
+Spark-4 SQL-surface pins (recursive CTE, lateral join) added alongside
+it."""
+
+from __future__ import annotations
+
+from etl_inreach_spark.operators.text_dedup import duplicated_spans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _spans(spark, rows, k=3, min_count=2):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = duplicated_spans(df, "doc_id", "text", k=k, min_count=min_count)
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out.collect()
+    )
+
+
+class TestDuplicatedSpans:
+    def test_cross_doc_shared_run_is_one_maximal_span(self, spark):
+        # docs 1 and 2 share tokens 'a b c d e' (5 tokens, k=3 -> three
+        # overlapping dup windows each, merged into ONE span of 5)
+        rows = [
+            (1, "a b c d e x y z"),
+            (2, "p q a b c d e"),
+            (3, "u v w u2 v2 w2"),
+        ]
+        got = _spans(spark, rows)
+        assert got == [(1, 0, 4, 5), (2, 2, 6, 5)]
+
+    def test_gap_wider_than_k_splits_spans(self, spark):
+        # two shared 3-gram regions separated by >k unique tokens in
+        # doc 1 -> two islands, not one
+        rows = [
+            (1, "a b c g1 g2 g3 g4 d e f"),
+            (2, "a b c"),
+            (3, "d e f"),
+        ]
+        got = _spans(spark, rows)
+        assert (1, 0, 2, 3) in got and (1, 7, 9, 3) in got
+        assert len([g for g in got if g[0] == 1]) == 2
+
+    def test_within_doc_repeat_counts_toward_min_count(self, spark):
+        # 'a b c' occurs twice inside ONE doc -> both occurrences are
+        # duplicated windows even with no other doc sharing them
+        rows = [(1, "a b c z1 z2 z3 z4 a b c")]
+        got = _spans(spark, rows)
+        assert got == [(1, 0, 2, 3), (1, 7, 9, 3)]
+
+    def test_short_docs_and_no_dups_yield_empty(self, spark):
+        rows = [(1, "a b"), (2, "c d e f"), (3, "g h i j")]
+        assert _spans(spark, rows) == []
+
+    def test_adjacent_windows_merge(self, spark):
+        # dup windows at pos 0 and pos 3 (gap == k) are touching
+        # coverage -> single island
+        rows = [
+            (1, "a b c d e f"),
+            (2, "a b c"),
+            (3, "d e f"),
+        ]
+        got = _spans(spark, rows)
+        assert got == [(1, 0, 5, 6), (2, 0, 2, 3), (3, 0, 2, 3)]
+
+
+class TestSqlSurface:
+    def test_recursive_nation_chain_depths(self, spark):
+        from etl_inreach_spark.queries_relational import recursive_nation_chain
+
+        out = recursive_nation_chain(spark, SF_DIR).collect()
+        # every nation appears exactly once, depth 0 == one per region
+        assert len(out) == 25
+        assert len({r.nation_key for r in out}) == 25
+        by_region = {}
+        for r in out:
+            by_region.setdefault(r.region_key, []).append(r.depth)
+        for depths in by_region.values():
+            assert sorted(depths) == list(range(len(depths)))
+
+    def test_lateral_top2_matches_window_rendering(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_inreach_spark.catalog import load_table
+        from etl_inreach_spark.queries_relational import lateral_top2_customers
+
+        got = sorted(
+            (r.n_name, r.c_custkey) for r in lateral_top2_customers(spark, SF_DIR).collect()
+        )
+        c = load_table(spark, SF_DIR, "customer")
+        n = load_table(spark, SF_DIR, "nation")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+        )
+        want = sorted(
+            (r.n_name, r.c_custkey)
+            for r in c.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 2)
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("n_name", "c_custkey")
+            .collect()
+        )
+        assert got == want
