@@ -293,6 +293,8 @@ _TAIL: tuple[str, ...] = (
     "recursive_nation_chain",
     "lateral_top2_customers",
     "pareto_frontier_orders",
+    "temperature_resample_sources",
+    "ngram_diversity_sources",
 )
 
 

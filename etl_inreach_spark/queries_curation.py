@@ -773,3 +773,134 @@ def dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return duplicated_spans(d, "doc_id", "text", k=_SPAN_K, min_count=2)
+
+
+@query(
+    "temperature_resample_sources",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), r AS (
+        SELECT source, n_docs,
+               sqrt(CAST(MIN(n_docs) OVER () AS DOUBLE) / n_docs) AS rate,
+               CAST(floor(sqrt(CAST(MIN(n_docs) OVER () AS DOUBLE) / n_docs)
+                          * 4294967296.0) AS BIGINT) AS keep_below
+        FROM c
+    )
+    SELECT d.source,
+           CAST(MIN(r.n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (d.doc_id * {_HASH_MULT}) % {_HASH_MOD}
+                              < r.keep_below
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(floor(MIN(r.rate) * 1000000.0) AS BIGINT) AS keep_rate_ppm
+    FROM documents d JOIN r ON r.source = d.source
+    GROUP BY d.source
+    """,
+)
+def temperature_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-corpus
+    alpha-sampling of XLM-R, alpha = 0.5): per-source keep rate
+    proportional to p_s^(alpha-1), normalized so the SMALLEST source
+    keeps everything — which collapses to rate_s = sqrt(min_n / n_s),
+    a closed form whose only float ops are one division and one sqrt
+    (both IEEE-754 correctly rounded, so Spark and DuckDB produce the
+    BIT-IDENTICAL double and the floor()ed integer keep threshold
+    cannot straddle an ULP). Per-doc keep decisions reuse the
+    registry's pure-integer Knuth hash — reproducible on any
+    partitioning, renderable 1:1 in the oracle. Plan: one partial-agg
+    groupBy for the counts, the 1-row-per-source rate relation
+    broadcast back onto the fact (no second shuffle of documents),
+    one final per-source agg. At 100 TB the rate relation is
+    |sources| rows — always broadcastable."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            F.min("n_docs").over(Window.partitionBy()).cast("double")
+            / F.col("n_docs")
+        ).alias("rate"),
+    ).select(
+        "source",
+        "n_docs",
+        "rate",
+        F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint").alias(
+            "keep_below"
+        ),
+    )
+    joined = d.join(F.broadcast(rates), "source")
+    return joined.groupBy("source").agg(
+        F.min("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(_sample_hash(F.col("doc_id")) < F.col("keep_below"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+        F.floor(F.min("rate") * F.lit(1000000.0)).cast("bigint").alias(
+            "keep_rate_ppm"
+        ),
+    )
+
+
+_DIV_N = 3  # n-gram order for the diversity profile
+
+
+@query(
+    "ngram_diversity_sources",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT source,
+               array_to_string(list_slice(t, i, i + {_DIV_N} - 1), ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t) - {_DIV_N} + 2)) AS u(i)
+        WHERE len(t) >= {_DIV_N}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+           (1000000 * COUNT(DISTINCT gram)) // COUNT(*) AS diversity_ppm
+    FROM grams GROUP BY source
+    """,
+)
+def ngram_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity profile (the distinct-n-gram ratio behind
+    Self-BLEU-style repetitiveness checks): per source, total vs
+    distinct whitespace 3-grams and their ratio in EXACT integer ppm
+    (1e6 * distinct // total — no doubles anywhere, so the oracle
+    match is trivial). A collapsing ratio flags template/boilerplate
+    sources before they reach training. Plan: gram explode feeding ONE
+    hash aggregate keyed (source, gram) then a per-source partial-agg
+    rollup — the same two-level distinct-count shape as
+    vocab_top_terms; at 100 TB swap the gram string for xxhash64 as
+    in dup_span_maximal (documented there)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    from etl_inreach_spark.functions.text import tokens
+
+    base = d.select("source", tokens(F.col("text")).alias("_t")).where(
+        F.size("_t") >= _DIV_N
+    )
+    grams = base.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - _DIV_N),
+                lambda i: F.array_join(
+                    F.slice("_t", i + F.lit(1), F.lit(_DIV_N)), " "
+                ),
+            )
+        ).alias("gram"),
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_grams"),
+        F.count_distinct("gram").cast("bigint").alias("distinct_grams"),
+        # `div` = exact integer division on both engines (DuckDB `//`);
+        # a double divide + cast would disagree one ULP from truncation
+        F.expr("(1000000L * count(DISTINCT gram)) div count(1)").alias(
+            "diversity_ppm"
+        ),
+    )

@@ -102,3 +102,28 @@ class TestSqlSurface:
             .collect()
         )
         assert got == want
+
+
+class TestCurationAdditions:
+    def test_temperature_rates_monotone_and_anchor(self, spark):
+        from etl_inreach_spark.queries_curation import temperature_resample_sources
+
+        rows = temperature_resample_sources(spark, SF_DIR).collect()
+        by_n = sorted(rows, key=lambda r: r.n_docs)
+        # smallest source keeps everything (rate 1.0 -> 1_000_000 ppm)
+        assert by_n[0].keep_rate_ppm == 1_000_000
+        # rates are non-increasing in source size, kept <= docs
+        for a, b in zip(by_n, by_n[1:]):
+            assert a.keep_rate_ppm >= b.keep_rate_ppm
+        for r in rows:
+            assert 0 <= r.n_kept <= r.n_docs
+
+    def test_ngram_diversity_bounds(self, spark):
+        from etl_inreach_spark.queries_curation import ngram_diversity_sources
+
+        rows = ngram_diversity_sources(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r.distinct_grams <= r.total_grams
+            assert 0 < r.diversity_ppm <= 1_000_000
+            assert r.diversity_ppm == 1_000_000 * r.distinct_grams // r.total_grams
