@@ -169,3 +169,65 @@ def walk_counts(edges: DataFrame, length: int, node_alias: str = "node") -> Data
             .agg(F.sum("walks").alias("walks"))
         )
     return w
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    node_alias: str = "node",
+    scale: int = 1 << 20,
+    d_num: int = 17,
+    d_den: int = 20,
+) -> DataFrame:
+    """Damped PageRank in EXACT integer arithmetic: ranks live on the
+    ``scale`` fixed-point grid, the damping factor is the rational
+    d_num/d_den (default 17/20 = 0.85), and every division is an
+    explicit floor — so the result is bit-identical on any
+    partitioning/schedule AND renderable verbatim in a DuckDB oracle
+    (`div` here == `//` there; all operands non-negative, so
+    truncation IS floor on both engines). A float PageRank is
+    deterministic only up to summation order — the same reason the
+    k-means trainer (operators/clustering.py) went integer.
+
+    Per iteration: r'(v) = (d_den-d_num)*scale // (d_den*N)
+                          + d_num * SUM_{u->v}(r(u) // deg(u)) // d_den
+    — one |E|-edge equi-join against the |V|-row rank vector plus a
+    partial-agg groupBy, both shuffles keyed on node id (the
+    walk_counts loop with the damping added). The symmetric edge list
+    is localCheckpointed once: every round references it, and the
+    upstream edge build (e.g. the co-purchase distinct self-join)
+    must not re-run per round. N rides as a broadcast 1-row aggregate
+    (no driver collect). ``edges`` must be distinct undirected pairs
+    with u < v; symmetrization gives every node degree >= 1, so the
+    floor division never sees zero and the contribution join drops
+    no node.
+    """
+    sym = symmetrize(
+        edges.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    ntot = deg.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    base = f"({d_den - d_num}L * {scale}L) div ({d_den}L * _n)"
+    state = deg.crossJoin(F.broadcast(ntot)).select(
+        "u", "_deg", "_n", F.expr(f"{scale}L div _n").alias("_rank")
+    )
+    for _ in range(iters):
+        contrib = state.select("u", F.expr("_rank div _deg").alias("_c"))
+        sums = (
+            sym.join(contrib, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum("_c").alias("_s"))
+        )
+        state = (
+            state.select("u", "_deg", "_n")
+            .join(sums, "u")
+            .select(
+                "u",
+                "_deg",
+                "_n",
+                F.expr(f"{base} + ({d_num}L * _s) div {d_den}L").alias("_rank"),
+            )
+        )
+    return state.select(
+        F.col("u").alias(node_alias), F.col("_rank").alias("rank_scaled")
+    )

@@ -295,6 +295,7 @@ _TAIL: tuple[str, ...] = (
     "pareto_frontier_orders",
     "temperature_resample_sources",
     "ngram_diversity_sources",
+    "pagerank3_copurchase",
 )
 
 

@@ -1927,3 +1927,63 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 1 << 20) -> str:
+    """Unrolled integer-PageRank oracle (the kmeans_cluster_sizes
+    pattern: the DuckDB CTE chain replays every fixed-point iteration
+    bit-for-bit; `//` == Spark `div` because all operands are
+    non-negative)."""
+    head = f"""
+    WITH m AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM m a JOIN m b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+    ), r0 AS (
+        SELECT d.u, CAST({scale} AS BIGINT) // n.n AS rank FROM deg d, n
+    )"""
+    steps = "".join(
+        f""", r{i + 1} AS (
+        SELECT s.v AS u,
+               CAST((CAST(3 AS BIGINT) * {scale}) // (20 * n.n)
+                    + (17 * SUM(r.rank // d.deg)) // 20 AS BIGINT) AS rank
+        FROM sym s
+        JOIN r{i} r ON r.u = s.u
+        JOIN deg d ON d.u = s.u
+        CROSS JOIN n
+        GROUP BY s.v, n.n
+    )"""
+        for i in range(iters)
+    )
+    return head + steps + f"\n    SELECT u AS part_id, CAST(rank AS BIGINT) AS rank_scaled FROM r{iters}"
+
+
+@query("pagerank3_copurchase", oracle=_pagerank_oracle(3))
+def pagerank3_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d = 17/20) after 3 power iterations on the
+    part co-purchase graph, in exact fixed-point integer arithmetic —
+    the damped/normalized completion of walk3_centrality (which is
+    this loop with the degree division and damping stripped). Every
+    division is an explicit floor on the 2^20 grid, so ranks are
+    bit-identical on any cluster/partitioning and the oracle replays
+    all three iterations verbatim — the same literal-determinism
+    proof as kmeans_cluster_sizes, applied to an iterative graph
+    algorithm. See operators/graph.py:pagerank_integer for the
+    per-iteration plan (|E| equi-join + node-keyed partial agg; sym
+    checkpointed once; N as a broadcast 1-row aggregate)."""
+    tune(spark)
+    from etl_inreach_spark.operators.graph import cooccurrence_edges, pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li.select("l_orderkey", "l_partkey"), "l_partkey", ("l_orderkey",)
+    )
+    return pagerank_integer(edges, iters=3, node_alias="part_id")
