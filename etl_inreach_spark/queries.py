@@ -296,6 +296,8 @@ _TAIL: tuple[str, ...] = (
     "temperature_resample_sources",
     "ngram_diversity_sources",
     "pagerank3_copurchase",
+    "cohort_retention_weekly",
+    "trailing_1h_distinct_users",
 )
 
 

@@ -1894,3 +1894,100 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        FROM events
+    ), coh AS (
+        SELECT user_id, wk,
+               MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+        FROM act
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) AS BIGINT) // 7
+               AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM coh
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-activity
+    week, counted at each later week they return. Two key-bounded
+    shuffles: (user, week) distinct activity (partial-agg), then a
+    per-user window MIN for the cohort anchor (user-sized partitions —
+    no join-back), then the (cohort, offset) count which needs no
+    DISTINCT because activity is already one row per (user, week).
+    Week anchors are Monday DATEs on both engines (Spark date_trunc
+    returns midnight TIMESTAMP, cast to DATE to match DuckDB's DATE);
+    offsets are exact integer day-diffs div 7 (both anchors Mondays,
+    so always a multiple of 7). At 100 TB the distinct and the final
+    agg are both partial-aggregated and the widest relation is one
+    row per active (user, week) — the standard retention shape."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    coh = act.withColumn(
+        "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    return coh.select(
+        "cohort_week",
+        F.expr("CAST(datediff(wk, cohort_week) AS BIGINT) div 7").alias(
+            "week_offset"
+        ),
+    ).groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@query(
+    "trailing_1h_distinct_users",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_ms(ts) // 1000
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_users_1h
+    FROM events
+    """,
+)
+def trailing_1h_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous trailing-window distinct count: for every event, how
+    many DISTINCT users of the same event type fired in the preceding
+    hour (inclusive). Spark has no DISTINCT aggregate over windows, so
+    the rendering is size(collect_set(user)) over a RANGE frame on
+    epoch seconds — state per row is bounded by distinct users per
+    type-hour, not window row count, and the frame is evaluated in one
+    pass over each type-sorted partition. DuckDB runs its native
+    COUNT(DISTINCT ...) OVER the identical frame, so this pins the
+    workaround exactly. RANGE peers (equal timestamps) are all in
+    frame on both engines — tie semantics match by construction. The
+    frame key is WHOLE SECONDS on both sides: Spark's unix_timestamp
+    truncates sub-second parts, so the oracle orders by
+    epoch_ms // 1000 rather than epoch(), whose fractional seconds
+    would shift boundary rows out of the hour.
+    Scale: partitions are per event type; for unbounded per-type
+    volume at 100 TB, bucket by day and merge the boundary hour with
+    a second pass, or move to the streaming sliding-window operator
+    (sliding_1h_user_activity) — the batch form here is the ad-hoc
+    investigative shape."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias(
+            "distinct_users_1h"
+        ),
+    )
