@@ -298,6 +298,9 @@ _TAIL: tuple[str, ...] = (
     "pagerank3_copurchase",
     "cohort_retention_weekly",
     "trailing_1h_distinct_users",
+    "null_safe_join_buckets",
+    "not_in_null_semantics",
+    "set_ops_bag_semantics",
 )
 
 

@@ -1214,3 +1214,105 @@ def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_TOP2_SQL)
+
+
+_NULL_SAFE_JOIN_SQL = """
+    WITH l AS (
+        SELECT event_id, nullif(user_id % 7, 3) AS k FROM events
+    ), r AS (
+        SELECT nullif(x, 3) AS k, x AS bucket
+        FROM (SELECT DISTINCT user_id % 7 AS x FROM events) t
+    )
+    SELECT r.bucket,
+           CAST(COUNT(l.event_id) AS BIGINT) AS n_events
+    FROM r JOIN l ON l.k <=> r.k
+    GROUP BY r.bucket
+"""
+
+
+@query(
+    "null_safe_join_buckets",
+    oracle=_NULL_SAFE_JOIN_SQL.replace("<=>", "IS NOT DISTINCT FROM"),
+)
+def null_safe_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 SQL surface — NULL-safe equality join (`<=>`, DuckDB
+    spelling `IS NOT DISTINCT FROM`): bucket 3 is nulled on BOTH
+    sides, and the null-safe predicate still matches those rows where
+    a plain `=` would silently drop the whole bucket — the classic
+    silent-data-loss corner when a fact key is nullable. Catalyst
+    plans `<=>` as an ordinary hash join (EqualNullSafe is a valid
+    hash key), NOT a nested loop — that is the behavior this query
+    pins, alongside exact count parity with DuckDB's spelling. At
+    100 TB the only caveat is that a nullable key concentrates every
+    NULL into one hash partition — the registry's salting operator
+    (salted_skew_join) is the mitigation when NULLs are hot."""
+    tune(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_NULL_SAFE_JOIN_SQL)
+
+
+_NOT_IN_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE nullif(o_custkey % 1000, 13) NOT IN (
+        SELECT c_custkey % 100 FROM customer WHERE c_acctbal > 0
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@query("not_in_null_semantics", oracle=_NOT_IN_SQL)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 SQL surface — NOT IN with a NULLABLE probe column: rows
+    whose probe is NULL must be DROPPED (x NOT IN S is NULL, never
+    true, when x is NULL), which a naive anti-join rendering gets
+    wrong. Spark plans this as a null-aware anti join (broadcast
+    NAAJ); the oracle is the IDENTICAL statement on DuckDB, so the
+    three-valued-logic corner is value-pinned, not assumed. The inner
+    side here is NULL-free by construction — if it contained a NULL
+    the result would be empty on both engines (any x NOT IN
+    {..., NULL} is never true), a second corner documented rather
+    than exercised because an all-empty result would make the row
+    gate vacuous."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_NOT_IN_SQL)
+
+
+_BAG_SET_OPS_SQL = """
+    WITH a AS (
+        SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1997
+    ), b AS (
+        SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1998
+    ), i AS (
+        SELECT k FROM a INTERSECT ALL SELECT k FROM b
+    ), e AS (
+        SELECT k FROM a EXCEPT ALL SELECT k FROM b
+    )
+    SELECT 'intersect_all' AS op, k,
+           CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM i GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k,
+           CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM e GROUP BY k
+"""
+
+
+@query("set_ops_bag_semantics", oracle=_BAG_SET_OPS_SQL)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 set operations — the ALL (bag/multiset) variants the
+    existing set_ops_* queries deliberately avoid: INTERSECT ALL keeps
+    min(multiplicity_a, multiplicity_b) copies per key and EXCEPT ALL
+    keeps max(0, a - b), which collapse to the wrong answer if an
+    engine silently deduplicates (the DISTINCT variants would hide
+    that). One customer ordering 3x in 1997 and 1x in 1998 must
+    appear with multiplicity 1 in the intersection and 2 in the
+    difference. The oracle is the IDENTICAL statement on DuckDB.
+    Catalyst plans both as single hash aggregations counting
+    per-side multiplicities — no join explosion, shuffle keyed on k."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BAG_SET_OPS_SQL)
