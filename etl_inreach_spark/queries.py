@@ -117,16 +117,19 @@ _FRONT: tuple[str, ...] = (
     "udtf_token_runs",
 )
 # ROUND-7 ROTATION PLAN (write this into _FRONT at r7 start):
-#   1a. all _PENDING names below — never driver-verified;
-#   1b. the r6 LATE ADDITIONS at the _TAIL end (term_lift_pairs,
-#       bigram_lm_quality, ...) — also never driver-verified;
+#   1a. all 12 _PENDING names below — never driver-verified;
 #   2. the _TAIL head block (31 names, pseudonymize_customers ..
 #      broadcast_config_join) — r4-greens out r5+r6, AT the
 #      staleness bound, MUST be verified in r7;
-#   3. fill any remaining slots from the r5-window block head
-#      (asof_next_purchase_after_click ..), out r6 only.
-#   |_PENDING| (12) + |late| + 31 mandatory; window is 50, so the
-#   late-addition block must stay <= 7 names.
+#   1b. the r6 LATE ADDITIONS at the _TAIL end — also never
+#       driver-verified, but with NO staleness bound yet: the block
+#       grew to 17 names (continuation session), so only the FIRST 7
+#       in registration order (term_lift_pairs .. dup_span_maximal)
+#       fit r7's window; the remaining 10 (recursive_nation_chain ..
+#       set_ops_bag_semantics) are group 1 of the ROUND-8 plan.
+#   12 + 31 + 7 = 50 exactly; the r5-window greens (out r6 only) hold
+#   one more round of headroom and rotate back in r8 after the
+#   deferred late names.
 #
 # r6 NEW-QUERY candidates (operators landed + pytest-pinned in r5,
 # oracle-renderable, waiting for _PENDING capacity):
