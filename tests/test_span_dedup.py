@@ -127,3 +127,96 @@ class TestCurationAdditions:
             assert 0 < r.distinct_grams <= r.total_grams
             assert 0 < r.diversity_ppm <= 1_000_000
             assert r.diversity_ppm == 1_000_000 * r.distinct_grams // r.total_grams
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# tiny vocabulary forces dup windows; short docs hit the size-<k edge
+_doc = st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=14)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+def _replica_spans(docs, k=3, min_count=2):
+    grams = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            grams.setdefault(tuple(toks[p : p + k]), []).append((i, p))
+    dup = sorted(
+        (i, p) for g, occ in grams.items() if len(occ) >= min_count for i, p in occ
+    )
+    out, cur = [], None
+    for i, p in dup:
+        if cur and cur[0] == i and p - cur[2] <= k:
+            cur[2] = p
+        else:
+            if cur:
+                out.append(tuple(cur))
+            cur = [i, p, p]
+        # cur = [doc, island_start, last_window_start]
+    if cur:
+        out.append(tuple(cur))
+    return sorted((i, s, e + k - 1, e + k - s) for i, s, e in out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_duplicated_spans_matches_replica(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, "doc_id", "text", k=3, min_count=2).collect()
+    )
+    assert got == _replica_spans(docs)
+
+
+def _replica_skyline(points):
+    out = []
+    for i, (d, p) in enumerate(points):
+        dominated = any(
+            (d2 >= d and p2 >= p and (d2 > d or p2 > p)) for d2, p2 in points
+        )
+        if not dominated:
+            out.append((d, p))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=24
+    )
+)
+def test_pareto_two_window_form_matches_dominance(spark, points):
+    """The linear two-window rendering == brute-force NOT EXISTS
+    dominance, on arbitrary small integer point sets (duplicates and
+    total ties included)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(points, "d int, p int")
+    per_d = Window.partitionBy("d")
+    cand = df.withColumn("_mx", F.max("p").over(per_d)).where(
+        F.col("p") == F.col("_mx")
+    )
+    later = Window.orderBy(F.col("_neg")).rangeBetween(Window.unboundedPreceding, -1)
+    got = sorted(
+        (r.d, r.p)
+        for r in cand.withColumn("_neg", -F.col("d"))
+        .withColumn("_lm", F.max("p").over(later))
+        .where(F.col("_lm").isNull() | (F.col("_lm") < F.col("p")))
+        .select("d", "p")
+        .collect()
+    )
+    # duplicate (d, p) points are mutually non-dominating: BOTH forms
+    # keep every copy, so compare as multisets
+    assert got == _replica_skyline(points)
