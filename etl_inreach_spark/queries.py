@@ -123,10 +123,10 @@ _FRONT: tuple[str, ...] = (
 #      staleness bound, MUST be verified in r7;
 #   1b. the r6 LATE ADDITIONS at the _TAIL end — also never
 #       driver-verified, but with NO staleness bound yet: the block
-#       grew to 17 names (continuation session), so only the FIRST 7
+#       grew to 19 names (continuation session), so only the FIRST 7
 #       in registration order (term_lift_pairs .. dup_span_maximal)
-#       fit r7's window; the remaining 10 (recursive_nation_chain ..
-#       set_ops_bag_semantics) are group 1 of the ROUND-8 plan.
+#       fit r7's window; the remaining 12 (recursive_nation_chain ..
+#       distribution_drift_orders) are group 1 of the ROUND-8 plan.
 #   12 + 31 + 7 = 50 exactly; the r5-window greens (out r6 only) hold
 #   one more round of headroom and rotate back in r8 after the
 #   deferred late names.
@@ -304,6 +304,8 @@ _TAIL: tuple[str, ...] = (
     "null_safe_join_buckets",
     "not_in_null_semantics",
     "set_ops_bag_semantics",
+    "k_anonymity_audit",
+    "distribution_drift_orders",
 )
 
 

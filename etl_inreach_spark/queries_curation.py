@@ -904,3 +904,134 @@ def ngram_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "diversity_ppm"
         ),
     )
+
+
+_K_ANON = 5  # minimum group size
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN group_size < {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small_groups,
+           CAST(SUM(CASE WHEN group_size < {_K_ANON} THEN group_size
+                         ELSE 0 END) AS BIGINT) AS n_rows_to_suppress,
+           CAST(MIN(group_size) AS BIGINT) AS min_group_size
+    FROM g GROUP BY c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance audit: k-anonymity over the quasi-identifier
+    pair (market segment, nation) — any equivalence class smaller
+    than k = 5 re-identifies its members and must be suppressed or
+    generalized before the table ships to training. Complements the
+    registry's PII pseudonymization (pseudonymize_customers): that
+    query hides direct identifiers; this one measures the joint-
+    attribute leak that remains. Two stacked hash aggregations (class
+    sizes, then per-segment rollup of violations) — both partial-agg,
+    all-integer output, and the narrow QI projection prunes at the
+    scan. At 100 TB the class-size relation is |QI-combinations| rows,
+    orders of magnitude below the table."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    small = F.col("group_size") < _K_ANON
+    return g.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias(
+            "n_small_groups"
+        ),
+        F.sum(F.when(small, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_to_suppress"),
+        F.min("group_size").cast("bigint").alias("min_group_size"),
+    )
+
+
+@query(
+    "distribution_drift_orders",
+    oracle="""
+    WITH b AS (
+        SELECT year(o_orderdate) AS yr,
+               least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket
+        FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+    ), c AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_1997,
+               CAST(SUM(CASE WHEN yr = 1998 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_1998
+        FROM b GROUP BY bucket
+    ), t AS (
+        SELECT bucket, n_1997, n_1998,
+               SUM(n_1997) OVER () AS t97, SUM(n_1998) OVER () AS t98
+        FROM c
+    )
+    SELECT bucket, n_1997, n_1998,
+           CAST((1000000 * n_1997) // t97 AS BIGINT) AS share_1997_ppm,
+           CAST((1000000 * n_1998) // t98 AS BIGINT) AS share_1998_ppm,
+           CAST(abs((1000000 * n_1997) // t97
+                    - (1000000 * n_1998) // t98) AS BIGINT) AS drift_ppm
+    FROM t
+    """,
+)
+def distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift monitor: the order-value histogram of 1998 vs
+    1997 in fixed 50k-price buckets (capped at decile 9), with
+    per-bucket population shares and their absolute drift in EXACT
+    integer ppm — the integer skeleton of a PSI/KL drift score with
+    the logarithm left to the consumer (irrational, engine-divergent;
+    every number here is exactly reproducible and oracle-hashable).
+    One partial-agg groupBy over a 2-year scan slice plus a
+    10-row window for the totals. The production posture at 100 TB is
+    identical — bucket counts are the only shuffled state. Bucket key
+    discipline: floor(price/50000) — one IEEE division + floor, bit-
+    identical on both engines — NOT CAST(price AS BIGINT)//50000,
+    whose cast truncates on Spark and ROUNDS on DuckDB, flipping
+    boundary rows across buckets (caught by the sf0.1 sweep)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(1997, 1998)
+    )
+    b = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(50000)).cast("bigint"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_1997"),
+        F.sum(F.when(F.col("yr") == 1998, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_1998"),
+    )
+    w = Window.partitionBy()
+    t = c.select(
+        "bucket",
+        "n_1997",
+        "n_1998",
+        F.sum("n_1997").over(w).alias("t97"),
+        F.sum("n_1998").over(w).alias("t98"),
+    )
+    s97 = F.expr("(1000000L * n_1997) div t97")
+    s98 = F.expr("(1000000L * n_1998) div t98")
+    return t.select(
+        "bucket",
+        "n_1997",
+        "n_1998",
+        s97.cast("bigint").alias("share_1997_ppm"),
+        s98.cast("bigint").alias("share_1998_ppm"),
+        F.abs(s97 - s98).cast("bigint").alias("drift_ppm"),
+    )
