@@ -220,3 +220,84 @@ def test_pareto_two_window_form_matches_dominance(spark, points):
     # duplicate (d, p) points are mutually non-dominating: BOTH forms
     # keep every copy, so compare as multisets
     assert got == _replica_skyline(points)
+
+
+def _replica_temperature(rows):
+    from collections import Counter
+    import math
+
+    counts = Counter(src for _id, src in rows)
+    mn = min(counts.values())
+    out = {}
+    for src, n in counts.items():
+        rate = math.sqrt(mn / n)
+        below = math.floor(rate * 4294967296.0)
+        kept = sum(
+            1
+            for d, s in rows
+            if s == src and (d * 2654435761) % 4294967296 < below
+        )
+        out[src] = (n, kept, math.floor(rate * 1000000.0))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    assignment=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+)
+def test_temperature_resample_matches_replica(spark, assignment):
+    """The sqrt(min_n/n_s) rate + integer-hash keep decision ==
+    a pure-Python replica, on arbitrary source assignments (including
+    single-source and all-equal-size corners)."""
+    from pyspark.sql import functions as F
+
+    from etl_inreach_spark.operators import __name__ as _  # noqa: F401
+    rows = [(i, f"s{a}") for i, a in enumerate(assignment)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    df.createOrReplaceTempView("_temp_docs")
+    from etl_inreach_spark.queries_curation import temperature_resample_sources
+    import etl_inreach_spark.queries_curation as qc
+
+    # drive the same expression pipeline on the synthetic frame
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            F.min("n_docs").over(Window.partitionBy()).cast("double")
+            / F.col("n_docs")
+        ).alias("rate"),
+    ).select(
+        "source",
+        "n_docs",
+        "rate",
+        F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint").alias(
+            "keep_below"
+        ),
+    )
+    got = {
+        r.source: (r.n_docs, r.n_kept, r.keep_rate_ppm)
+        for r in df.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.min("n_docs").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    qc._sample_hash(F.col("doc_id")) < F.col("keep_below"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.floor(F.min("rate") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("keep_rate_ppm"),
+        )
+        .collect()
+    }
+    assert got == _replica_temperature(rows)
