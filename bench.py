@@ -164,20 +164,46 @@ def main() -> None:
         except Exception:
             pass
 
+    # Spark JOB COUNT per iterative query: wall-clock on this host is
+    # stall-dominated (scheduler stalls spread identical plans over a
+    # 2-6x range), but the number of jobs an iterative operator
+    # launches is a pure function of its convergence behavior — the
+    # stall-proof regression metric (already used for CC: 54->44 and
+    # 39->29 across rounds). Counted via a per-run job group against
+    # the status tracker; min across repeats (AQE warm-path can shave
+    # a job on later runs — min matches the timing policy).
+    iterative = {
+        "dedup_clusters",
+        "dedup_clusters_star",
+        "pagerank3_copurchase",
+        "walk3_centrality",
+        "triangle_count_copurchase",
+    }
+    jobs: dict[str, int] = {}
     timings: dict[str, float] = {}
+    sc = spark.sparkContext
     for name in sorted(qs):
         best = None
-        for _ in range(max(repeats, 1)):
+        for rep in range(max(repeats, 1)):
+            group = f"bench:{name}:{rep}"
+            sc.setJobGroup(group, name)
             t0 = time.monotonic()
             try:
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = round(time.monotonic() - t0, 3)
                 best = dt if best is None else min(best, dt)
+                if name in iterative:
+                    nj = len(sc.statusTracker().getJobIdsForGroup(group))
+                    jobs[name] = min(jobs.get(name, nj), nj)
             except Exception as e:  # keep the bench line parseable on failure
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
                 # a later transient failure must not discard a valid
                 # earlier timing; only an all-repeats failure is -1
+            finally:
+                # PySpark has no clearJobGroup; reset the local props
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
         _drop_leaked_blocks()
         timings[name] = best if best is not None else -1.0
 
@@ -191,6 +217,7 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "failed": sorted(n for n, t in timings.items() if t < 0),
+        "jobs": jobs,
         "host_calibration": host_cal,
     }
     # Compact separators: the driver's stdout capture keeps a bounded

@@ -158,7 +158,16 @@ _FRONT: tuple[str, ...] = (
 # _PENDING: oracle-gated queries added AFTER the r7 window froze (the
 # 50-name _FRONT above is the frozen window). Names here MUST move to
 # _FRONT in r8 (group 1a of the plan above). Cap 12 (test-enforced).
-_PENDING: tuple[str, ...] = ()
+# The four below are VERDICT r6 item 3: the formerly pytest-only
+# stateful/layout operators, each now value-oracled against the
+# invariant it must satisfy (queries_lakehouse.py); local
+# oracle_check PASS at sf0.001/0.01/0.1 this round.
+_PENDING: tuple[str, ...] = (
+    "incremental_dedup_convergence",
+    "bucketed_join_revenue",
+    "compaction_roundtrip_orders",
+    "binary_media_metadata",
+)
 _TAIL: tuple[str, ...] = (
     # --- r6 late additions deferred from the r7 window — never
     # driver-verified; group 1b of the ROUND-8 plan, kept at the tail
@@ -316,6 +325,7 @@ def _load_all() -> None:
         queries_curation,
         queries_extended,
         queries_kml,
+        queries_lakehouse,
         queries_pipeline,
         queries_reference,
         queries_relational,

@@ -1,0 +1,323 @@
+"""Lakehouse / stateful-operator oracle gates (VERDICT r6 item 3).
+
+Four operators whose coverage was pytest-only get value oracles here,
+each pinning the INVARIANT the stateful or file-layout operator must
+satisfy — the same pattern that oracle-gated the CMS monoid via
+``cms_incremental_merge``:
+
+* ``incremental_dedup_convergence`` — the batched incremental MinHash
+  dedup replayed exactly in DuckDB (portable Carter-Wegman signature
+  arithmetic + sequential 3-batch survivor-state recursion);
+* ``bucketed_join_revenue`` — the zero-Exchange co-bucketed join must
+  equal the plain shuffled join (oracle = the plain join);
+* ``compaction_roundtrip_orders`` — OPTIMIZE-style compaction must be
+  content-invariant and hit its computed output-file count;
+* ``binary_media_metadata`` — the binaryFile MEDIA_SCHEMA scan's
+  metadata/content against DuckDB's ``read_blob`` over the same
+  committed fixture directory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.operators.text_dedup import (
+    MERSENNE31,
+    _minhash_coeffs,
+    poly_gram_hash60_sql,
+)
+from etl_inreach_spark.queries import query
+from etl_inreach_spark.session import tune
+
+
+def _incremental_oracle() -> str:
+    """DuckDB replay of 3-batch incremental MinHash dedup
+    (operators/incremental_dedup.py) with k=64 hashes, b=16 bands,
+    9-gram shingles, threshold 0.8.
+
+    Why this is EXACT, not approximate:
+
+    * The signature arithmetic is fully portable — the 60-bit
+      polynomial+affine gram hash (poly_gram_hash60_sql, generated
+      from the same loop as the Spark Column) reduced mod 2^31-1,
+      then 64 Carter-Wegman min-aggregates with the same
+      _minhash_coeffs constants. DuckDB reproduces every signature
+      slot bit-for-bit.
+    * Banding needs no replay: agreement >= 0.8 means >= 52 of 64
+      slots equal, and if every one of the 16 bands had <= 3 of its 4
+      slots equal the total would be <= 48 < 52 — so by pigeonhole a
+      qualifying pair ALWAYS fully collides in some band (the LSH
+      candidate step is lossless at this threshold, the same argument
+      that makes the banded SimHash query brute-force-oracleable).
+      Spurious xxhash64 band collisions on the Spark side are killed
+      by the same agreement filter both engines apply.
+    * The agreement threshold count/64 >= 0.8 is equivalent to the
+      integer predicate count >= 52 in IEEE and in exact arithmetic
+      alike, so the oracle uses the integer form.
+    """
+    ms = [
+        f"min(({a} * h + {b}) % {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(64))
+    ]
+    agree = " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(64)
+    )
+    return f"""
+    WITH RECURSIVE grams AS (
+        SELECT doc_id, ({poly_gram_hash60_sql('g', 9)}) % {MERSENNE31} AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, length(text) - 8),
+                                         i -> substr(text, i, 9))) AS g
+            FROM documents
+        )
+    ), sigs AS MATERIALIZED (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
+               {', '.join(ms)}
+        FROM grams GROUP BY doc_id
+    ), pairs AS MATERIALIZED (
+        SELECT x.doc_id AS a, x.batch AS ba, y.doc_id AS b, y.batch AS bb
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE ({agree}) >= 52
+    ), apairs AS (
+        SELECT a, ba, b, bb FROM pairs
+        UNION ALL
+        SELECT b, bb, a, ba FROM pairs
+    ), samebatch AS (
+        SELECT a, b FROM apairs WHERE ba = bb
+    ), nodes AS (
+        SELECT DISTINCT a AS id FROM samebatch
+    ), reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN samebatch s ON r.b = s.a
+    ), internal AS (
+        SELECT a AS doc_id, min(b) AS dup_of_batch
+        FROM reach GROUP BY a HAVING min(b) <> a
+    ), docs AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch FROM documents
+    ), lab0 AS (
+        SELECT d.doc_id, d.batch, i.dup_of_batch AS dup_of
+        FROM docs d LEFT JOIN internal i USING (doc_id) WHERE d.batch = 0
+    ), surv0 AS (
+        SELECT doc_id FROM lab0 WHERE dup_of IS NULL
+    ), hist1 AS (
+        SELECT p.a AS doc_id, min(p.b) AS dup_hist
+        FROM apairs p JOIN surv0 s ON p.b = s.doc_id
+        WHERE p.ba = 1 GROUP BY p.a
+    ), lab1 AS (
+        SELECT d.doc_id, d.batch,
+               coalesce(h.dup_hist, i.dup_of_batch) AS dup_of
+        FROM docs d
+        LEFT JOIN hist1 h USING (doc_id)
+        LEFT JOIN internal i USING (doc_id)
+        WHERE d.batch = 1
+    ), surv01 AS (
+        SELECT doc_id FROM surv0
+        UNION ALL
+        SELECT doc_id FROM lab1 WHERE dup_of IS NULL
+    ), hist2 AS (
+        SELECT p.a AS doc_id, min(p.b) AS dup_hist
+        FROM apairs p JOIN surv01 s ON p.b = s.doc_id
+        WHERE p.ba = 2 GROUP BY p.a
+    ), lab2 AS (
+        SELECT d.doc_id, d.batch,
+               coalesce(h.dup_hist, i.dup_of_batch) AS dup_of
+        FROM docs d
+        LEFT JOIN hist2 h USING (doc_id)
+        LEFT JOIN internal i USING (doc_id)
+        WHERE d.batch = 2
+    ), lab AS (
+        SELECT * FROM lab0 UNION ALL SELECT * FROM lab1
+        UNION ALL SELECT * FROM lab2
+    )
+    SELECT doc_id, batch, dup_of IS NULL AS keep, dup_of FROM lab
+    """
+
+
+@query("incremental_dedup_convergence", oracle=_incremental_oracle())
+def incremental_dedup_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/incremental_dedup.py),
+    value-oracled: ingest documents as 3 sequential batches
+    (doc_id % 3) against a fresh persisted band-bucket state and
+    return every document's (keep, dup_of, batch) label. The DuckDB
+    oracle replays the identical semantics — portable signature
+    arithmetic, first-wins history (earlier-batch SURVIVORS only),
+    batch-internal min-label connected components — so the
+    O(batch + collisions) incremental composition is pinned to its
+    specification, not merely to a Python replica. State lives in a
+    fresh local temp dir per call (the production deployment points
+    state_path at shared storage; tests/test_incremental_dedup.py
+    covers replay idempotence and the foreachBatch streaming wiring).
+    Generalizes reference O18 (latest-per-key dedup,
+    /root/reference/task.ts:131-149) to cross-batch near-dup identity.
+    """
+    tune(spark)
+    from etl_inreach_spark.operators.incremental_dedup import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    state = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_incdedup_"), "state"
+    )
+    parts = []
+    for k in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == k)
+        lab = incremental_dedup(
+            spark,
+            batch,
+            state,
+            batch_id=f"b{k}",
+            threshold=0.8,
+            num_hashes=64,
+            bands=16,
+            shingle_k=9,
+        )
+        parts.append(lab.withColumn("batch", F.lit(k)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("doc_id", "batch", "keep", "dup_of")
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout parity gate (sinks/bucketed.py): write orders
+    and customer bucketed+sorted on custkey, join THROUGH THE CATALOG
+    TABLES (the path whose executed plan has zero shuffle Exchanges —
+    pinned in tests/test_bucketed.py), and aggregate revenue per
+    market segment. The oracle is the plain shuffled join: layout must
+    never change answers. 100 TB shape: the bucket write pays the
+    fact-table shuffle once; every recurring join/agg on the bucket
+    key reads pre-shuffled buckets (pick the bucket count for the
+    target cluster's parallelism, not the test's 8)."""
+    tune(spark)
+    import uuid
+
+    from etl_inreach_spark.sinks.bucketed import bucketed_equijoin, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    # unique names + external temp locations: the session catalog is
+    # in-memory but the default warehouse dir outlives it, and a
+    # repeated managed-table name would hit LOCATION_ALREADY_EXISTS
+    tag = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    lt, rt = f"bjr_orders_{tag}", f"bjr_customer_{tag}"
+    write_bucketed(o, lt, ["custkey"], 8, path=os.path.join(base, lt))
+    write_bucketed(c, rt, ["custkey"], 8, path=os.path.join(base, rt))
+    j = bucketed_equijoin(spark, lt, rt, ["custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "compaction_roundtrip_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           1 AS n_files_after
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction invariance gate (operators/compaction.py):
+    scatter orders into 32 undersized files, OPTIMIZE them back toward
+    the target size, and aggregate the rewritten table. The oracle is
+    the same aggregate over the ORIGINAL table plus the computed
+    output-file count (total bytes < 1 GiB target -> exactly 1 file),
+    so both content invariance AND the sizing arithmetic are
+    value-pinned. The rewrite itself is shuffle-free (coalesce) — the
+    property that makes OPTIMIZE affordable at 100 TB — and
+    fixed-point convergence is pinned in tests/test_compaction.py."""
+    tune(spark)
+    from etl_inreach_spark.operators.compaction import compact_parquet
+
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_compact_"), "orders")
+    load_table(spark, sf_dir, "orders").repartition(32).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["compacted"] and stats["files_before"] == 32, stats
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_keys"),
+        F.lit(stats["files_after"]).alias("n_files_after"),
+    )
+
+
+_MEDIA_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "media",
+)
+
+
+@query(
+    "binary_media_metadata",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(size AS BIGINT) AS length,
+           CASE lower(regexp_extract(filename, '\\.([A-Za-z0-9]+)$', 1))
+             WHEN 'png' THEN 'image/png'
+             WHEN 'jpg' THEN 'image/jpeg'
+             WHEN 'wav' THEN 'audio/x-wav'
+             WHEN 'txt' THEN 'text/plain'
+             ELSE NULL
+           END AS mime,
+           md5(decode(content)) AS content_md5
+    FROM read_blob('{_MEDIA_FIXTURE_DIR}/*')
+    """,
+)
+def binary_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile-source gate (sources/binary_media.py): scan the
+    committed fixture directory (ASCII-byte blobs, so DuckDB's
+    read_blob + decode() md5 hashes the identical bytes Spark's
+    binary md5 sees — a straight BLOB->VARCHAR cast would hash the
+    ESCAPED rendering, e.g. newline as the four characters \\x0A) and emit name/length/inferred-mime/content checksum.
+    Pins the MEDIA_SCHEMA plumbing's observable contract — the scan
+    distributes (one InputPartition batch per file group, no driver
+    directory walk), mime inference is the deterministic extension
+    map, and `length` comes from file status. The mtime column is
+    deliberately excluded (not content-determined). Column pruning on
+    metadata-only projections is plan-pinned in
+    tests/test_binary_media.py."""
+    tune(spark)
+    from etl_inreach_spark.sources.binary_media import read_binary_media
+
+    m = read_binary_media(spark, _MEDIA_FIXTURE_DIR)
+    return m.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+        "length",
+        F.col("media.mime").alias("mime"),
+        F.md5(F.col("media.bytes")).alias("content_md5"),
+    )
