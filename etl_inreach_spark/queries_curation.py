@@ -760,8 +760,11 @@ _SPAN_K = 8  # tokens per duplicated window (Lee et al. use 50 BPE tokens)
 )
 def dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup at k-token granularity: maximal contiguous
-    regions of each document whose every 8-token window occurs at
-    least twice in the corpus — the span-removal pass a training-data
+    regions of each document in which every token is covered by some
+    8-token window occurring at least twice in the corpus (the
+    Lee-et-al span-removal coverage semantic; a merged span can
+    contain an interior window that is itself unique)
+    — the span-removal pass a training-data
     pipeline runs AFTER document-level dedup (near-dup docs share long
     spans; boilerplate shares short ones). The DuckDB oracle replays
     the identical tokenize -> window-count -> gaps-and-islands
@@ -773,6 +776,41 @@ def dup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return duplicated_spans(d, "doc_id", "text", k=_SPAN_K, min_count=2)
+
+
+def temperature_resample(d: DataFrame) -> DataFrame:
+    """The full temperature-resample expression pipeline over a
+    (doc_id, source) relation — factored out so the registered query
+    and the property test (tests/test_span_dedup.py) drive the SAME
+    code instead of a copy that could drift (ADVICE r6)."""
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            F.min("n_docs").over(Window.partitionBy()).cast("double")
+            / F.col("n_docs")
+        ).alias("rate"),
+    ).select(
+        "source",
+        "n_docs",
+        "rate",
+        F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint").alias(
+            "keep_below"
+        ),
+    )
+    joined = d.join(F.broadcast(rates), "source")
+    return joined.groupBy("source").agg(
+        F.min("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(_sample_hash(F.col("doc_id")) < F.col("keep_below"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+        F.floor(F.min("rate") * F.lit(1000000.0)).cast("bigint").alias(
+            "keep_rate_ppm"
+        ),
+    )
 
 
 @query(
@@ -808,41 +846,18 @@ def temperature_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIT-IDENTICAL double and the floor()ed integer keep threshold
     cannot straddle an ULP). Per-doc keep decisions reuse the
     registry's pure-integer Knuth hash — reproducible on any
-    partitioning, renderable 1:1 in the oracle. Plan: one partial-agg
+    partitioning, renderable 1:1 in the oracle, engine-exact for
+    doc_id < 2^31 (beyond that, doc_id * 2654435761 exceeds int64
+    and Spark wraps while DuckDB promotes: a corpus with wider ids
+    must mask first, (doc_id % 2^32) * mult % 2^32, rendered
+    identically in both engines). Plan: one partial-agg
     groupBy for the counts, the 1-row-per-source rate relation
     broadcast back onto the fact (no second shuffle of documents),
     one final per-source agg. At 100 TB the rate relation is
     |sources| rows — always broadcastable."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    rates = counts.select(
-        "source",
-        "n_docs",
-        F.sqrt(
-            F.min("n_docs").over(Window.partitionBy()).cast("double")
-            / F.col("n_docs")
-        ).alias("rate"),
-    ).select(
-        "source",
-        "n_docs",
-        "rate",
-        F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint").alias(
-            "keep_below"
-        ),
-    )
-    joined = d.join(F.broadcast(rates), "source")
-    return joined.groupBy("source").agg(
-        F.min("n_docs").cast("bigint").alias("n_docs"),
-        F.sum(
-            F.when(_sample_hash(F.col("doc_id")) < F.col("keep_below"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_kept"),
-        F.floor(F.min("rate") * F.lit(1000000.0)).cast("bigint").alias(
-            "keep_rate_ppm"
-        ),
-    )
+    return temperature_resample(d)
 
 
 _DIV_N = 3  # n-gram order for the diversity profile

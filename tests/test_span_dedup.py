@@ -252,52 +252,16 @@ def _replica_temperature(rows):
 def test_temperature_resample_matches_replica(spark, assignment):
     """The sqrt(min_n/n_s) rate + integer-hash keep decision ==
     a pure-Python replica, on arbitrary source assignments (including
-    single-source and all-equal-size corners)."""
-    from pyspark.sql import functions as F
+    single-source and all-equal-size corners). Drives the SAME
+    temperature_resample pipeline the registered query runs (ADVICE
+    r6: an inline re-implementation here let the query body drift
+    undetected)."""
+    from etl_inreach_spark.queries_curation import temperature_resample
 
-    from etl_inreach_spark.operators import __name__ as _  # noqa: F401
     rows = [(i, f"s{a}") for i, a in enumerate(assignment)]
     df = spark.createDataFrame(rows, "doc_id bigint, source string")
-    df.createOrReplaceTempView("_temp_docs")
-    from etl_inreach_spark.queries_curation import temperature_resample_sources
-    import etl_inreach_spark.queries_curation as qc
-
-    # drive the same expression pipeline on the synthetic frame
-    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    from pyspark.sql import Window
-
-    rates = counts.select(
-        "source",
-        "n_docs",
-        F.sqrt(
-            F.min("n_docs").over(Window.partitionBy()).cast("double")
-            / F.col("n_docs")
-        ).alias("rate"),
-    ).select(
-        "source",
-        "n_docs",
-        "rate",
-        F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint").alias(
-            "keep_below"
-        ),
-    )
     got = {
         r.source: (r.n_docs, r.n_kept, r.keep_rate_ppm)
-        for r in df.join(F.broadcast(rates), "source")
-        .groupBy("source")
-        .agg(
-            F.min("n_docs").cast("bigint").alias("n_docs"),
-            F.sum(
-                F.when(
-                    qc._sample_hash(F.col("doc_id")) < F.col("keep_below"), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_kept"),
-            F.floor(F.min("rate") * F.lit(1000000.0))
-            .cast("bigint")
-            .alias("keep_rate_ppm"),
-        )
-        .collect()
+        for r in temperature_resample(df).collect()
     }
     assert got == _replica_temperature(rows)
