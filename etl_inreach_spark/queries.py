@@ -167,6 +167,9 @@ _PENDING: tuple[str, ...] = (
     "bucketed_join_revenue",
     "compaction_roundtrip_orders",
     "binary_media_metadata",
+    # VERDICT r6 item 6: the BPE merge sequence IS SQL-expressible —
+    # 8 unrolled argmax+replace rounds (queries_training.py)
+    "bpe_merge_sequence",
 )
 _TAIL: tuple[str, ...] = (
     # --- r6 late additions deferred from the r7 window — never

@@ -245,3 +245,109 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return rp(d, "doc_id", "text", max_top_word_frac=0.1, max_dup_2gram_frac=0.6)
+
+
+_BPE_MERGES = 8  # unrolled oracle rounds (kmeans-oracle precedent)
+
+
+def _bpe_oracle(n: int = _BPE_MERGES) -> str:
+    """DuckDB replay of bpe_train's first ``n`` merge rounds
+    (operators/bpe.py), unrolled one CTE pair per round.
+
+    The only non-trivial translation is merge APPLICATION. Spark runs
+    a JVM-side fold that replaces adjacent (a, b) left-to-right
+    non-overlapping; here each vocab word's symbol array is encoded as
+    a SENTINEL-WRAPPED STRING — tab||sym||tab per symbol, so adjacent
+    symbols meet as tab tab — and the fold becomes plain
+    ``replace(s, tab||a||tab||tab||b||tab, tab||a||b||tab)``:
+    SQL replace() is itself left-to-right non-overlapping, the merged
+    token is strictly longer than ``a`` so it can never immediately
+    re-merge (the fold's own argument), and the single-tab ends /
+    double-tab middle of the pattern force every match to align to
+    whole-symbol boundaries (a symbol like 'xa' cannot half-match an
+    'a' pattern). Tab is whitespace, so it can never occur INSIDE a
+    whitespace-split token — the encoding is collision-free by
+    construction. Pair counting per round splits the encoded string
+    back into symbols and zips adjacent slices, exactly the Spark
+    side's zip_with; ties break on (pa, pb) binary string order in
+    both engines."""
+    t = "chr(9)"
+    parts = [
+        f"""
+    words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x != '')) AS word
+            FROM documents
+        ) GROUP BY word
+    ), v0 AS MATERIALIZED (
+        SELECT wc,
+               {t} || array_to_string(
+                   list_transform(generate_series(1, length(word)),
+                                  i -> substr(word, i, 1)),
+                   {t} || {t}) || {t} AS s
+        FROM words
+    )"""
+    ]
+    for r in range(n):
+        parts.append(f"""
+    p{r} AS MATERIALIZED (
+        SELECT pr[1] AS pa, pr[2] AS pb, CAST(sum(wc) AS BIGINT) AS c
+        FROM (
+            SELECT wc,
+                   unnest(list_zip(list_slice(sy, 1, len(sy) - 1),
+                                   list_slice(sy, 2, len(sy)))) AS pr
+            FROM (
+                SELECT wc,
+                       string_split(substr(s, 2, length(s) - 2),
+                                    {t} || {t}) AS sy
+                FROM v{r}
+            )
+        ) GROUP BY pa, pb
+    ), b{r} AS MATERIALIZED (
+        SELECT pa, pb, c FROM p{r}
+        ORDER BY c DESC, pa ASC, pb ASC LIMIT 1
+    ), v{r + 1} AS MATERIALIZED (
+        SELECT wc,
+               replace(s,
+                       {t} || (SELECT pa FROM b{r}) || {t} || {t}
+                           || (SELECT pb FROM b{r}) || {t},
+                       {t} || (SELECT pa FROM b{r})
+                           || (SELECT pb FROM b{r}) || {t}) AS s
+        FROM v{r}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS rank, pa AS \"left\", pb AS \"right\", "
+        f"c AS weighted_count FROM b{r}"
+        for r in range(n)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + selects
+
+
+@query("bpe_merge_sequence", oracle=_bpe_oracle())
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction (operators/bpe.py),
+    value-oracled end-to-end: the first 8 learned merges — (rank,
+    left, right, weighted_count) in application order — must equal a
+    DuckDB replay of the per-round weighted-pair argmax with
+    lexicographic tie-break and left-to-right non-overlapping merge
+    application (VERDICT r6 item 6: the recursion does NOT explode
+    because each round is one vocab-sized pair aggregation, so the
+    oracle unrolls 8 rounds of CTEs instead of recursing). The corpus
+    is scanned once for the weighted word vocabulary; every round
+    after that touches only the Heaps-law-bounded vocab relation,
+    with ONE 1-row driver collect per round — the scale shape that
+    makes the trainer viable at 100 TB. min_pair_count=2 cannot bind
+    at these SFs (top-8 pair counts are thousands), so the unrolled
+    oracle always yields exactly 8 rows."""
+    tune(spark)
+    from etl_inreach_spark.operators.bpe import bpe_merges_df, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(d, "text", n_merges=_BPE_MERGES, min_pair_count=2)
+    return bpe_merges_df(spark, merges).select(
+        "rank",
+        "left",
+        "right",
+        "weighted_count",
+    )
