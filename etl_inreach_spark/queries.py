@@ -168,8 +168,14 @@ _PENDING: tuple[str, ...] = (
     "compaction_roundtrip_orders",
     "binary_media_metadata",
     # VERDICT r6 item 6: the BPE merge sequence IS SQL-expressible —
-    # 8 unrolled argmax+replace rounds (queries_training.py)
+    # 8 unrolled argmax+replace rounds (queries_training.py); the
+    # segment query oracle-gates the mapInPandas inference half
     "bpe_merge_sequence",
+    "bpe_segment_documents",
+    # r7 widening: exact-integer JL projection (ANN scale path) and
+    # the mergeSchema ALTER-ADD-COLUMN contract
+    "embedding_project_jl",
+    "schema_evolution_merge",
 )
 _TAIL: tuple[str, ...] = (
     # --- r6 late additions deferred from the r7 window — never

@@ -1987,3 +1987,101 @@ def pagerank3_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_partkey"), "l_partkey", ("l_orderkey",)
     )
     return pagerank_integer(edges, iters=3, node_alias="part_id")
+
+
+_JL_K = 16  # projected dims
+_JL_D = 64  # embedding dims (the synthetic table's fixed width)
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic +-1 projection matrix from the registry's Knuth
+    hash — sign(d, j) = +1 iff ((d*K + j) * 2654435761) mod 2^32 is
+    below 2^31. Generated ONCE here and embedded as literals in both
+    the Spark expressions and the oracle SQL, so the two renderings
+    cannot drift and neither engine evaluates the hash at runtime."""
+    return [
+        [
+            1 if ((d * _JL_K + j) * 2654435761) % (1 << 32) < (1 << 31) else -1
+            for j in range(_JL_K)
+        ]
+        for d in range(_JL_D)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    q = (
+        "list_transform(embedding, x -> CAST(CASE WHEN sc = 0 THEN 0 "
+        "WHEN CAST(x AS DOUBLE) < 0 "
+        "THEN -floor(abs(CAST(x AS DOUBLE)) / sc * 127 + 0.5) "
+        "ELSE floor(abs(CAST(x AS DOUBLE)) / sc * 127 + 0.5) END AS BIGINT))"
+    )
+    projs = ",\n           ".join(
+        "CAST(list_sum(list_transform(generate_series(1, {d}), "
+        "i -> q[i] * ([{s}])[i])) AS BIGINT) AS p{j}".format(
+            d=_JL_D, j=j, s=",".join(str(signs[d][j]) for d in range(_JL_D))
+        )
+        for j in range(_JL_K)
+    )
+    return f"""
+    WITH sc AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS sc,
+               embedding
+        FROM embeddings
+    ), qv AS (
+        SELECT vec_id, {q} AS q FROM sc
+    )
+    SELECT vec_id,
+           {projs}
+    FROM qv
+    """
+
+
+@query("embedding_project_jl", oracle=_jl_oracle())
+def embedding_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding table
+    to 16 dimensions with a deterministic +-1 sign matrix — the
+    dimensionality-reduction front of an ANN/semantic-dedup pipeline
+    (project first, THEN bucket: LSH/IVF over 16 dims costs 4x less
+    shuffle than over 64). Values are EXACT end-to-end: the input is
+    the registry's symmetric int8 absmax quantization (same rounding
+    spelled sign*floor(|x|/scale*127+0.5) as embedding_quantize_int8)
+    and each projected component is an integer dot product with a +-1
+    vector — no float accumulation anywhere, so any summation order
+    agrees and the oracle matches bit-for-bit. Plan: one narrow
+    SELECT, all HOFs over the row's own array (zip_with + aggregate
+    folds), zero shuffles and zero joins — at 100 TB this is a pure
+    map stage that composes with the IVF/PQ operators downstream."""
+    tune(spark)
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.withColumn(
+        "_sc",
+        F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))),
+    )
+    mag = lambda v: F.floor(F.abs(v.cast("double")) / F.col("_sc") * 127 + F.lit(0.5))  # noqa: E731
+    x = x.withColumn(
+        "_q",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.when(F.col("_sc") == 0, F.lit(0))
+            .when(v.cast("double") < 0, -mag(v))
+            .otherwise(mag(v))
+            .cast("bigint"),
+        ),
+    )
+    cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.array(*[F.lit(signs[d][j]) for d in range(_JL_D)]),
+                lambda a, b: a * b.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias(f"p{j}")
+        for j in range(_JL_K)
+    ]
+    return x.select("vec_id", *cols)

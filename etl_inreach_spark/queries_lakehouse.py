@@ -321,3 +321,65 @@ def binary_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media.mime").alias("mime"),
         F.md5(F.col("media.bytes")).alias("content_md5"),
     )
+
+
+@query(
+    "schema_evolution_merge",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM unioned GROUP BY 1
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: a table directory whose early files
+    predate a column (half of orders written WITHOUT o_orderpriority,
+    the other half WITH it, as two append batches), read back with
+    ``mergeSchema`` — Spark's footer-reconciled union schema fills the
+    missing column with NULLs, exactly the ALTER TABLE ADD COLUMN
+    contract of a lakehouse table. The oracle states that contract as
+    a plain UNION ALL with a NULL literal. Aggregated per priority
+    (pre-evolution rows grouped under a sentinel) so the NULL-fill,
+    the row split, and the price totals are all value-pinned. 100 TB
+    note: mergeSchema reads EVERY file footer at planning time — fine
+    for an append-log's worth of files, wrong as a steady state; a
+    production table records the schema in the table format's
+    metadata (catalog/Delta/Iceberg), which is why the engine's own
+    catalog tables (sinks/bucketed, sinks/upsert) carry their schema
+    there instead."""
+    tune(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_schemaevo_"), "orders")
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("append").parquet(path)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_missing"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -271,6 +271,18 @@ def _bpe_oracle(n: int = _BPE_MERGES) -> str:
     back into symbols and zips adjacent slices, exactly the Spark
     side's zip_with; ties break on (pa, pb) binary string order in
     both engines."""
+    return "WITH " + ",".join(_bpe_round_ctes(n)) + "\n    " + " UNION ALL ".join(
+        f"SELECT {r} AS rank, pa AS \"left\", pb AS \"right\", "
+        f"c AS weighted_count FROM b{r}"
+        for r in range(n)
+    )
+
+
+def _bpe_round_ctes(n: int) -> list[str]:
+    """The shared CTE chain: weighted vocab -> n rounds of
+    (pair counts p{r}, argmax b{r}, merged vocab v{r+1}). ``word``
+    rides through every v{r} so the final v{n} doubles as the
+    word -> segmentation dictionary for the inference oracle."""
     t = "chr(9)"
     parts = [
         f"""
@@ -281,7 +293,7 @@ def _bpe_oracle(n: int = _BPE_MERGES) -> str:
             FROM documents
         ) GROUP BY word
     ), v0 AS MATERIALIZED (
-        SELECT wc,
+        SELECT word, wc,
                {t} || array_to_string(
                    list_transform(generate_series(1, length(word)),
                                   i -> substr(word, i, 1)),
@@ -308,7 +320,7 @@ def _bpe_oracle(n: int = _BPE_MERGES) -> str:
         SELECT pa, pb, c FROM p{r}
         ORDER BY c DESC, pa ASC, pb ASC LIMIT 1
     ), v{r + 1} AS MATERIALIZED (
-        SELECT wc,
+        SELECT word, wc,
                replace(s,
                        {t} || (SELECT pa FROM b{r}) || {t} || {t}
                            || (SELECT pb FROM b{r}) || {t},
@@ -316,12 +328,7 @@ def _bpe_oracle(n: int = _BPE_MERGES) -> str:
                            || (SELECT pb FROM b{r}) || {t}) AS s
         FROM v{r}
     )""")
-    selects = " UNION ALL ".join(
-        f"SELECT {r} AS rank, pa AS \"left\", pb AS \"right\", "
-        f"c AS weighted_count FROM b{r}"
-        for r in range(n)
-    )
-    return "WITH " + ",".join(parts) + "\n    " + selects
+    return parts
 
 
 @query("bpe_merge_sequence", oracle=_bpe_oracle())
@@ -350,4 +357,69 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
         "right",
         "weighted_count",
+    )
+
+
+def _bpe_segment_oracle(n: int = _BPE_MERGES) -> str:
+    """Inference-half oracle: the final merged vocab v{n} from the
+    SAME round chain is exactly the word -> subwords dictionary
+    (training applies merges cumulatively; bpe_segment replays them in
+    rank order per word — pinned equal in tests/test_bpe.py), so
+    segmentation = tokenize each document in order, look every token
+    up in v{n}, and splice the sub-symbol lists back together."""
+    t = "chr(9)"
+    ctes = ",".join(_bpe_round_ctes(n))
+    return f"""WITH {ctes},
+    dict AS MATERIALIZED (
+        SELECT word,
+               string_split(substr(s, 2, length(s) - 2), {t} || {t}) AS subs
+        FROM v{n}
+    ), toks AS (
+        SELECT doc_id, tl[i] AS word, i
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS tl
+            FROM documents
+        ), UNNEST(range(1, len(tl) + 1)) AS u(i)
+    ), seg AS (
+        SELECT t.doc_id,
+               CAST(sum(len(d.subs)) AS BIGINT) AS n_subwords,
+               string_agg(array_to_string(d.subs, ' '), ' ' ORDER BY t.i)
+                   AS segmented
+        FROM toks t JOIN dict d USING (word)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           coalesce(s.n_subwords, 0) AS n_subwords,
+           coalesce(s.segmented, '') AS segmented
+    FROM documents LEFT JOIN seg s USING (doc_id)
+    """
+
+
+@query("bpe_segment_documents", oracle=_bpe_segment_oracle())
+def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of the BPE trainer, value-oracled: learn 8
+    merges from the corpus (same distributed trainer as
+    bpe_merge_sequence), then segment every document with the learned
+    table via the Arrow-batched mapInPandas applier
+    (operators/bpe.bpe_segment) — the sanctioned pandas-tier escape
+    hatch for the inherently per-word-iterative merge replay, with
+    per-batch word memoization riding the Zipf skew. Output is the
+    space-joined subword stream per document (tokens contain no
+    spaces, so the join is lossless) plus the subword count; the
+    oracle derives the identical segmentation from the final merged
+    vocab of the unrolled round chain. No shuffle in the apply stage:
+    a narrow map over documents with the (tiny) merge table shipped
+    in the closure — broadcast-state shape at 100 TB."""
+    tune(spark)
+    from etl_inreach_spark.operators.bpe import bpe_segment, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(d, "text", n_merges=_BPE_MERGES, min_pair_count=2)
+    seg = bpe_segment(d, "text", merges, id_col="doc_id")
+    return seg.select(
+        "doc_id",
+        F.size("subwords").cast("bigint").alias("n_subwords"),
+        F.array_join("subwords", " ").alias("segmented"),
     )
