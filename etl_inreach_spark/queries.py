@@ -172,10 +172,12 @@ _PENDING: tuple[str, ...] = (
     # segment query oracle-gates the mapInPandas inference half
     "bpe_merge_sequence",
     "bpe_segment_documents",
-    # r7 widening: exact-integer JL projection (ANN scale path) and
-    # the mergeSchema ALTER-ADD-COLUMN contract
+    # r7 widening: exact-integer JL projection (ANN scale path), the
+    # mergeSchema ALTER-ADD-COLUMN contract, and the fixed-point EWMA
+    # sequential recurrence as a Catalyst fold
     "embedding_project_jl",
     "schema_evolution_merge",
+    "ewma_user_daily",
 )
 _TAIL: tuple[str, ...] = (
     # --- r6 late additions deferred from the r7 window — never

@@ -2018,3 +2018,99 @@ def trailing_1h_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day") == F.col("bucket"))
         .select("event_id", "distinct_users_1h")
     )
+
+
+_EWMA_G = 1 << 20  # fixed-point grid for exact integer EWMA
+
+
+@query(
+    "ewma_user_daily",
+    oracle=f"""
+    WITH RECURSIVE dc AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT user_id, day, c,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM dc
+    ), rec(user_id, day, c, rn, s) AS (
+        SELECT user_id, day, c, rn, c * {_EWMA_G} FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT q.user_id, q.day, q.c, q.rn, (r.s + q.c * {_EWMA_G}) // 2
+        FROM rec r JOIN seq q ON q.user_id = r.user_id AND q.rn = r.rn + 1
+    )
+    SELECT user_id, day, c AS n_events, s AS ewma_fp FROM rec
+    """,
+)
+def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of each
+    user's daily event count — the per-entity activity-trend feature
+    of a behavioral pipeline — in EXACT fixed-point arithmetic on the
+    2^20 grid: s_1 = c_1*G, s_t = (s_(t-1) + c_t*G) >> 1, every step
+    a floor on non-negative integers, so the sequence is bit-identical
+    on any engine/partitioning and the oracle replays the recurrence
+    verbatim as a recursive CTE.
+
+    The EWMA recurrence is inherently sequential per key, but it does
+    NOT need the pandas escape hatch: each user's (day, count) series
+    is calendar-bounded (days, not events), so collect a sorted
+    per-user array and run the recurrence as ONE Catalyst aggregate
+    fold carrying a (state, outputs) struct accumulator — JVM-side,
+    codegen-friendly, exploded back to rows. Plan: two key-bounded
+    shuffles (user-day counts, then per-user fold); state per user is
+    one struct array bounded by the calendar. For multi-year
+    histories, chunk by year and carry the closing state into the
+    next chunk — the same carry discipline as
+    operators/incremental_dedup."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_user = dc.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("c")))
+        ).alias("_series")
+    )
+    g = F.lit(_EWMA_G)
+    empty = F.expr(
+        "cast(array() as array<struct<day:date,c:bigint,s:bigint>>)"
+    )
+    init = F.struct(
+        F.lit(-1).cast("bigint").alias("s"), empty.alias("out")
+    )
+
+    def step(acc, x):
+        new_s = F.when(acc["s"] < 0, x["c"] * g).otherwise(
+            F.shiftright(acc["s"] + x["c"] * g, 1)
+        )
+        return F.struct(
+            new_s.alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["c"].alias("c"),
+                        new_s.alias("s"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = per_user.select(
+        "user_id",
+        F.aggregate(F.col("_series"), init, step, lambda a: a["out"]).alias(
+            "_out"
+        ),
+    )
+    return folded.select(
+        "user_id", F.explode("_out").alias("_r")
+    ).select(
+        "user_id",
+        F.col("_r.day").alias("day"),
+        F.col("_r.c").alias("n_events"),
+        F.col("_r.s").alias("ewma_fp"),
+    )
