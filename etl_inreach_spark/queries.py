@@ -178,6 +178,13 @@ _PENDING: tuple[str, ...] = (
     "embedding_project_jl",
     "schema_evolution_merge",
     "ewma_user_daily",
+    # r7 continuation: distributed exact order statistics (the 100 TB
+    # quantile path), robust MAD volume-anomaly monitoring, and
+    # per-dimension embedding standardization — cap now FULL (12);
+    # any further r7 additions must go to the _TAIL end
+    "exact_quantile_rankselect",
+    "mad_anomaly_daily",
+    "embedding_standardize",
 )
 _TAIL: tuple[str, ...] = (
     # --- r6 late additions deferred from the r7 window — never

@@ -2114,3 +2114,82 @@ def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_r.c").alias("n_events"),
         F.col("_r.s").alias("ewma_fp"),
     )
+
+
+@query(
+    "mad_anomaly_daily",
+    oracle="""
+    WITH dc AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)
+                    AS BIGINT) AS med
+        FROM dc GROUP BY event_type
+    ), dev AS (
+        SELECT dc.event_type, dc.day, dc.cnt, med.med,
+               abs(dc.cnt - med.med) AS adev
+        FROM dc JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+                    AS BIGINT) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, dev.day, dev.cnt, dev.med, mad.mad,
+           CAST(dev.adev * 10 > 35 * greatest(mad.mad, 1) AS BIGINT)
+               AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def mad_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection over per-type daily event volumes —
+    the data-quality monitor of an ingestion pipeline: flag any
+    (event_type, day) whose count deviates from the type's median by
+    more than 3.5x the median absolute deviation. The modified
+    z-score uses the LOWER median (percentile_disc(0.5): the element
+    at rank ceil(n/2), and 0.5*n is exact in binary so the native
+    DuckDB form has no floating boundary) on both the counts and the
+    absolute deviations, and the 3.5x threshold is the all-integer
+    comparison adev*10 > 35*max(mad,1) — no division, no doubles, so
+    the verdict value-hashes exactly. mad=0 (a majority-constant
+    series) falls back to mad=1 so only genuine deviations flag.
+
+    Scale shape: one (type, day) partial-count shuffle (map-side
+    combine collapses the raw events), then two per-type medians over
+    the CALENDAR-bounded daily series — collect_list per type is
+    bounded by days-in-history, not events, the same boundedness
+    argument as ewma_user_daily/cohort_retention_weekly. The per-type
+    median relations broadcast back onto the daily rows. At 100 TB
+    the event volume grows per-day row COUNT, not the per-type series
+    length; for multi-decade histories switch the median to the
+    rank-selection form of exact_quantile_rankselect."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    dc = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def lower_median(col: str) -> F.Column:
+        arr = F.array_sort(F.collect_list(F.col(col)))
+        # rank ceil(n/2) on the 1-indexed sorted array = the element
+        # percentile_disc(0.5) picks (first cume_dist >= 0.5)
+        return F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+
+    med = dc.groupBy("event_type").agg(lower_median("cnt").alias("med"))
+    dev = dc.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(lower_median("adev").alias("mad"))
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "cnt",
+        "med",
+        "mad",
+        (F.col("adev") * 10 > 35 * F.greatest(F.col("mad"), F.lit(1)))
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )

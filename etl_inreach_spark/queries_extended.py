@@ -2085,3 +2085,79 @@ def embedding_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_JL_K)
     ]
     return x.select("vec_id", *cols)
+
+
+@query(
+    "embedding_standardize",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 4096 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+    ), st AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q * q) AS BIGINT) AS ss
+        FROM el GROUP BY dim
+    )
+    SELECT el.vec_id, el.dim, el.q,
+           CASE WHEN st.n * st.ss - st.s * st.s <= 0 THEN 0
+                ELSE CAST(floor((el.q * st.n - st.s) * 1048576.0
+                     / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)))
+                     AS BIGINT)
+           END AS z_fp
+    FROM el JOIN st USING (dim)
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus z-scoring of the embedding column — the
+    feature-standardization step in front of clustering / linear
+    probes — value-checked per element, bit-identical across engines.
+    Components quantize once to the global 2^12 grid (floor(x*4096 +
+    0.5): round-half-up, exact float64, the clustering.py
+    convention); per-dim mean and variance then live entirely in
+    int64 (n, S=sum q, SS=sum q^2 — exact, order-free, partial-agg
+    mergeable), and the z-score is the single expression
+    floor((q*n - S) * 2^20 / sqrt(n*SS - S^2)): one correctly-rounded
+    IEEE multiply, sqrt, divide and floor over integers that are
+    exact in double, so both engines produce the identical 2^20
+    fixed-point value. A zero-variance dimension standardizes to 0.
+
+    Scale shape: posexplode to the tall (vec, dim, q) relation, ONE
+    groupBy over exactly |dims| keys (map-side partials collapse each
+    task to 64 rows), the 64-row stats relation broadcasts back onto
+    the tall relation — no second data shuffle, fully codegen, no
+    HOF in the hot path. int64 bounds: |q| <= 4096*|x|, SS-sums
+    overflow only past ~2^63/q^2 rows per dimension (~5e11 at |x|~1
+    — past that, widen to DECIMAL(38,0) partials). The tall layout is
+    deliberate: at 100 TB the stats pass reads the one column it
+    needs and the rebuild-to-array form stays a downstream choice."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "_x")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("_x").cast("double") * 4096 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    st = el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = F.when(var_num <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            (F.col("q") * F.col("n") - F.col("s"))
+            * F.lit(1048576.0)
+            / F.sqrt(var_num.cast("double"))
+        ).cast("bigint")
+    )
+    return el.join(F.broadcast(st), "dim").select(
+        "vec_id", "dim", "q", z.alias("z_fp")
+    )

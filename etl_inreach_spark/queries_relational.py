@@ -1316,3 +1316,92 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_BAG_SET_OPS_SQL)
+
+
+_QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+@query(
+    "exact_quantile_rankselect",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+    ), t AS (
+        SELECT CAST(unnest({list(_QUANTILE_PCTS)}) AS BIGINT) AS pct
+    ), r AS (
+        SELECT pct, (pct * n + 99) // 100 AS rank FROM t, c
+    ), s AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               row_number() OVER (ORDER BY o_totalprice) AS rn
+        FROM orders
+    )
+    SELECT pct, rank, s.v AS value
+    FROM r JOIN s ON s.rn = r.rank
+    """,
+)
+def exact_quantile_rankselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-statistic selection (percentile_disc semantics:
+    the element at rank ceil(p*n), spelled in exact integers as
+    (pct*n + 99) // 100 so no floating p*n boundary can flip the
+    rank) WITHOUT a global sort and WITHOUT the single per-group
+    sort buffer of F.percentile — the 100 TB path for exact
+    quantiles that order_value_percentiles documents as its own
+    limit.
+
+    Two-phase rank selection: (1) a fixed-width value histogram —
+    bucket = floor(price/1000), one map-side-combining groupBy whose
+    result is bounded by VALUE RANGE / width (~600 buckets for any
+    TPC-H scale, a broadcastable relation, so the cumulative window
+    over it is bounded by construction, the global_row_index
+    level-2 discipline); (2) only the <=5 buckets that contain a
+    target rank are re-scanned, each sorted LOCALLY (a per-bucket
+    window over ~n/600 rows), and the row at the residual rank
+    (rank - cum_before_bucket) is the answer. Total cost: one
+    histogram pass + one filtered pass over ~5/600ths of the data —
+    vs a full shuffle sort. Ties need no tiebreak: any row at the
+    rank carries the same VALUE. The oracle replays the semantics
+    naively (full sort, pick rank) — equal output pins the
+    distributed selection exactly."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    bucketed = o.select(
+        "v", F.floor(F.col("v") / F.lit(1000.0)).cast("bigint").alias("b")
+    )
+    hist = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    # histogram is range/width-bounded (~600 rows): the unpartitioned
+    # running-sum window is over the HISTOGRAM, never the data
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "b", "cnt", F.sum("cnt").over(wcum).alias("cum")
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in _QUANTILE_PCTS])
+            ).alias("_pct")
+        )
+        .select(F.col("_pct").cast("bigint").alias("pct"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pct",
+            F.expr("(pct * n + 99) div 100").alias("rank"),
+        )
+    )
+    # tiny x tiny: 5 targets x ~600 histogram rows
+    tb = targets.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("rank")) & (F.col("cum_before") < F.col("rank")),
+    ).select("pct", "rank", "b", "cum_before")
+    # partition by (b, pct): two targets landing in the same bucket
+    # must each rank their OWN copy of the bucket's rows
+    wloc = Window.partitionBy("b", "pct").orderBy("v")
+    hits = (
+        bucketed.join(F.broadcast(tb), "b")
+        .withColumn("rn", F.row_number().over(wloc))
+        .filter(F.col("rn") == F.col("rank") - F.col("cum_before"))
+    )
+    return hits.select("pct", "rank", F.col("v").alias("value"))

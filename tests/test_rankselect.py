@@ -1,0 +1,128 @@
+"""Round-7 continuation additions: distributed exact quantile
+rank-selection, MAD volume-anomaly monitoring, per-dimension
+embedding standardization — Python-spec replicas plus the
+no-global-sort plan pin for the rank-selection path."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_exact_quantile_matches_sorted_pick(spark, sf_dir):
+    """The two-phase (histogram -> in-bucket) selection must equal the
+    naive sort-and-pick-rank spec exactly, rank = ceil(p*n) in exact
+    integer arithmetic (percentile_disc semantics)."""
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_relational import (
+        _QUANTILE_PCTS,
+        exact_quantile_rankselect,
+    )
+
+    prices = sorted(
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(prices)
+    got = {
+        r["pct"]: (r["rank"], r["value"])
+        for r in exact_quantile_rankselect(spark, sf_dir).collect()
+    }
+    assert set(got) == set(_QUANTILE_PCTS)
+    for p in _QUANTILE_PCTS:
+        rank = (p * n + 99) // 100
+        assert got[p] == (rank, prices[rank - 1]), (p, n)
+
+
+def test_exact_quantile_no_global_sort(spark, sf_dir):
+    """The data-side sort must be partitioned by bucket (a per-bucket
+    local window), and every SinglePartition exchange must feed an
+    aggregate — the histogram, never a row stream (the
+    global_row_index pin of test_indexing / ntile)."""
+    from etl_inreach_spark.queries_relational import exact_quantile_rankselect
+
+    plan = (
+        exact_quantile_rankselect(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(b" in plan  # row_number partitioned by bucket
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
+
+
+def test_mad_anomaly_matches_python_spec(spark, sf_dir):
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_analytics import mad_anomaly_daily
+    import pyspark.sql.functions as F
+
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in dc:
+        by_type.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+
+    def lower_median(xs):
+        s = sorted(xs)
+        return s[(len(s) + 1) // 2 - 1]
+
+    expect = {}
+    for et, days in by_type.items():
+        med = lower_median([c for _, c in days])
+        mad = lower_median([abs(c - med) for _, c in days])
+        for day, c in days:
+            flag = 1 if abs(c - med) * 10 > 35 * max(mad, 1) else 0
+            expect[(et, day)] = (c, med, mad, flag)
+
+    rows = mad_anomaly_daily(spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect[(r["event_type"], r["day"])] == (
+            r["cnt"],
+            r["med"],
+            r["mad"],
+            r["is_anomaly"],
+        )
+
+
+def test_embedding_standardize_matches_python_spec(spark, sf_dir):
+    """Replay the quantize + integer-stats + IEEE z expression in
+    plain Python for one dimension; every fixed-point value must match
+    bit-for-bit. Also: z is location-free (mean of q*n - S is 0) and
+    unit-scaled on the 2^20 grid."""
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_extended import embedding_standardize
+
+    rows = [
+        r
+        for r in embedding_standardize(spark, sf_dir).collect()
+        if r["dim"] == 7
+    ]
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = {r["vec_id"]: math.floor(float(r["embedding"][7]) * 4096 + 0.5) for r in emb}
+    n = len(q)
+    s = sum(q.values())
+    ss = sum(v * v for v in q.values())
+    var_num = n * ss - s * s
+    assert var_num > 0
+    for r in rows:
+        zq = q[r["vec_id"]]
+        assert r["q"] == zq
+        assert r["z_fp"] == math.floor((zq * n - s) * 1048576.0 / math.sqrt(var_num))
+    zs = [r["z_fp"] for r in rows]
+    mean_z = sum(zs) / len(zs)
+    std_z = math.sqrt(sum((z - mean_z) ** 2 for z in zs) / len(zs))
+    assert abs(mean_z) < 1048576 * 0.01
+    assert abs(std_z - 1048576) < 1048576 * 0.01
