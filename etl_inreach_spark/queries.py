@@ -306,6 +306,10 @@ _TAIL: tuple[str, ...] = (
     "reservoir_sample_per_source",
     "domain_mix_weights",
     "udtf_token_runs",
+    # --- r7 continuation additions AFTER _PENDING hit its cap: enter
+    # the rotation after the groups above (r9+)
+    "grouped_quantile_rankselect",
+    "phrase_match_positional",
 )
 
 

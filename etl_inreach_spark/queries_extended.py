@@ -2161,3 +2161,68 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return el.join(F.broadcast(st), "dim").select(
         "vec_id", "dim", "q", z.alias("z_fp")
     )
+
+
+_PHRASE = ("hash", "join")
+
+
+@query(
+    "phrase_match_positional",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t.term, t.i FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x != '')) AS term,
+                   unnest(generate_series(1,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x != '')))) AS i
+            FROM documents
+        ) t(doc_id, term, i)
+        WHERE t.term IN {_PHRASE!r}
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(a.i) AS BIGINT) AS first_pos
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the inverted-index-with-positions
+    primitive BM25 cannot express: find every document containing the
+    exact token sequence 'hash join' (adjacent positions), with match
+    count and first 1-based position. The positional posting relation
+    is built ONLY for the phrase's terms (the term filter lands
+    before any aggregation, the bm25_term_search lesson), so the
+    self-join is |postings(hash)| x |postings(join)| keyed on the
+    fixed-width (doc_id, pos) pair — never |tokens|^2. An n-token
+    phrase chains n-1 such equi-joins (or one window over the
+    filtered postings sorted per doc). At 100 TB the postings for a
+    single term are the classic posting-list scale (skew mitigation:
+    salt hot terms or pre-bucket by doc_id ranges); adjacency keys
+    are integers, no string re-comparison after the initial filter."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "term"))
+        .filter(F.col("term").isin(*_PHRASE))
+        # 1-based positions to match the oracle's generate_series
+        .select("doc_id", "term", (F.col("p") + 1).cast("bigint").alias("i"))
+    )
+    a = post.filter(F.col("term") == _PHRASE[0]).select("doc_id", "i")
+    b = post.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("i") - 1).alias("i")
+    )
+    return (
+        a.join(b, ["doc_id", "i"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("i").alias("first_pos"),
+        )
+    )

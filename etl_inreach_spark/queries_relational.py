@@ -1405,3 +1405,85 @@ def exact_quantile_rankselect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.col("rank") - F.col("cum_before"))
     )
     return hits.select("pct", "rank", F.col("v").alias("value"))
+
+
+_GQ_PCTS = (50, 90, 99)
+
+
+@query(
+    "grouped_quantile_rankselect",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT CAST(unnest({list(_GQ_PCTS)}) AS BIGINT) AS pct
+    ), r AS (
+        SELECT grp, pct, (pct * n + 99) // 100 AS rank FROM c, t
+    ), s AS (
+        SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice) AS rn
+        FROM orders
+    )
+    SELECT r.grp, pct, rank, s.v AS value
+    FROM r JOIN s ON s.grp = r.grp AND s.rn = r.rank
+    """,
+)
+def grouped_quantile_rankselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT percentile_disc (p50/p90/p99 of order value per
+    priority) via rank selection — the grouped form is where
+    F.percentile's per-group sort buffer actually bites at 100 TB
+    (one executor materializes every value of the hottest group).
+    Same two-phase discipline as exact_quantile_rankselect, keyed by
+    group: per-(group, bucket) histogram (map-side combine), a
+    cumulative window PARTITIONED BY GROUP over the histogram (each
+    partition <= range/width ~600 rows regardless of data volume),
+    exact integer ranks ceil(p*n_g) per group, then a local
+    row_number over only the (group, bucket) cells that contain a
+    target rank. No per-group value buffer ever exists; skewed group
+    sizes cost one histogram row, not memory. Oracle = per-group
+    full sort + pick rank."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    bucketed = o.select(
+        "grp", "v", F.floor(F.col("v") / F.lit(1000.0)).cast("bigint").alias("b")
+    )
+    hist = bucketed.groupBy("grp", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "grp", "b", "cnt", F.sum("cnt").over(wcum).alias("cum")
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    n = o.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        n.crossJoin(
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(*[F.lit(p) for p in _GQ_PCTS])
+                ).alias("_pct")
+            )
+            .select(F.col("_pct").cast("bigint").alias("pct"))
+        )
+        .select("grp", "pct", F.expr("(pct * n + 99) div 100").alias("rank"))
+    )
+    tb = targets.join(
+        F.broadcast(cum),
+        ["grp"],
+    ).filter(
+        (F.col("cum") >= F.col("rank")) & (F.col("cum_before") < F.col("rank"))
+    ).select("grp", "pct", "rank", "b", "cum_before")
+    wloc = Window.partitionBy("grp", "b", "pct").orderBy("v")
+    hits = (
+        bucketed.join(F.broadcast(tb), ["grp", "b"])
+        .withColumn("rn", F.row_number().over(wloc))
+        .filter(F.col("rn") == F.col("rank") - F.col("cum_before"))
+    )
+    return hits.select("grp", "pct", "rank", F.col("v").alias("value"))

@@ -126,3 +126,74 @@ def test_embedding_standardize_matches_python_spec(spark, sf_dir):
     std_z = math.sqrt(sum((z - mean_z) ** 2 for z in zs) / len(zs))
     assert abs(mean_z) < 1048576 * 0.01
     assert abs(std_z - 1048576) < 1048576 * 0.01
+
+
+def test_grouped_quantile_matches_sorted_pick(spark, sf_dir):
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_relational import (
+        _GQ_PCTS,
+        grouped_quantile_rankselect,
+    )
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        by_grp.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    got = {
+        (r["grp"], r["pct"]): (r["rank"], r["value"])
+        for r in grouped_quantile_rankselect(spark, sf_dir).collect()
+    }
+    assert len(got) == len(by_grp) * len(_GQ_PCTS)
+    for grp, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        for p in _GQ_PCTS:
+            rank = (p * n + 99) // 100
+            assert got[(grp, p)] == (rank, vals[rank - 1]), (grp, p, n)
+
+
+def test_grouped_quantile_no_single_partition_exchange(spark, sf_dir):
+    """Every window in the grouped form is partitioned (by grp over
+    the histogram, by (grp,b,pct) over the hits): the plan must not
+    contain ANY SinglePartition exchange feeding a non-aggregate."""
+    from etl_inreach_spark.queries_relational import grouped_quantile_rankselect
+
+    plan = (
+        grouped_quantile_rankselect(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
+
+
+def test_phrase_match_matches_python_spec(spark, sf_dir):
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_extended import (
+        _PHRASE,
+        phrase_match_positional,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expect = {}
+    for r in docs:
+        toks = r["text"].split()
+        hits = [
+            i + 1
+            for i in range(len(toks) - 1)
+            if toks[i] == _PHRASE[0] and toks[i + 1] == _PHRASE[1]
+        ]
+        if hits:
+            expect[r["doc_id"]] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match_positional(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
