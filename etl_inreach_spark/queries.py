@@ -310,6 +310,7 @@ _TAIL: tuple[str, ...] = (
     # the rotation after the groups above (r9+)
     "grouped_quantile_rankselect",
     "phrase_match_positional",
+    "revenue_weighted_quantile",
 )
 
 

@@ -1487,3 +1487,105 @@ def grouped_quantile_rankselect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.col("rank") - F.col("cum_before"))
     )
     return hits.select("grp", "pct", "rank", F.col("v").alias("value"))
+
+
+_WQ_PCTS = (50, 90, 99)
+
+
+@query(
+    "revenue_weighted_quantile",
+    oracle=f"""
+    WITH o AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM orders
+    ), tot AS (
+        SELECT CAST(sum(cents) AS BIGINT) AS total FROM o
+    ), t AS (
+        SELECT CAST(unnest({list(_WQ_PCTS)}) AS BIGINT) AS pct
+    ), r AS (
+        SELECT pct, (pct * total + 99) // 100 AS threshold FROM t, tot
+    ), s AS (
+        SELECT v, sum(cents) OVER (ORDER BY v, cents
+                 ROWS UNBOUNDED PRECEDING) AS running
+        FROM o
+    ), x AS (
+        SELECT r.pct, r.threshold, s.v, s.running,
+               row_number() OVER (PARTITION BY r.pct ORDER BY s.running)
+                   AS k
+        FROM r JOIN s ON s.running >= r.threshold
+    )
+    SELECT pct, threshold, v AS value FROM x WHERE k = 1
+    """,
+)
+def revenue_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantiles — the Lorenz-curve crossing points: the
+    smallest order value v such that orders priced <= v carry at
+    least p% of TOTAL revenue (p = 50/90/99). The weight is the
+    value itself in exact integer cents (floor(v*100 + 0.5) — the
+    same correctly-rounded double expression on both engines), so
+    every cumulative sum is exact int64 and the crossing is an
+    integer comparison, never a float ULP call.
+
+    Same two-phase rank-selection discipline as
+    exact_quantile_rankselect but over cumulative WEIGHT: the
+    range-bounded histogram aggregates sum(cents) per bucket, the
+    cumulative window runs over the ~600-row histogram only, and
+    only the <=|pcts| buckets containing a crossing re-scan with a
+    per-bucket running sum. Within a bucket the running sum orders
+    by (v, cents) — rows with equal v are interchangeable for the
+    crossing VALUE, so the answer is deterministic even though their
+    relative order is not. The oracle is the naive full-sort running
+    sum. At 100 TB: histogram stays range/width-bounded, the
+    re-scanned fraction is ~|pcts| buckets, no global sort exists."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    ).select(
+        "v",
+        F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    bucketed = o.withColumn(
+        "b", F.floor(F.col("v") / F.lit(1000.0)).cast("bigint")
+    )
+    hist = bucketed.groupBy("b").agg(F.sum("cents").alias("w"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "b", "w", F.sum("w").over(wcum).alias("cum")
+    ).withColumn("cum_before", F.col("cum") - F.col("w"))
+    tot = o.agg(F.sum("cents").alias("total"))
+    targets = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in _WQ_PCTS])
+            ).alias("_pct")
+        )
+        .select(F.col("_pct").cast("bigint").alias("pct"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pct", F.expr("(pct * total + 99) div 100").alias("threshold")
+        )
+    )
+    tb = targets.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("threshold"))
+        & (F.col("cum_before") < F.col("threshold")),
+    ).select("pct", "threshold", "b", "cum_before")
+    wloc = (
+        Window.partitionBy("b", "pct")
+        .orderBy("v", "cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = (
+        bucketed.join(F.broadcast(tb), "b")
+        .withColumn("running", F.col("cum_before") + F.sum("cents").over(wloc))
+        .filter(F.col("running") >= F.col("threshold"))
+    )
+    wmin = Window.partitionBy("pct").orderBy("running")
+    return (
+        hits.withColumn("k", F.row_number().over(wmin))
+        .filter(F.col("k") == 1)
+        .select("pct", "threshold", F.col("v").alias("value"))
+    )

@@ -197,3 +197,37 @@ def test_phrase_match_matches_python_spec(spark, sf_dir):
         for r in phrase_match_positional(spark, sf_dir).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_revenue_weighted_quantile_matches_python_spec(spark, sf_dir):
+    """Lorenz crossing: smallest v whose cumulative exact-cent revenue
+    reaches p% of total."""
+    import math
+
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_relational import (
+        _WQ_PCTS,
+        revenue_weighted_quantile,
+    )
+
+    vals = sorted(
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    total = sum(cents)
+    got = {
+        r["pct"]: (r["threshold"], r["value"])
+        for r in revenue_weighted_quantile(spark, sf_dir).collect()
+    }
+    assert set(got) == set(_WQ_PCTS)
+    for p in _WQ_PCTS:
+        threshold = (p * total + 99) // 100
+        running = 0
+        for v, c in zip(vals, cents):
+            running += c
+            if running >= threshold:
+                assert got[p] == (threshold, v), (p, threshold)
+                break
