@@ -311,6 +311,7 @@ _TAIL: tuple[str, ...] = (
     "grouped_quantile_rankselect",
     "phrase_match_positional",
     "revenue_weighted_quantile",
+    "ks_drift_orders",
 )
 
 

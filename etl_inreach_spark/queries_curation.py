@@ -1050,3 +1050,116 @@ def distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         s98.cast("bigint").alias("share_1998_ppm"),
         F.abs(s97 - s98).cast("bigint").alias("drift_ppm"),
     )
+
+
+@query(
+    "ks_drift_orders",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderstatus AS s
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), n AS (
+        SELECT CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM o
+    ), pc AS (
+        SELECT v,
+               CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM o GROUP BY v
+    ), c AS (
+        SELECT v,
+               CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS f1,
+               CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS f2
+        FROM pc
+    ), d AS (
+        SELECT v, abs(f1 * n2 - f2 * n1) AS dn FROM c, n
+    ), m AS (
+        SELECT max(dn) AS d_num FROM d
+    )
+    SELECT n.n1, n.n2, m.d_num,
+           (m.d_num * 1048576) // (n.n1 * n.n2) AS ks_fp,
+           (SELECT min(v) FROM d WHERE d.dn = m.d_num) AS v_at_max
+    FROM n, m
+    """,
+)
+def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov distance between the order
+    value distributions of finished ('F') and open ('O') orders — the
+    distribution-drift test with an actual statistic, beside the
+    binned PSI skeleton of distribution_drift_orders. The statistic
+    stays in exact integers end-to-end: D's numerator is
+    max_v |F1(v)*n2 - F2(v)*n1| (cross-multiplied empirical CDFs —
+    no division until the final fixed-point rendering
+    (d_num * 2^20) // (n1*n2)), and the report carries the smallest
+    value attaining the max (max-then-min-v, an order-free argmax).
+
+    Scale shape: the empirical CDFs are GLOBAL running sums over the
+    per-value counts — rendered with the same two-level discipline as
+    exact_quantile_rankselect: within-bucket cumulative windows
+    (partitioned by the range-bounded bucket key) plus a bucket-level
+    prefix over the ~600-row histogram; no unpartitioned window ever
+    sees a data-sized row stream. int64 bounds: |f*n| <= n1*n2, so
+    past ~3e9 rows per side widen the cross-products to
+    DECIMAL(38,0) — the comparison stays exact either way."""
+    tune(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_totalprice").cast("double").alias("v"),
+            F.col("o_orderstatus").alias("s"),
+        )
+    )
+    pc = o.groupBy("v").agg(
+        F.sum(F.when(F.col("s") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("s") == "O", 1).otherwise(0)).alias("c2"),
+    ).withColumn("b", F.floor(F.col("v") / F.lit(1000.0)).cast("bigint"))
+    wloc = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = pc.select(
+        "v",
+        "b",
+        F.sum("c1").over(wloc).alias("l1"),
+        F.sum("c2").over(wloc).alias("l2"),
+    )
+    btot = pc.groupBy("b").agg(
+        F.sum("c1").alias("bs1"), F.sum("c2").alias("bs2")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    before = btot.select(
+        "b",
+        (F.sum("bs1").over(wb) - F.col("bs1")).alias("before1"),
+        (F.sum("bs2").over(wb) - F.col("bs2")).alias("before2"),
+    )
+    n = o.agg(
+        F.sum(F.when(F.col("s") == "F", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == "O", 1).otherwise(0)).alias("n2"),
+    )
+    cdf = loc.join(F.broadcast(before), "b").crossJoin(F.broadcast(n))
+    d = cdf.select(
+        "n1",
+        "n2",
+        "v",
+        F.abs(
+            (F.col("before1") + F.col("l1")) * F.col("n2")
+            - (F.col("before2") + F.col("l2")) * F.col("n1")
+        ).alias("dn"),
+    )
+    # order-free argmax: max on (dn, -v) picks the max statistic and,
+    # among ties, the SMALLEST value attaining it
+    agg = d.groupBy("n1", "n2").agg(
+        F.max(F.struct(F.col("dn"), (-F.col("v")).alias("nv"))).alias("m")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("m.dn").alias("d_num"),
+        F.expr("(m.dn * 1048576) div (n1 * n2)").alias("ks_fp"),
+        (-F.col("m.nv")).alias("v_at_max"),
+    )

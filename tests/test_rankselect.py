@@ -231,3 +231,31 @@ def test_revenue_weighted_quantile_matches_python_spec(spark, sf_dir):
             if running >= threshold:
                 assert got[p] == (threshold, v), (p, threshold)
                 break
+
+
+def test_ks_drift_matches_python_spec(spark, sf_dir):
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_curation import ks_drift_orders
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderstatus")
+        .collect()
+    )
+    f = sorted(r["o_totalprice"] for r in rows if r["o_orderstatus"] == "F")
+    o = sorted(r["o_totalprice"] for r in rows if r["o_orderstatus"] == "O")
+    n1, n2 = len(f), len(o)
+    values = sorted(set(f) | set(o))
+    import bisect
+
+    best = (-1, None)
+    for v in values:
+        f1 = bisect.bisect_right(f, v)
+        f2 = bisect.bisect_right(o, v)
+        dn = abs(f1 * n2 - f2 * n1)
+        if dn > best[0]:
+            best = (dn, v)
+    got = ks_drift_orders(spark, sf_dir).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert (got["d_num"], got["v_at_max"]) == best
+    assert got["ks_fp"] == best[0] * 1048576 // (n1 * n2)
