@@ -312,6 +312,9 @@ _TAIL: tuple[str, ...] = (
     "phrase_match_positional",
     "revenue_weighted_quantile",
     "ks_drift_orders",
+    "ohlc_user_hourly",
+    "session_path_trigrams",
+    "source_centroid_similarity",
 )
 
 

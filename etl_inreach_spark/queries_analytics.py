@@ -2193,3 +2193,123 @@ def mad_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_anomaly"),
     )
+
+
+@query(
+    "ohlc_user_hourly",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           (min({'t': ts, 'i': event_id, 'v': value})).v AS open,
+           max(value) AS high,
+           min(value) AS low,
+           (max({'t': ts, 'i': event_id, 'v': value})).v AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ohlc_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the time-series compaction primitive
+    (finance bars, telemetry rollups): per (user, day, hour), the
+    first and last observed value plus the extremes and the sample
+    count. First/last are pure SELECTION, not arithmetic: the min/max
+    of a lexicographic (ts, event_id, value) struct — event_id breaks
+    same-timestamp ties deterministically, and because both engines
+    compare structs lexicographically the chosen VALUE is identical
+    (no float math anywhere in this query, so no decimal discipline
+    needed). Scale shape: ONE map-side-combining hash aggregate
+    keyed (user, day, hour) — each partial carries two structs + two
+    doubles + a count per live key, merges associatively, and the
+    output is the downsampled series itself (the input never
+    re-shuffles). This is the aggregation form of the
+    latest_per_key argmax dedup (reference O18) generalized to
+    first+last+extremes."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"),
+                   F.col("value").alias("v"))
+    return ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(
+        F.min(key).getField("v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(key).getField("v").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "session_path_trigrams",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL '1800' SECOND
+                    THEN 1 ELSE 0 END AS is_new
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+    ), g AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    ), tri AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM g
+        WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tri WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT 20
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey pattern mining: the 20 most frequent 3-step
+    event-type paths WITHIN a session (gap = 1800 s, the sessionize
+    operator's semantics — the oracle replays lag/gap/running-sum
+    verbatim). Trigrams never cross a session boundary, and the
+    within-session order is the total (ts, event_id) order, so the
+    path multiset is partition-invariant. Tie-breaking the top-20 by
+    (count DESC, path ASC) makes the cut deterministic.
+
+    Scale shape: one (user) shuffle+sort that BOTH sessionization
+    windows and the two leads reuse (same partitioning prefix and
+    ordering — one Exchange, one Sort in the plan), then a
+    partial-agg count whose key space is bounded by |event_types|^3,
+    and a TakeOrdered top-20 (no global sort). The path relation is
+    vocabulary-sized, never event-sized."""
+    tune(spark)
+    from etl_inreach_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    g = sessionize(ev, ["user_id"], "ts", 1800, "event_id", "sid")
+    w = Window.partitionBy("user_id", "sid").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = g.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        tri.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("path").asc())
+        .limit(20)
+    )

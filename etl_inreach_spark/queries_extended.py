@@ -2226,3 +2226,105 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("i").alias("first_pos"),
         )
     )
+
+
+@query(
+    "source_centroid_similarity",
+    oracle="""
+    WITH el AS (
+        SELECT d.source, CAST(i AS BIGINT) - 1 AS dim,
+               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 4096 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id,
+        unnest(generate_series(1, len(e.embedding))) AS u(i)
+    ), sv AS (
+        SELECT source, dim, CAST(sum(q) AS BIGINT) AS s
+        FROM el GROUP BY source, dim
+    ), norms AS (
+        SELECT source, CAST(sum(s * s) AS BIGINT) AS ss FROM sv GROUP BY source
+    ), dots AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum(a.s * b.s) AS BIGINT) AS num
+        FROM sv a JOIN sv b ON a.dim = b.dim AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT d.src_a, d.src_b,
+           CAST(floor((CAST(d.num AS DOUBLE) * 1048576)
+                / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))))
+                AS BIGINT) AS cos_fp
+    FROM dots d
+    JOIN norms na ON na.source = d.src_a
+    JOIN norms nb ON nb.source = d.src_b
+    """,
+)
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level semantic audit: pairwise cosine similarity between
+    each source's embedding CENTROID — the corpus-mixture diagnostic
+    that says which sources are semantically redundant before
+    sampling weights are chosen. The mean-vector cosine equals the
+    SUM-vector cosine (the 1/n scalars cancel), so per-(source, dim)
+    int64 sums of 2^12-quantized components are the whole sufficient
+    statistic: dots and norms are exact integer aggregates, and the
+    only float math is the final floor((num*2^20)/(sqrt(ssa)*
+    sqrt(ssb))) — correctly-rounded IEEE ops in the identical order
+    on both engines, bit-identical on the 2^20 fixed-point grid.
+
+    Scale shape: the tall quantized relation aggregates to
+    |sources| x |dims| rows (map-side partials; the embeddings join
+    to doc->source is key-bounded), the pairwise dot is a self-join
+    on dim over that TINY relation (|sources|^2 x |dims| worst case,
+    sources are a catalog not a data column), and norms broadcast.
+    At 100 TB the per-(source,dim) partial sums are still the only
+    thing that crosses the wire — int64 holds to ~6e12 docs/source
+    at |q|<=1430 before DECIMAL(38,0) widening."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .select(
+            "source", F.posexplode("embedding").alias("dim", "_x")
+        )
+        .select(
+            "source",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.floor(F.col("_x").cast("double") * 4096 + F.lit(0.5))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    sv = el.groupBy("source", "dim").agg(F.sum("q").alias("s"))
+    norms = sv.groupBy("source").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    a = sv.select(
+        F.col("source").alias("src_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sv.select(
+        F.col("source").alias("src_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, ["dim"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("num"))
+    )
+    na = norms.select(F.col("source").alias("src_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("source").alias("src_b"), F.col("ss").alias("ssb"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.floor(
+                F.col("num").cast("double")
+                * F.lit(1048576.0)
+                / (F.sqrt(F.col("ssa").cast("double"))
+                   * F.sqrt(F.col("ssb").cast("double")))
+            )
+            .cast("bigint")
+            .alias("cos_fp"),
+        )
+    )

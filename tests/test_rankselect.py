@@ -259,3 +259,111 @@ def test_ks_drift_matches_python_spec(spark, sf_dir):
     assert (got["n1"], got["n2"]) == (n1, n2)
     assert (got["d_num"], got["v_at_max"]) == best
     assert got["ks_fp"] == best[0] * 1048576 // (n1 * n2)
+
+
+def test_ohlc_matches_python_spec(spark, sf_dir):
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_analytics import ohlc_user_hourly
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        k = (r["user_id"], r["ts"].date(), r["ts"].hour)
+        groups.setdefault(k, []).append((r["ts"], r["event_id"], r["value"]))
+    got = {
+        (r["user_id"], r["day"], r["hr"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in ohlc_user_hourly(spark, sf_dir).collect()
+    }
+    assert len(got) == len(groups)
+    for k, evs in groups.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        assert got[k] == (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
+
+
+def test_session_trigrams_within_session_only(spark, sf_dir):
+    """Python replica: sessionize by 1800s gap, emit within-session
+    event-type trigrams, count, top-20 with (cnt desc, path asc)."""
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_analytics import session_path_trigrams
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    counts: dict[str, int] = {}
+    for evs in by_user.values():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        sessions, cur = [], []
+        for e in evs:
+            if cur and (e[0] - cur[-1][0]).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append(e)
+        if cur:
+            sessions.append(cur)
+        for s in sessions:
+            for i in range(len(s) - 2):
+                p = f"{s[i][2]}>{s[i+1][2]}>{s[i+2][2]}"
+                counts[p] = counts.get(p, 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["path"], r["cnt"])
+        for r in session_path_trigrams(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_source_centroid_similarity_spec(spark, sf_dir):
+    """Exact replica for one source pair + structural checks: all
+    C(n,2) pairs present, cos_fp <= 2^20."""
+    import math
+
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_extended import source_centroid_similarity
+
+    got = {
+        (r["src_a"], r["src_b"]): r["cos_fp"]
+        for r in source_centroid_similarity(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    sums: dict[str, list] = {}
+    for r in emb:
+        src = docs[r["vec_id"]]
+        qs = [math.floor(float(x) * 4096 + 0.5) for x in r["embedding"]]
+        acc = sums.setdefault(src, [0] * len(qs))
+        for i, v in enumerate(qs):
+            acc[i] += v
+    srcs = sorted(sums)
+    n_pairs = len(srcs) * (len(srcs) - 1) // 2
+    assert len(got) == n_pairs
+    a, b = srcs[0], srcs[1]
+    num = sum(x * y for x, y in zip(sums[a], sums[b]))
+    ssa = sum(x * x for x in sums[a])
+    ssb = sum(y * y for y in sums[b])
+    assert got[(a, b)] == math.floor(
+        num * 1048576.0 / (math.sqrt(ssa) * math.sqrt(ssb))
+    )
+    assert all(v <= 1048576 for v in got.values())
