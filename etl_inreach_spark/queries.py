@@ -138,6 +138,10 @@ _FRONT: tuple[str, ...] = (
 #       ROUND-9 window ahead of the r6/r7-window greens. This debt is
 #       inherent to a fixed window over a growing registry and is
 #       tracked here rather than hidden.
+#   ROUND-9 priority within that: the 7 post-cap r7 tail additions
+#   (grouped_quantile_rankselect .. source_centroid_similarity, at
+#   the _TAIL end) are never driver-verified and enter r9 group 1,
+#   AHEAD of the stale-but-once-green r5 remainder.
 #
 # r7 NEW-QUERY candidates (operators landed + pytest-pinned in
 # earlier rounds; VERDICT r6 item 3 asks for oracle gates on the
