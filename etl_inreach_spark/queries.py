@@ -319,6 +319,8 @@ _TAIL: tuple[str, ...] = (
     "ohlc_user_hourly",
     "session_path_trigrams",
     "source_centroid_similarity",
+    "auc_price_status",
+    "benford_first_digit_orders",
 )
 
 

@@ -1163,3 +1163,195 @@ def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(m.dn * 1048576) div (n1 * n2)").alias("ks_fp"),
         (-F.col("m.nv")).alias("v_at_max"),
     )
+
+
+@query(
+    "auc_price_status",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderstatus AS s
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), n AS (
+        SELECT CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM o
+    ), pc AS (
+        SELECT v,
+               CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM o GROUP BY v
+    ), c AS (
+        SELECT v, c1, c2,
+               CAST(sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    - (c1 + c2) AS BIGINT) AS cum_before
+        FROM pc
+    ), r AS (
+        -- 2x the tie-adjusted (midrank) rank sum of class F:
+        -- each of the c1 F-copies at value v carries midrank
+        -- cum_before + (c1+c2+1)/2
+        SELECT CAST(sum(c1 * (2 * cum_before + c1 + c2 + 1)) AS BIGINT)
+               AS two_r1
+        FROM c
+    )
+    SELECT n.n1, n.n2, r.two_r1,
+           r.two_r1 - n.n1 * (n.n1 + 1) AS u1_x2,
+           (r.two_r1 - n.n1 * (n.n1 + 1)) * 1048576
+               // (2 * n.n1 * n.n2) AS auc_fp
+    FROM n, r
+    """,
+)
+def auc_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed ROC-AUC — the ranking metric of a classifier
+    evaluation pipeline, computed as the Mann-Whitney U statistic
+    with full tie handling (AUC = P(X>Y) + P(X=Y)/2 where X is the
+    price of a finished order and Y of an open one). Everything is
+    integer-exact: per-value class counts, the global rank offsets
+    via the same two-level cumsum as ks_drift_orders (within-bucket
+    windows + a prefix over the range-bounded histogram), and the
+    tie-adjusted rank sum DOUBLED so midranks (k+1/2) never leave
+    the integer grid: 2*R1 = sum over distinct v of
+    c1 * (2*cum_before + c1 + c2 + 1). The final
+    auc_fp = (2*R1 - 2*n1(n1+1)/2) * 2^20 // (2*n1*n2) is one
+    integer floor-division. A 0.5-AUC fixture (no signal) and a
+    perfectly separated one are pinned in the spec test.
+
+    Scale shape: identical to ks_drift_orders — one per-value count
+    aggregate, histogram-bounded prefix, one 1-row reduction; the
+    int64 bound is two_r1 <= (n1+n2)^2, so past ~3e9 rows widen to
+    DECIMAL(38,0)."""
+    tune(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_totalprice").cast("double").alias("v"),
+            F.col("o_orderstatus").alias("s"),
+        )
+    )
+    pc = o.groupBy("v").agg(
+        F.sum(F.when(F.col("s") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("s") == "O", 1).otherwise(0)).alias("c2"),
+    ).withColumn("b", F.floor(F.col("v") / F.lit(1000.0)).cast("bigint"))
+    wloc = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = pc.select(
+        "b", "c1", "c2",
+        (F.sum(F.col("c1") + F.col("c2")).over(wloc)
+         - (F.col("c1") + F.col("c2"))).alias("lbefore"),
+    )
+    btot = pc.groupBy("b").agg(
+        F.sum(F.col("c1") + F.col("c2")).alias("bs")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    before = btot.select(
+        "b", (F.sum("bs").over(wb) - F.col("bs")).alias("bbefore")
+    )
+    two_r1 = (
+        loc.join(F.broadcast(before), "b")
+        .select(
+            (
+                F.col("c1")
+                * (
+                    2 * (F.col("bbefore") + F.col("lbefore"))
+                    + F.col("c1") + F.col("c2") + 1
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("two_r1"))
+    )
+    n = o.agg(
+        F.sum(F.when(F.col("s") == "F", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == "O", 1).otherwise(0)).alias("n2"),
+    )
+    return (
+        n.crossJoin(F.broadcast(two_r1))
+        .select(
+            "n1", "n2", "two_r1",
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+            F.expr(
+                "(two_r1 - n1 * (n1 + 1)) * 1048576 div (2 * n1 * n2)"
+            ).alias("auc_fp"),
+        )
+    )
+
+
+# floor(log10(1 + 1/d) * 1e6 + 0.5), computed ONCE offline — embedding
+# the ppm literals keeps every engine-side expression log-free (the
+# tfidf libm-ULP lesson); they sum to exactly 1,000,000
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "benford_first_digit_orders",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(
+                   CAST(o_totalprice AS DOUBLE) * 100 + 0.5
+               ) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS total FROM d
+    ), c AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit
+    )
+    SELECT c.digit, c.cnt,
+           c.cnt * 1000000 // n.total AS share_ppm,
+           CASE {' '.join(f"WHEN c.digit = {k} THEN {v}" for k, v in sorted(_BENFORD_PPM.items()))}
+           END AS benford_ppm,
+           c.cnt * 1000000 // n.total
+               - CASE {' '.join(f"WHEN c.digit = {k} THEN {v}" for k, v in sorted(_BENFORD_PPM.items()))}
+                 END AS dev_ppm
+    FROM c, n
+    """,
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fabricated-data / ingestion-fault screen of a data-governance
+    suite. The first significant digit comes from the STRING head of
+    the exact integer cents (floor(v*100 + 0.5) — prices >= $1 make
+    the cents head the value's leading digit), so no engine ever
+    evaluates a log: the Benford expectations are 9 precomputed ppm
+    literals embedded in both renderings (they sum to exactly 1e6),
+    and shares are integer floor-division ppm. Output: per-digit
+    count, observed ppm, expected ppm, signed deviation. (TPC-H
+    uniform prices are far from Benford — large deviations here are
+    the CORRECT answer; the query pins the measurement, not the
+    law.) Scale shape: a 9-key map-side-combined aggregate plus one
+    broadcast total — nothing else crosses the wire."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(_BENFORD_PPM.items()) for x in kv]
+        ),
+        F.col("digit").cast("int"),
+    ).cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+            expected.alias("benford_ppm"),
+            (F.expr("cnt * 1000000 div total") - expected).alias("dev_ppm"),
+        )
+    )

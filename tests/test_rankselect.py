@@ -367,3 +367,64 @@ def test_source_centroid_similarity_spec(spark, sf_dir):
         num * 1048576.0 / (math.sqrt(ssa) * math.sqrt(ssb))
     )
     assert all(v <= 1048576 for v in got.values())
+
+
+def test_auc_matches_pairwise_count(spark, sf_dir):
+    """AUC from the rank formula must equal the brute-force
+    P(X>Y) + P(X=Y)/2 pair count (doubled to stay integer)."""
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_curation import auc_price_status
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderstatus")
+        .collect()
+    )
+    f = sorted(r["o_totalprice"] for r in rows if r["o_orderstatus"] == "F")
+    o = sorted(r["o_totalprice"] for r in rows if r["o_orderstatus"] == "O")
+    import bisect
+
+    # 2*U1 = sum over x in F of 2*#{y<x} + #{y==x}
+    u1_x2 = sum(
+        2 * bisect.bisect_left(o, x)
+        + (bisect.bisect_right(o, x) - bisect.bisect_left(o, x))
+        for x in f
+    )
+    got = auc_price_status(spark, sf_dir).collect()[0]
+    assert (got["n1"], got["n2"]) == (len(f), len(o))
+    assert got["u1_x2"] == u1_x2
+    assert got["auc_fp"] == u1_x2 * 1048576 // (2 * len(f) * len(o))
+    # no-signal sanity: status is independent of price in this data,
+    # so AUC must sit near 0.5 (within 5% of the 2^20 grid)
+    assert abs(got["auc_fp"] - 524288) < 52429
+
+
+def test_benford_shares_sum_and_spec(spark, sf_dir):
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_curation import (
+        _BENFORD_PPM,
+        benford_first_digit_orders,
+    )
+
+    prices = [
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    import math
+
+    counts: dict[int, int] = {}
+    for v in prices:
+        d = int(str(math.floor(v * 100 + 0.5))[0])
+        counts[d] = counts.get(d, 0) + 1
+    total = len(prices)
+    got = {
+        r["digit"]: (r["cnt"], r["share_ppm"], r["benford_ppm"], r["dev_ppm"])
+        for r in benford_first_digit_orders(spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for d, cnt in counts.items():
+        share = cnt * 1000000 // total
+        assert got[d] == (cnt, share, _BENFORD_PPM[d], share - _BENFORD_PPM[d])
+    assert sum(_BENFORD_PPM.values()) == 1000000
