@@ -321,6 +321,7 @@ _TAIL: tuple[str, ...] = (
     "source_centroid_similarity",
     "auc_price_status",
     "benford_first_digit_orders",
+    "farthest_point_seeds",
 )
 
 

@@ -2328,3 +2328,139 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_fp"),
         )
     )
+
+
+_FPS_K = 5  # number of seeds (bounded; the operator is k passes)
+
+
+def _fps_oracle() -> str:
+    """Unrolled farthest-point-traversal oracle: each round joins the
+    quantized element relation against the single chosen vector and
+    takes the (max min-distance, min vec_id) row."""
+    parts = ["""
+    WITH el AS MATERIALIZED (
+        SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 4096 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+    ), c1 AS (SELECT CAST(min(vec_id) AS BIGINT) AS id FROM el)"""]
+    prev_mind = None
+    for r in range(2, _FPS_K + 1):
+        d = f"d{r}"
+        parts.append(f""",
+    {d} AS MATERIALIZED (
+        SELECT e.vec_id,
+               CAST(sum((e.q - c.q) * (e.q - c.q)) AS BIGINT) AS dist
+        FROM el e JOIN (
+            SELECT dim, q FROM el
+            WHERE vec_id = (SELECT id FROM c{r - 1})
+        ) c ON c.dim = e.dim
+        GROUP BY e.vec_id
+    )""")
+        if prev_mind is None:
+            mind_expr = f"{d}.dist"
+            join = f"FROM {d}"
+        else:
+            mind_expr = f"least({prev_mind}.mind, {d}.dist)"
+            join = f"FROM {prev_mind} JOIN {d} USING (vec_id)"
+        m = f"m{r}"
+        parts.append(f""",
+    {m} AS MATERIALIZED (
+        SELECT vec_id, {mind_expr} AS mind {join}
+    ), c{r} AS (
+        SELECT CAST(vec_id AS BIGINT) AS id, mind FROM {m}
+        WHERE vec_id NOT IN ({", ".join(f"(SELECT id FROM c{j})" for j in range(1, r))})
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    )""")
+        prev_mind = m
+    picks = ["SELECT CAST(1 AS BIGINT) AS pick_idx, id AS vec_id, CAST(0 AS BIGINT) AS mind FROM c1"]
+    for r in range(2, _FPS_K + 1):
+        picks.append(
+            f"SELECT CAST({r} AS BIGINT) AS pick_idx, id AS vec_id, mind FROM c{r}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(picks))
+    return "".join(parts)
+
+
+@query("farthest_point_seeds", oracle=_fps_oracle())
+def farthest_point_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic farthest-point traversal (k-center / k-means++
+    style seeding, Gonzalez 1985): pick 5 maximally spread embedding
+    vectors — the coreset/diversity-selection primitive of a
+    training-data pipeline (seed centroids, diverse eval panels,
+    dedup anchors). Round 1 takes the smallest vec_id; each later
+    round takes the vector maximizing its min squared distance to
+    the chosen set, ties to the smallest vec_id. All distances are
+    exact int64 on the 2^12 quantized grid (the clustering.py
+    convention), so the traversal is a pure function of the data —
+    partition- and schedule-invariant, and the DuckDB oracle replays
+    all rounds verbatim.
+
+    Scale shape: k bounded passes; each round is one broadcast of
+    the single chosen vector's 64 quantized components against the
+    candidate relation (a map-side zip_with/aggregate fold — no
+    shuffle) followed by a 1-row max-reduce. The running min-distance
+    column rides along via localCheckpoint so round r never replays
+    round r-1's work (the kmeans/graph iteration discipline). At
+    100 TB each pass is scan-bound; k stays human-sized (5-100), and
+    the HOF fold touches 64 ints per row per round — not a hot loop
+    over candidates^2."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 4096 + F.lit(0.5)).cast("bigint"),
+    )
+    cand = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), qarr.alias("qa")
+    ).localCheckpoint(eager=False)
+
+    def dist_to(chosen_col: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("qa"), F.col(chosen_col), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    first = cand.orderBy("vec_id").limit(1)
+    picks = first.select(
+        F.lit(1).cast("bigint").alias("pick_idx"),
+        "vec_id",
+        F.lit(0).cast("bigint").alias("mind"),
+    )
+    state = cand.crossJoin(
+        F.broadcast(first.select(F.col("qa").alias("ca"),
+                                 F.col("vec_id").alias("cid")))
+    ).select(
+        "vec_id", "qa", dist_to("ca").alias("mind"),
+        (F.col("vec_id") == F.col("cid")).alias("taken"),
+    ).localCheckpoint(eager=False)
+    for r in range(2, _FPS_K + 1):
+        best = (
+            state.filter(~F.col("taken"))
+            .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        picks = picks.unionByName(
+            best.select(
+                F.lit(r).cast("bigint").alias("pick_idx"), "vec_id", "mind"
+            )
+        )
+        if r < _FPS_K:
+            state = state.crossJoin(
+                F.broadcast(
+                    best.select(F.col("qa").alias("ca"),
+                                F.col("vec_id").alias("cid"))
+                )
+            ).select(
+                "vec_id",
+                "qa",
+                F.least(F.col("mind"), dist_to("ca")).alias("mind"),
+                (F.col("taken") | (F.col("vec_id") == F.col("cid"))).alias(
+                    "taken"
+                ),
+            ).localCheckpoint(eager=False)
+    return picks

@@ -428,3 +428,43 @@ def test_benford_shares_sum_and_spec(spark, sf_dir):
         share = cnt * 1000000 // total
         assert got[d] == (cnt, share, _BENFORD_PPM[d], share - _BENFORD_PPM[d])
     assert sum(_BENFORD_PPM.values()) == 1000000
+
+
+def test_farthest_point_seeds_matches_python_spec(spark, sf_dir):
+    """Greedy farthest-point traversal replica on the quantized grid:
+    same seeds, same max-min distances, same tie-breaks."""
+    import math
+
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_extended import _FPS_K, farthest_point_seeds
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = {
+        r["vec_id"]: [math.floor(float(x) * 4096 + 0.5) for x in r["embedding"]]
+        for r in emb
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [min(q)]
+    expect = [(1, chosen[0], 0)]
+    mind = {v: d2(q[v], q[chosen[0]]) for v in q}
+    for r in range(2, _FPS_K + 1):
+        best = max(
+            (v for v in q if v not in chosen),
+            key=lambda v: (mind[v], -v),
+        )
+        expect.append((r, best, mind[best]))
+        chosen.append(best)
+        for v in q:
+            mind[v] = min(mind[v], d2(q[v], q[best]))
+    got = sorted(
+        (r["pick_idx"], r["vec_id"], r["mind"])
+        for r in farthest_point_seeds(spark, sf_dir).collect()
+    )
+    assert got == expect
