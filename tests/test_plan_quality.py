@@ -178,3 +178,36 @@ def test_heavy_hitters_candidates_broadcast(spark):
     the document relation must never shuffle for the join."""
     plan = _plan(spark, "heavy_hitters_lang")
     assert "BroadcastHashJoin" in plan
+
+
+def test_rankselect_family_prunes_columns(spark):
+    """The quantile/KS/AUC family touches 1-2 orders columns; the
+    parquet ReadSchema must carry ONLY those (a scan reading
+    o_comment-sized payloads for a quantile would multiply 100 TB
+    scan cost for nothing)."""
+    allowed = {
+        "exact_quantile_rankselect": {"o_totalprice"},
+        "revenue_weighted_quantile": {"o_totalprice"},
+        "grouped_quantile_rankselect": {"o_totalprice", "o_orderpriority"},
+        "ks_drift_orders": {"o_totalprice", "o_orderstatus"},
+        "auc_price_status": {"o_totalprice", "o_orderstatus"},
+        "benford_first_digit_orders": {"o_totalprice"},
+    }
+    all_cols = {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    for name, keep in allowed.items():
+        df = all_queries()[name](spark, SF_DIR)
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        full = qe.explainString(mode)
+        read_schemas = [
+            ln for ln in full.splitlines() if "ReadSchema" in ln
+        ]
+        assert read_schemas, name
+        for ln in read_schemas:
+            for col in all_cols - keep:
+                assert col not in ln, (name, col, ln)
