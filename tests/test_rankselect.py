@@ -468,3 +468,26 @@ def test_farthest_point_seeds_matches_python_spec(spark, sf_dir):
         for r in farthest_point_seeds(spark, sf_dir).collect()
     )
     assert got == expect
+
+
+def test_ks_and_auc_no_single_partition_row_stream(spark, sf_dir):
+    """The KS/AUC global CDF cumsums use the two-level bucket
+    discipline: the only unpartitioned windows run over the
+    range-bounded histogram, so every SinglePartition exchange must
+    feed an aggregate (same pin as the quantile family)."""
+    from etl_inreach_spark.queries_curation import (
+        auc_price_status,
+        ks_drift_orders,
+    )
+
+    for fn in (ks_drift_orders, auc_price_status):
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                assert "HashAggregate" in lines[i + 1], (
+                    fn.__name__,
+                    lines[i : i + 2],
+                )
