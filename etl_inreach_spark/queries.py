@@ -322,6 +322,8 @@ _TAIL: tuple[str, ...] = (
     "auc_price_status",
     "benford_first_digit_orders",
     "farthest_point_seeds",
+    "source_concentration_hhi",
+    "gini_order_values",
 )
 
 

@@ -1355,3 +1355,136 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("cnt * 1000000 div total") - expected).alias("dev_ppm"),
         )
     )
+
+
+@query(
+    "source_concentration_hhi",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ), n AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(sum(cnt * cnt) AS BIGINT) AS sq
+        FROM c
+    )
+    SELECT c.source, c.cnt,
+           c.cnt * 1000000 // n.total AS share_ppm,
+           n.sq * 1048576 // (n.total * n.total) AS hhi_fp,
+           n.total * n.total * 1048576 // n.sq AS eff_sources_fp
+    FROM c, n
+    """,
+)
+def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture concentration audit: per-source document share
+    (exact integer ppm) plus the Herfindahl-Hirschman index and the
+    inverse-Simpson EFFECTIVE number of sources, both as exact
+    integer ratios on the 2^20 grid (hhi = sum(c^2)*2^20 //
+    n^2, eff = n^2*2^20 // sum(c^2) — no float ever). The pair is
+    the one-look answer to 'is this corpus really as diverse as its
+    source count claims' before mixture weights are chosen
+    (domain_mix_weights / temperature_resample_sources act on the
+    same relation). Scale shape: one |sources|-key partial-agg count
+    and a broadcast 1-row (total, sum-of-squares) reduction — the
+    entire statistic rides on a catalog-sized relation. int64 bound:
+    sum(cnt^2) overflows past ~3e9 docs in ONE source; widen to
+    DECIMAL(38,0) partials beyond."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    n = c.agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+    )
+    return c.crossJoin(F.broadcast(n)).select(
+        "source",
+        "cnt",
+        F.expr("cnt * 1000000 div total").alias("share_ppm"),
+        F.expr("sq * 1048576 div (total * total)").alias("hhi_fp"),
+        F.expr("total * total * 1048576 div sq").alias("eff_sources_fp"),
+    )
+
+
+@query(
+    "gini_order_values",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM orders
+    ), s AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents) AS i
+        FROM o
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS tot,
+               CAST(sum((2 * i - 1) * cents) AS BIGINT) AS wsum
+        FROM s
+    )
+    SELECT n, tot,
+           (wsum - n * tot) AS g_num,
+           CAST(floor(CAST(wsum - n * tot AS DOUBLE) * 1048576
+                / CAST(n * tot AS DOUBLE)) AS BIGINT) AS gini_fp
+    FROM agg
+    """,
+)
+def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of order-value inequality — the scalar
+    companion of revenue_weighted_quantile's Lorenz crossings:
+    G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) over the
+    ascending sort, which the query renders as
+    (sum((2i-1)*x) - n*sum(x)) / (n*sum(x)): n, sum and the weighted
+    sum stay exact integer cents end-to-end (g_num is exact), and
+    only the final 2^20 rendering is one double expression whose
+    bigint->double casts, multiply, divide and floor are all
+    correctly rounded identically on both engines (g_num*2^20 would
+    overflow int64, the one place the integer grid gives way). Rank
+    ties don't matter: equal values are interchangeable under any
+    assignment of consecutive ranks (the weighted sum over a tie
+    block is invariant), so the statistic is partition-exact without
+    a tie-break column.
+
+    Scale shape: the global ascending rank i comes from the same
+    two-level discipline as the quantile family — a within-bucket
+    row_number plus the histogram-level COUNT prefix (never a global
+    sort); the three reductions are one partial-agg pass. int64
+    bound: sum((2i-1)*cents) <= 2*n^2*max_cents — past ~2e7 rows at
+    $600k prices, widen the weighted sum to DECIMAL(38,0); the
+    comparison logic is unchanged."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    bucketed = o.withColumn(
+        "b", (F.col("cents") / F.lit(100000)).cast("bigint")
+    )
+    wloc = Window.partitionBy("b").orderBy("cents")
+    loc = bucketed.withColumn("li", F.row_number().over(wloc))
+    btot = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    before = btot.select(
+        "b", (F.sum("bc").over(wb) - F.col("bc")).alias("bbefore")
+    )
+    ranked = loc.join(F.broadcast(before), "b").select(
+        "cents", (F.col("bbefore") + F.col("li")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum((2 * F.col("i") - 1) * F.col("cents")).alias("wsum"),
+    )
+    return agg.select(
+        "n",
+        "tot",
+        (F.col("wsum") - F.col("n") * F.col("tot")).alias("g_num"),
+        F.floor(
+            (F.col("wsum") - F.col("n") * F.col("tot")).cast("double")
+            * F.lit(1048576.0)
+            / (F.col("n") * F.col("tot")).cast("double")
+        )
+        .cast("bigint")
+        .alias("gini_fp"),
+    )

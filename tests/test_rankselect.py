@@ -491,3 +491,56 @@ def test_ks_and_auc_no_single_partition_row_stream(spark, sf_dir):
                     fn.__name__,
                     lines[i : i + 2],
                 )
+
+
+def test_hhi_and_gini_match_python_spec(spark, sf_dir):
+    import math
+
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_curation import (
+        gini_order_values,
+        source_concentration_hhi,
+    )
+
+    srcs = [
+        r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source")
+        .collect()
+    ]
+    counts: dict[str, int] = {}
+    for s in srcs:
+        counts[s] = counts.get(s, 0) + 1
+    total = len(srcs)
+    sq = sum(c * c for c in counts.values())
+    got = {
+        r["source"]: (r["cnt"], r["share_ppm"], r["hhi_fp"], r["eff_sources_fp"])
+        for r in source_concentration_hhi(spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for s, c in counts.items():
+        assert got[s] == (
+            c,
+            c * 1000000 // total,
+            sq * 1048576 // (total * total),
+            total * total * 1048576 // sq,
+        )
+
+    cents = sorted(
+        math.floor(r["o_totalprice"] * 100 + 0.5)
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(cents)
+    tot = sum(cents)
+    wsum = sum((2 * (i + 1) - 1) * x for i, x in enumerate(cents))
+    g_num = wsum - n * tot
+    row = gini_order_values(spark, sf_dir).collect()[0]
+    assert (row["n"], row["tot"], row["g_num"]) == (n, tot, g_num)
+    assert row["gini_fp"] == math.floor(
+        float(g_num) * 1048576.0 / float(n * tot)
+    )
+    # uniform-ish TPC-H prices: Gini must sit in a plausible (0, 0.5)
+    # inequality band, far from both degenerate poles
+    assert 0 < row["gini_fp"] < 524288
