@@ -47,153 +47,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window as long as the tail stays >= (total - 50) names.
 #
 # Verdict history (rN = CORRECTNESS_r0N):
-#   Round-7 rotation — executes the ROUND-7 ROTATION PLAN written at
-#   r6 verbatim (CORRECTNESS_r06 was 50/50 green, so every name in
-#   the r6 window now has a fresh verdict and rotates out with one
-#   round of headroom), with the endpoint labels corrected per
-#   ADVICE r6 (the first 7 late additions in registration order end
-#   at recursive_nation_chain, not dup_span_maximal). _FRONT groups,
-#   in order:
-#   (1a) all 12 former _PENDING names — never driver-verified (local
-#        oracle_check PASS + green rows in ORACLE_FULL_r6.json);
-#   (2)  the 31 r4-greens out r5+r6 — AT the staleness bound, MUST
-#        be verified in r7 (pseudonymize_customers ..
-#        broadcast_config_join);
-#   (1b) the first 7 r6 late additions in registration order
-#        (term_lift_pairs .. recursive_nation_chain) — never
-#        driver-verified.
-#   12 + 31 + 7 = 50 exactly.
-#   _TAIL order encodes r8 priority: the 12 deferred late additions
-#   (never driver-verified) lead, then the 50 r5-window greens (out
-#   r6+r7 after this rotation — at the bound, MUST enter r8), then
-#   the 50 r6-window greens (out r7 only, one round of headroom).
+#   Round-8 rotation — executes the ROUND-8 ROTATION PLAN written at
+#   r7 verbatim (CORRECTNESS_r07 was 50/50 green, so every name in
+#   the r7 window has a fresh verdict and rotates out with one round
+#   of headroom). _FRONT groups, in order:
+#   (1a) all 12 former _PENDING names (r7 additions) — never
+#        driver-verified (local oracle_check PASS at three SFs +
+#        green rows in ORACLE_FULL_r7.json; judge re-ran several);
+#   (1b) the 12 r6 late additions deferred from the r7 window
+#        (lateral_top2_customers .. distribution_drift_orders) —
+#        never driver-verified;
+#   (2)  the head of the r5-window block (greens out r6+r7 — AT the
+#        staleness bound), 26 names to fill 50 exactly
+#        (asof_next_purchase_after_click .. tumbling_15min_counts).
+#   12 + 12 + 26 = 50 exactly.
 _FRONT: tuple[str, ...] = (
-    # (1a) former _PENDING — never driver-verified
-    "priority_sample_documents",
-    "global_row_index_orders",
-    "negative_sample_contrastive",
-    "heavy_hitters_lang",
-    "kmv_corpus_overlap",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q22_sales_opportunity",
-    "zorder_locality_orders",
-    # (2) r4-greens out r5+r6 — at the staleness bound
-    "pseudonymize_customers",
-    "hof_array_zoo",
-    "window_function_zoo",
-    "streaming_static_enrich",
-    "cdc_latest_state",
-    "rollup_time_revenue",
-    "variant_props_extract",
-    "partitioned_sink_prune",
-    "csv_roundtrip_orders",
-    "cogroup_conversion_latency",
-    "zorder_events_key",
-    "ansi_safe_functions",
-    "doc_chunk_overlap",
-    "triangle_count_copurchase",
-    "vocab_top_terms",
-    "tfidf_top_terms",
-    "funnel_conversion",
-    "histogram_order_totals",
-    "embedding_quantize_int8",
-    "embedding_cosine_dedup",
-    "multimodal_frame_sample",
-    "cube_pricing",
-    "catalog_row_counts",
-    "latest_per_key",
-    "share_normalize",
-    "split_coordinates",
-    "json_props_extract",
-    "timestamp_normalize",
-    "time_window_filter",
-    "string_functions_showcase",
-    "broadcast_config_join",
-    # (1b) first 7 r6 late additions, registration order — never
-    # driver-verified
-    "term_lift_pairs",
-    "bigram_lm_quality",
-    "kmeans_cluster_sizes",
-    "hilbert_key_orders",
-    "rrf_hybrid_retrieval",
-    "dup_span_maximal",
-    "recursive_nation_chain",
-)
-# ROUND-8 ROTATION PLAN (write this into _FRONT at r8 start):
-#   1a. any _PENDING names below (r7 additions — never
-#       driver-verified) — MUST enter first;
-#   1b. the 12 deferred r6 late additions at the _TAIL head
-#       (lateral_top2_customers .. distribution_drift_orders) —
-#       never driver-verified;
-#   2.  fill the remaining window (50 - len(_PENDING) - 12 names)
-#       with the head of the r5-window block
-#       (asof_next_purchase_after_click ..) — greens out r6+r7, AT
-#       the staleness bound. NOTE the structural debt: the registry
-#       (162+) exceeds 3x the 50-name window, so the r5-window block
-#       cannot fully re-enter in r8; its unfilled remainder leads the
-#       ROUND-9 window ahead of the r6/r7-window greens. This debt is
-#       inherent to a fixed window over a growing registry and is
-#       tracked here rather than hidden.
-#   ROUND-9 priority within that: the 7 post-cap r7 tail additions
-#   (grouped_quantile_rankselect .. source_centroid_similarity, at
-#   the _TAIL end) are never driver-verified and enter r9 group 1,
-#   AHEAD of the stale-but-once-green r5 remainder.
-#
-# r7 NEW-QUERY candidates (operators landed + pytest-pinned in
-# earlier rounds; VERDICT r6 item 3 asks for oracle gates on the
-# still-pytest-only four — each oracle is the invariant the stateful/
-# layout operator must converge to, the same pattern that pinned CMS
-# via cms_incremental_merge):
-#   * incremental_dedup — oracle: the one-shot banded_minhash dedup
-#     the incremental composition must converge to;
-#   * bucketed-join parity — oracle: the plain (unbucketed) join;
-#   * compact_parquet — oracle: row/hash invariance (the table
-#     content before == after OPTIMIZE);
-#   * binary_media metadata — oracle: path/mime/length over a
-#     committed fixture dir (DuckDB reads the same files);
-#   * ivf_pq / bpe_train remain float-iteration / loop-collect ops —
-#     rows-only or pytest-only by nature unless the BPE recursive-CTE
-#     replay (VERDICT item 6) proves feasible.
-#
-# _PENDING: oracle-gated queries added AFTER the r7 window froze (the
-# 50-name _FRONT above is the frozen window). Names here MUST move to
-# _FRONT in r8 (group 1a of the plan above). Cap 12 (test-enforced).
-# The four below are VERDICT r6 item 3: the formerly pytest-only
-# stateful/layout operators, each now value-oracled against the
-# invariant it must satisfy (queries_lakehouse.py); local
-# oracle_check PASS at sf0.001/0.01/0.1 this round.
-_PENDING: tuple[str, ...] = (
+    # (1a) former _PENDING (r7 additions) — never driver-verified
     "incremental_dedup_convergence",
     "bucketed_join_revenue",
     "compaction_roundtrip_orders",
     "binary_media_metadata",
-    # VERDICT r6 item 6: the BPE merge sequence IS SQL-expressible —
-    # 8 unrolled argmax+replace rounds (queries_training.py); the
-    # segment query oracle-gates the mapInPandas inference half
     "bpe_merge_sequence",
     "bpe_segment_documents",
-    # r7 widening: exact-integer JL projection (ANN scale path), the
-    # mergeSchema ALTER-ADD-COLUMN contract, and the fixed-point EWMA
-    # sequential recurrence as a Catalyst fold
     "embedding_project_jl",
     "schema_evolution_merge",
     "ewma_user_daily",
-    # r7 continuation: distributed exact order statistics (the 100 TB
-    # quantile path), robust MAD volume-anomaly monitoring, and
-    # per-dimension embedding standardization — cap now FULL (12);
-    # any further r7 additions must go to the _TAIL end
     "exact_quantile_rankselect",
     "mad_anomaly_daily",
     "embedding_standardize",
-)
-_TAIL: tuple[str, ...] = (
-    # --- r6 late additions deferred from the r7 window — never
-    # driver-verified; group 1b of the ROUND-8 plan, kept at the tail
-    # head so they re-enter first
+    # (1b) r6 late additions deferred from the r7 window — never
+    # driver-verified
     "lateral_top2_customers",
     "pareto_frontier_orders",
     "temperature_resample_sources",
@@ -206,8 +89,7 @@ _TAIL: tuple[str, ...] = (
     "set_ops_bag_semantics",
     "k_anonymity_audit",
     "distribution_drift_orders",
-    # r5 window (all green in CORRECTNESS_r05) — out r6+r7 after this
-    # rotation, AT the staleness bound; group 2 of the ROUND-8 plan
+    # (2) r5-window greens out r6+r7 — at the staleness bound
     "asof_next_purchase_after_click",
     "interval_overlap_order_windows",
     "dedup_clusters_star",
@@ -234,6 +116,47 @@ _TAIL: tuple[str, ...] = (
     "set_ops_churned_customers",
     "window_running_stats",
     "tumbling_15min_counts",
+)
+# ROUND-9 ROTATION PLAN (write this into _FRONT at r9 start):
+#   1.  any _PENDING names below (r8 additions — never
+#       driver-verified) — MUST enter first;
+#   2.  the 12 post-cap r7 tail additions at the _TAIL head
+#       (grouped_quantile_rankselect .. gini_order_values) — never
+#       driver-verified (judge re-ran the order-statistics family
+#       r7: PASS — but the driver's signature is the contract);
+#   3.  the 24-name r5-window remainder (distinct_users_per_type ..
+#       ann_ivf_topk) — out r6+r7+r8: PAST the staleness bound, MUST
+#       re-enter r9;
+#   4.  fill the remaining window with the head of the r6-window
+#       block (cms_user_event_counts ..) — out r7+r8, at the bound.
+#   Structural debt (tracked, not hidden): the registry (186+)
+#   exceeds 3.7x the 50-name window, so blocks cannot fully re-enter
+#   the round after they age out; the r6-block remainder and the
+#   r7-window greens (out r8 only, one round of headroom) lead r10.
+#
+# _PENDING: oracle-gated queries added AFTER the r8 window froze (the
+# 50-name _FRONT above is the frozen window). Names here MUST move to
+# _FRONT in r9 (group 1 of the plan above). Cap 12 (test-enforced).
+_PENDING: tuple[str, ...] = ()
+_TAIL: tuple[str, ...] = (
+    # --- r7 continuation additions that landed after _PENDING hit
+    # its cap — never driver-verified; group 2 of the ROUND-9 plan,
+    # kept at the tail head so they re-enter first
+    "grouped_quantile_rankselect",
+    "phrase_match_positional",
+    "revenue_weighted_quantile",
+    "ks_drift_orders",
+    "ohlc_user_hourly",
+    "session_path_trigrams",
+    "source_centroid_similarity",
+    "auc_price_status",
+    "benford_first_digit_orders",
+    "farthest_point_seeds",
+    "source_concentration_hhi",
+    "gini_order_values",
+    # r5 window remainder (green in CORRECTNESS_r05) — out r6+r7+r8
+    # after this rotation, PAST the staleness bound; group 3 of the
+    # ROUND-9 plan
     "distinct_users_per_type",
     "sessionize_events",
     "session_window_native",
@@ -258,8 +181,8 @@ _TAIL: tuple[str, ...] = (
     "mode_ship_month",
     "order_value_percentiles",
     "ann_ivf_topk",
-    # r6 window (all green in CORRECTNESS_r06) — out r7 only, one
-    # round of headroom; re-enter r9 after the ROUND-8 groups above
+    # r6 window (all green in CORRECTNESS_r06) — out r7+r8, at the
+    # staleness bound; group 4 (window fill) of the ROUND-9 plan
     "cms_user_event_counts",
     "fuzzy_name_pairs_edit1",
     "semantic_dedup_embeddings",
@@ -310,20 +233,58 @@ _TAIL: tuple[str, ...] = (
     "reservoir_sample_per_source",
     "domain_mix_weights",
     "udtf_token_runs",
-    # --- r7 continuation additions AFTER _PENDING hit its cap: enter
-    # the rotation after the groups above (r9+)
-    "grouped_quantile_rankselect",
-    "phrase_match_positional",
-    "revenue_weighted_quantile",
-    "ks_drift_orders",
-    "ohlc_user_hourly",
-    "session_path_trigrams",
-    "source_centroid_similarity",
-    "auc_price_status",
-    "benford_first_digit_orders",
-    "farthest_point_seeds",
-    "source_concentration_hhi",
-    "gini_order_values",
+    # r7 window (all green in CORRECTNESS_r07) — out r8 only, one
+    # round of headroom; re-enter r10
+    "priority_sample_documents",
+    "global_row_index_orders",
+    "negative_sample_contrastive",
+    "heavy_hitters_lang",
+    "kmv_corpus_overlap",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q22_sales_opportunity",
+    "zorder_locality_orders",
+    "pseudonymize_customers",
+    "hof_array_zoo",
+    "window_function_zoo",
+    "streaming_static_enrich",
+    "cdc_latest_state",
+    "rollup_time_revenue",
+    "variant_props_extract",
+    "partitioned_sink_prune",
+    "csv_roundtrip_orders",
+    "cogroup_conversion_latency",
+    "zorder_events_key",
+    "ansi_safe_functions",
+    "doc_chunk_overlap",
+    "triangle_count_copurchase",
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "funnel_conversion",
+    "histogram_order_totals",
+    "embedding_quantize_int8",
+    "embedding_cosine_dedup",
+    "multimodal_frame_sample",
+    "cube_pricing",
+    "catalog_row_counts",
+    "latest_per_key",
+    "share_normalize",
+    "split_coordinates",
+    "json_props_extract",
+    "timestamp_normalize",
+    "time_window_filter",
+    "string_functions_showcase",
+    "broadcast_config_join",
+    "term_lift_pairs",
+    "bigram_lm_quality",
+    "kmeans_cluster_sizes",
+    "hilbert_key_orders",
+    "rrf_hybrid_retrieval",
+    "dup_span_maximal",
+    "recursive_nation_chain",
 )
 
 

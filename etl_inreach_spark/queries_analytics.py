@@ -2053,67 +2053,123 @@ def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim as a recursive CTE.
 
     The EWMA recurrence is inherently sequential per key, but it does
-    NOT need the pandas escape hatch: each user's (day, count) series
-    is calendar-bounded (days, not events), so collect a sorted
-    per-user array and run the recurrence as ONE Catalyst aggregate
-    fold carrying a (state, outputs) struct accumulator — JVM-side,
-    codegen-friendly, exploded back to rows. Plan: two key-bounded
-    shuffles (user-day counts, then per-user fold); state per user is
-    one struct array bounded by the calendar. For multi-year
-    histories, chunk by year and carry the closing state into the
-    next chunk — the same carry discipline as
-    operators/incremental_dedup."""
+    NOT need the pandas escape hatch OR a quadratic array fold
+    (ADVICE r7: the previous per-element F.concat accumulator copied
+    the whole output array each step — O(days^2) per user). The
+    floor-composition identity floor((floor(x/2)+a)/2) =
+    floor((x+2a)/4) collapses t halving steps into ONE floor:
+    s_t = floor((s_in + sum_(j<=t) 2^(j-1)*a_j) / 2^t) for a block
+    entered with state s_in (and the user's first block enters with
+    the pretend state s_in = a_1, which reproduces s_1 = a_1
+    exactly). So: split each user's series into 16-day blocks, take a
+    DECIMAL(38,0) weighted prefix sum inside each block (a
+    block-bounded window), fold ONLY the scalar closing state across
+    the per-user block summaries (the one remaining sequential chain,
+    days/16 elements, its concat accumulator now quadratic only in
+    block COUNT — ~230 tiny structs for a 10-year history), and emit
+    every day's value with one integer `div`. Every step is a floor
+    on non-negative integers, so the blocked rendering is
+    bit-identical to the verbatim recurrence the oracle replays.
+    Plan: two key-bounded shuffles (user-day counts, then per-user
+    block fold); windows are partitioned by (user, block) — never a
+    data-sized unpartitioned stream. The DECIMAL grid bounds the
+    weighted prefix by 2^16 * c_max * 2^20 << 10^38."""
     tune(spark)
+    blk_len = 16
     ev = load_table(spark, sf_dir, "events")
     dc = (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    per_user = dc.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("day"), F.col("c")))
-        ).alias("_series")
+    w_rn = Window.partitionBy("user_id").orderBy("day")
+    seq = dc.select(
+        "user_id",
+        "day",
+        "c",
+        (F.row_number().over(w_rn) - 1).alias("t0"),
+    ).select(
+        "user_id",
+        "day",
+        "c",
+        (F.col("t0") % blk_len + 1).alias("j"),
+        F.expr(f"t0 div {blk_len}").alias("blk"),
+        F.expr(
+            f"cast(c * {_EWMA_G} as decimal(38,0))"
+            " * shiftleft(cast(1 as bigint), j - 1)"
+        ).alias("w"),
     )
-    g = F.lit(_EWMA_G)
+    w_pre = (
+        Window.partitionBy("user_id", "blk")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = seq.withColumn("p", F.sum("w").over(w_pre))
+    summaries = seq.groupBy("user_id", "blk").agg(
+        F.sum("w").alias("s_blk"),
+        F.count(F.lit(1)).alias("len_blk"),
+        F.max(
+            F.when(F.col("j") == 1, F.col("c") * F.lit(_EWMA_G))
+        ).alias("a_first"),
+    )
+    per_user = summaries.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("blk"), F.col("s_blk"), F.col("len_blk"),
+                    F.col("a_first"),
+                )
+            )
+        ).alias("_blocks")
+    )
     empty = F.expr(
-        "cast(array() as array<struct<day:date,c:bigint,s:bigint>>)"
+        "cast(array() as array<struct<blk:bigint,sin:decimal(38,0)>>)"
     )
     init = F.struct(
-        F.lit(-1).cast("bigint").alias("s"), empty.alias("out")
+        F.lit(-1).cast("decimal(38,0)").alias("s"), empty.alias("out")
     )
 
     def step(acc, x):
-        new_s = F.when(acc["s"] < 0, x["c"] * g).otherwise(
-            F.shiftright(acc["s"] + x["c"] * g, 1)
-        )
+        s_in = F.when(
+            acc["s"] < 0, x["a_first"].cast("decimal(38,0)")
+        ).otherwise(acc["s"])
+        # exact floor((s_in + S) / 2^L) on non-negative decimals:
+        # subtract the remainder first so the decimal division is an
+        # exact integer quotient (no scale-adjustment rounding risk);
+        # pow(2, L<=16) is double-exact, cast back to bigint
+        p2 = F.pow(F.lit(2.0), x["len_blk"]).cast("bigint")
+        num = s_in + x["s_blk"]
+        s_out = ((num - num % p2) / p2).cast("decimal(38,0)")
         return F.struct(
-            new_s.alias("s"),
+            s_out.alias("s"),
             F.concat(
                 acc["out"],
-                F.array(
-                    F.struct(
-                        x["day"].alias("day"),
-                        x["c"].alias("c"),
-                        new_s.alias("s"),
-                    )
-                ),
+                F.array(F.struct(x["blk"].alias("blk"), s_in.alias("sin"))),
             ).alias("out"),
         )
 
     folded = per_user.select(
         "user_id",
-        F.aggregate(F.col("_series"), init, step, lambda a: a["out"]).alias(
-            "_out"
+        F.aggregate(F.col("_blocks"), init, step, lambda a: a["out"]).alias(
+            "_sins"
         ),
     )
-    return folded.select(
-        "user_id", F.explode("_out").alias("_r")
+    sins = folded.select(
+        "user_id", F.explode("_sins").alias("_b")
     ).select(
         "user_id",
-        F.col("_r.day").alias("day"),
-        F.col("_r.c").alias("n_events"),
-        F.col("_r.s").alias("ewma_fp"),
+        F.col("_b.blk").alias("blk"),
+        F.col("_b.sin").alias("sin"),
     )
+    out = pre.join(sins, ["user_id", "blk"]).select(
+        "user_id",
+        "day",
+        F.col("c").alias("n_events"),
+        F.expr(
+            "(cast(sin as decimal(38,0)) + p)"
+            " div shiftleft(cast(1 as bigint), j)"
+        ).alias("ewma_fp"),
+    )
+    return out
 
 
 @query(

@@ -1080,7 +1080,8 @@ def distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT max(dn) AS d_num FROM d
     )
     SELECT n.n1, n.n2, m.d_num,
-           (m.d_num * 1048576) // (n.n1 * n.n2) AS ks_fp,
+           CAST(CAST(m.d_num AS HUGEINT) * 1048576
+                // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS ks_fp,
            (SELECT min(v) FROM d WHERE d.dn = m.d_num) AS v_at_max
     FROM n, m
     """,
@@ -1101,9 +1102,13 @@ def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_quantile_rankselect: within-bucket cumulative windows
     (partitioned by the range-bounded bucket key) plus a bucket-level
     prefix over the ~600-row histogram; no unpartitioned window ever
-    sees a data-sized row stream. int64 bounds: |f*n| <= n1*n2, so
-    past ~3e9 rows per side widen the cross-products to
-    DECIMAL(38,0) — the comparison stays exact either way."""
+    sees a data-sized row stream. int64 bounds, stated separately:
+    (a) the raw cross-products |f*n| <= n1*n2 fit int64 to ~3e9 rows
+    per side; (b) the 2^20 RENDERING d_num*2^20 would overflow int64
+    already at n1*n2 > ~8.8e12 (~3e6 rows per side), so ks_fp is
+    computed through DECIMAL(38,0) (Spark) / HUGEINT (oracle) and
+    only the <=2^20 quotient is cast back to BIGINT. Past (a), widen
+    the cross-products themselves the same way."""
     tune(spark)
     o = (
         load_table(spark, sf_dir, "orders")
@@ -1160,7 +1165,10 @@ def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         F.col("m.dn").alias("d_num"),
-        F.expr("(m.dn * 1048576) div (n1 * n2)").alias("ks_fp"),
+        F.expr(
+            "cast(m.dn as decimal(38,0)) * 1048576"
+            " div (cast(n1 as decimal(38,0)) * n2)"
+        ).alias("ks_fp"),
         (-F.col("m.nv")).alias("v_at_max"),
     )
 
@@ -1195,8 +1203,8 @@ def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.n1, n.n2, r.two_r1,
            r.two_r1 - n.n1 * (n.n1 + 1) AS u1_x2,
-           (r.two_r1 - n.n1 * (n.n1 + 1)) * 1048576
-               // (2 * n.n1 * n.n2) AS auc_fp
+           CAST(CAST(r.two_r1 - n.n1 * (n.n1 + 1) AS HUGEINT) * 1048576
+               // (2 * CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS auc_fp
     FROM n, r
     """,
 )
@@ -1216,9 +1224,14 @@ def auc_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     perfectly separated one are pinned in the spec test.
 
     Scale shape: identical to ks_drift_orders — one per-value count
-    aggregate, histogram-bounded prefix, one 1-row reduction; the
-    int64 bound is two_r1 <= (n1+n2)^2, so past ~3e9 rows widen to
-    DECIMAL(38,0)."""
+    aggregate, histogram-bounded prefix, one 1-row reduction. int64
+    bounds, stated separately: (a) the raw statistic
+    two_r1 <= (n1+n2)^2 fits int64 to ~3e9 total rows; (b) the 2^20
+    RENDERING u1_x2*2^20 would overflow int64 already at
+    n1*n2 > ~8.8e12 (~3e6 rows per side), so auc_fp is computed
+    through DECIMAL(38,0) (Spark) / HUGEINT (oracle) and only the
+    <=2^20 quotient is cast back to BIGINT. Past (a), widen two_r1
+    itself the same way."""
     tune(spark)
     o = (
         load_table(spark, sf_dir, "orders")
@@ -1272,7 +1285,8 @@ def auc_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1", "n2", "two_r1",
             (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
             F.expr(
-                "(two_r1 - n1 * (n1 + 1)) * 1048576 div (2 * n1 * n2)"
+                "cast(two_r1 - n1 * (n1 + 1) as decimal(38,0)) * 1048576"
+                " div (2 * cast(n1 as decimal(38,0)) * n2)"
             ).alias("auc_fp"),
         )
     )
@@ -1370,8 +1384,10 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.source, c.cnt,
            c.cnt * 1000000 // n.total AS share_ppm,
-           n.sq * 1048576 // (n.total * n.total) AS hhi_fp,
-           n.total * n.total * 1048576 // n.sq AS eff_sources_fp
+           CAST(CAST(n.sq AS HUGEINT) * 1048576
+                // (CAST(n.total AS HUGEINT) * n.total) AS BIGINT) AS hhi_fp,
+           CAST(CAST(n.total AS HUGEINT) * n.total * 1048576
+                // n.sq AS BIGINT) AS eff_sources_fp
     FROM c, n
     """,
 )
@@ -1386,9 +1402,14 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (domain_mix_weights / temperature_resample_sources act on the
     same relation). Scale shape: one |sources|-key partial-agg count
     and a broadcast 1-row (total, sum-of-squares) reduction — the
-    entire statistic rides on a catalog-sized relation. int64 bound:
-    sum(cnt^2) overflows past ~3e9 docs in ONE source; widen to
-    DECIMAL(38,0) partials beyond."""
+    entire statistic rides on a catalog-sized relation. int64
+    bounds, stated separately: (a) the raw partial sum(cnt^2)
+    overflows past ~3e9 docs in ONE source — widen the partial to
+    DECIMAL(38,0) beyond; (b) the 2^20 RENDERINGS total^2*2^20 and
+    sq*2^20 would overflow int64 already at ~3e6 total docs, so
+    hhi_fp/eff_sources_fp are computed through DECIMAL(38,0)
+    (Spark) / HUGEINT (oracle) with only the bounded quotient cast
+    back to BIGINT."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1400,8 +1421,13 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "cnt",
         F.expr("cnt * 1000000 div total").alias("share_ppm"),
-        F.expr("sq * 1048576 div (total * total)").alias("hhi_fp"),
-        F.expr("total * total * 1048576 div sq").alias("eff_sources_fp"),
+        F.expr(
+            "cast(sq as decimal(38,0)) * 1048576"
+            " div (cast(total as decimal(38,0)) * total)"
+        ).alias("hhi_fp"),
+        F.expr(
+            "cast(total as decimal(38,0)) * total * 1048576 div sq"
+        ).alias("eff_sources_fp"),
     )
 
 
@@ -1419,13 +1445,15 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(cents) AS BIGINT) AS tot,
-               CAST(sum((2 * i - 1) * cents) AS BIGINT) AS wsum
+               sum(CAST(2 * i - 1 AS HUGEINT) * cents) AS wsum
         FROM s
     )
     SELECT n, tot,
-           (wsum - n * tot) AS g_num,
-           CAST(floor(CAST(wsum - n * tot AS DOUBLE) * 1048576
-                / CAST(n * tot AS DOUBLE)) AS BIGINT) AS gini_fp
+           CAST(wsum - CAST(n AS HUGEINT) * tot AS DOUBLE) AS g_num,
+           CAST(floor(CAST(wsum - CAST(n AS HUGEINT) * tot AS DOUBLE)
+                * 1048576
+                / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))) AS BIGINT)
+               AS gini_fp
     FROM agg
     """,
 )
@@ -1435,12 +1463,15 @@ def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) over the
     ascending sort, which the query renders as
     (sum((2i-1)*x) - n*sum(x)) / (n*sum(x)): n, sum and the weighted
-    sum stay exact integer cents end-to-end (g_num is exact), and
-    only the final 2^20 rendering is one double expression whose
-    bigint->double casts, multiply, divide and floor are all
-    correctly rounded identically on both engines (g_num*2^20 would
-    overflow int64, the one place the integer grid gives way). Rank
-    ties don't matter: equal values are interchangeable under any
+    sum stay EXACT end-to-end in DECIMAL(38,0) (Spark) / HUGEINT
+    (oracle) — the weighted sum sum((2i-1)*cents) <= 2*n^2*max_cents
+    leaves int64 already at n ~ 2.8e5 rows ($600k prices), i.e. one
+    scale step above sf0.1, so int64 partials were never an option
+    (ADVICE r7). Only the two OUTPUT renderings are doubles, each a
+    correctly-rounded chain identical on both engines: g_num is the
+    exact decimal cast once to double, and gini_fp is one
+    double-multiply/divide/floor of the same exact inputs. Rank ties
+    don't matter: equal values are interchangeable under any
     assignment of consecutive ranks (the weighted sum over a tie
     block is invariant), so the statistic is partition-exact without
     a tie-break column.
@@ -1448,10 +1479,8 @@ def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the global ascending rank i comes from the same
     two-level discipline as the quantile family — a within-bucket
     row_number plus the histogram-level COUNT prefix (never a global
-    sort); the three reductions are one partial-agg pass. int64
-    bound: sum((2i-1)*cents) <= 2*n^2*max_cents — past ~2e7 rows at
-    $600k prices, widen the weighted sum to DECIMAL(38,0); the
-    comparison logic is unchanged."""
+    sort); the three reductions are one partial-agg pass. The
+    DECIMAL(38,0) grid holds to n ~ 9e14 rows."""
     tune(spark)
     o = load_table(spark, sf_dir, "orders").select(
         F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
@@ -1474,16 +1503,19 @@ def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("tot"),
-        F.sum((2 * F.col("i") - 1) * F.col("cents")).alias("wsum"),
+        F.sum(
+            (2 * F.col("i") - 1).cast("decimal(38,0)") * F.col("cents")
+        ).alias("wsum"),
     )
+    g_num_dec = F.col("wsum") - F.col("n").cast("decimal(38,0)") * F.col("tot")
     return agg.select(
         "n",
         "tot",
-        (F.col("wsum") - F.col("n") * F.col("tot")).alias("g_num"),
+        g_num_dec.cast("double").alias("g_num"),
         F.floor(
-            (F.col("wsum") - F.col("n") * F.col("tot")).cast("double")
-            * F.lit(1048576.0)
-            / (F.col("n") * F.col("tot")).cast("double")
+            g_num_dec.cast("double")
+            * F.lit(1048576)
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
         )
         .cast("bigint")
         .alias("gini_fp"),

@@ -19,7 +19,9 @@ satisfy — the same pattern that oracle-gated the CMS monoid via
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +35,27 @@ from etl_inreach_spark.operators.text_dedup import (
 )
 from etl_inreach_spark.queries import query
 from etl_inreach_spark.session import tune
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(name: str) -> str:
+    """Fixture directory ``<session-root>/<name>``: ONE mkdtemp per
+    process, removed at interpreter exit, and the named slot is
+    recreated EMPTY on every call — so repeated oracle/bench sweeps
+    reuse the slot instead of accumulating full copies of
+    orders/customer per invocation (ADVICE r7). Recreating on the
+    NEXT call (not a finally) is deliberate: the returned DataFrames
+    are lazy and must stay readable until the caller collects them;
+    the harness collects each result before re-invoking a query."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_lakehouse_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
 
 
 def _incremental_oracle() -> str:
@@ -161,9 +184,7 @@ def incremental_dedup_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
     from etl_inreach_spark.operators.incremental_dedup import incremental_dedup
 
     d = load_table(spark, sf_dir, "documents")
-    state = os.path.join(
-        tempfile.mkdtemp(prefix="spark_graft_incdedup_"), "state"
-    )
+    state = os.path.join(_scratch("incdedup"), "state")
     parts = []
     for k in range(3):
         batch = d.filter(F.col("doc_id") % 3 == k)
@@ -205,8 +226,6 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     key reads pre-shuffled buckets (pick the bucket count for the
     target cluster's parallelism, not the test's 8)."""
     tune(spark)
-    import uuid
-
     from etl_inreach_spark.sinks.bucketed import bucketed_equijoin, write_bucketed
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -215,21 +234,28 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_mktsegment"
     )
-    # unique names + external temp locations: the session catalog is
-    # in-memory but the default warehouse dir outlives it, and a
-    # repeated managed-table name would hit LOCATION_ALREADY_EXISTS
-    tag = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
-    lt, rt = f"bjr_orders_{tag}", f"bjr_customer_{tag}"
+    # external temp locations: the session catalog is in-memory but
+    # the warehouse dir outlives it, and a managed saveAsTable into a
+    # stale location hits LOCATION_ALREADY_EXISTS. Names are FIXED and
+    # the tables are dropped as soon as the (eagerly analyzed) plan is
+    # built — the resolved file relation keeps executing, and repeated
+    # sweeps no longer accumulate catalog entries (ADVICE r7).
+    base = _scratch("bucketed")
+    lt, rt = "bjr_orders", "bjr_customer"
+    for t in (lt, rt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     write_bucketed(o, lt, ["custkey"], 8, path=os.path.join(base, lt))
     write_bucketed(c, rt, ["custkey"], 8, path=os.path.join(base, rt))
     j = bucketed_equijoin(spark, lt, rt, ["custkey"])
-    return j.groupBy("c_mktsegment").agg(
+    result = j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue"),
     )
+    for t in (lt, rt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return result
 
 
 @query(
@@ -257,12 +283,24 @@ def compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from etl_inreach_spark.operators.compaction import compact_parquet
 
-    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_compact_"), "orders")
+    path = os.path.join(_scratch("compact"), "orders")
     load_table(spark, sf_dir, "orders").repartition(32).write.mode(
         "overwrite"
     ).parquet(path)
+    # derive the precondition from the ACTUAL write (repartition(32)
+    # yields fewer files on a <32-row fixture) and raise explicitly —
+    # a bare assert is stripped under `python -O` (ADVICE r7)
+    n_written = sum(
+        1
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
     stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
-    assert stats["compacted"] and stats["files_before"] == 32, stats
+    if not stats["compacted"] or stats["files_before"] != n_written:
+        raise RuntimeError(
+            f"compaction gate precondition broken: wrote {n_written} "
+            f"files but compact_parquet saw {stats}"
+        )
     back = spark.read.parquet(path)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -359,7 +397,7 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog tables (sinks/bucketed, sinks/upsert) carry their schema
     there instead."""
     tune(spark)
-    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_schemaevo_"), "orders")
+    path = os.path.join(_scratch("schemaevo"), "orders")
     o = load_table(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
