@@ -108,11 +108,17 @@ def pq_train(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_offset: int = 0,
 ) -> DataFrame:
     """Train all subspace codebooks; returns (sub, code, _cvec) with
     code in [1, ksub]. Init = the subvectors of the ksub corpus ids
-    minimizing the portable hash (global TakeOrdered — bounded heaps,
-    no sort); empty codes keep their previous centroid."""
+    at positions [init_offset, init_offset + ksub) of the portable
+    hash order (global TakeOrdered — bounded heaps, no sort); empty
+    codes keep their previous centroid. ``init_offset`` lets a
+    composed build (ivf_pq_build) skip the ids already consumed as
+    coarse cells: training on RESIDUALS with offset 0 seeds
+    codebooks with the cell centroids' own all-zero residuals — a
+    degenerate init that tie-breaks every point into code 1."""
     subs = subvectors(corpus, num_sub, dim, id_col, vec_col).localCheckpoint(
         eager=True
     )
@@ -120,12 +126,15 @@ def pq_train(
     picked = (
         subs.select("_pid").distinct().select("_pid", h.alias("_h"))
         .orderBy("_h", "_pid")
-        .limit(ksub)
+        .limit(init_offset + ksub)
     )
     coded = picked.select(
         "_pid",
-        F.row_number().over(Window.orderBy("_h", "_pid")).alias("code"),
-    )
+        (
+            F.row_number().over(Window.orderBy("_h", "_pid"))
+            - F.lit(init_offset)
+        ).alias("code"),
+    ).filter(F.col("code") >= 1)
     cent = (
         subs.join(F.broadcast(coded), "_pid")
         .select("sub", "code", F.col("_sv").alias("_cvec"))
@@ -309,6 +318,10 @@ def ivf_pq_build(
         )
         .localCheckpoint(eager=True)
     )
+    # init_offset=nlist: the first nlist hash picks ARE the cell
+    # centroids, whose residuals are identically zero — seeding the
+    # codebooks with them would collapse the init (every entry zero,
+    # every point tie-broken into code 1)
     books = pq_train(
         assigned,
         num_sub=num_sub,
@@ -317,6 +330,7 @@ def ivf_pq_build(
         dim=dim,
         id_col=id_col,
         vec_col="_res",
+        init_offset=nlist,
     )
     index = (
         pq_encode(assigned, books, num_sub=num_sub, dim=dim, id_col=id_col, vec_col="_res")
@@ -338,10 +352,18 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     q_vec_col: str = "embedding",
+    fp_bits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k per query over the IVF-PQ index: probe the
     ``nprobe`` L2-nearest cells, then ADC over the probed cells'
     residual codes.
+
+    ``fp_bits`` switches the ADC accumulation to exact fixed point:
+    each per-subspace distance is floored onto the 2^fp_bits grid
+    BEFORE the sum, making the total an order-insensitive bigint —
+    the rendering that lets a SQL oracle replay the search
+    bit-for-bit (the floor-then-sum discipline of ngram_diversity).
+    Default (None) keeps double ADC distances for production use.
 
     dist(q, x) ~ sum_m || (q - c_cell)_m  -  book[m][code_m(x)] ||^2
     — per (query, probed cell) the num_sub * ksub lookup table is
@@ -363,6 +385,9 @@ def ivf_pq_topk(
     q_slices = F.array(
         *[F.slice(F.col("_qres"), m * dsub + 1, dsub) for m in range(num_sub)]
     )
+    d_expr = _l2sq(F.col("_sv"), F.col("_cvec"))
+    if fp_bits is not None:
+        d_expr = F.floor(d_expr * F.lit(float(1 << fp_bits)))
     table = (
         probed.select("_qid", "cell", F.posexplode(q_slices).alias("sub", "_sv"))
         .join(F.broadcast(books), "sub")
@@ -371,7 +396,7 @@ def ivf_pq_topk(
             "cell",
             "sub",
             "code",
-            _l2sq(F.col("_sv"), F.col("_cvec")).alias("_d"),
+            d_expr.alias("_d"),
         )
     )
     code_rows = index.select(

@@ -137,7 +137,11 @@ _FRONT: tuple[str, ...] = (
 # _PENDING: oracle-gated queries added AFTER the r8 window froze (the
 # 50-name _FRONT above is the frozen window). Names here MUST move to
 # _FRONT in r9 (group 1 of the plan above). Cap 12 (test-enforced).
-_PENDING: tuple[str, ...] = ()
+_PENDING: tuple[str, ...] = (
+    # r8 additions (VERDICT r7 items 3-4) — enter _FRONT in r9
+    "ivf_pq_adc_topk",
+    "kmeans_lloyd_round_update",
+)
 _TAIL: tuple[str, ...] = (
     # --- r7 continuation additions that landed after _PENDING hit
     # its cap — never driver-verified; group 2 of the ROUND-9 plan,

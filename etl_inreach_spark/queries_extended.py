@@ -524,6 +524,150 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_portable(emb, emb.filter(F.col("vec_id") < 8), 5, nlist=16, nprobe=4)
 
 
+def _ivf_pq_oracle() -> str:
+    """DuckDB replay of the portable IVF-PQ ADC search (VERDICT r7
+    item 3): hash-sampled coarse cells (hash positions 1..16),
+    hash-sampled RESIDUAL codebooks (positions 17..32 — the offset
+    skips the cells' own all-zero residuals), L2 cell assignment and
+    encode with (distance, code) ties, nprobe=2 probing, and
+    fixed-point ADC (per-subspace distance floored onto the 2^30
+    grid BEFORE the sum, so the total is an order-insensitive
+    bigint). Every float expression is the same left fold as the
+    Spark side."""
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+    )
+
+    l2_64 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(generate_series(1, 64),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))),"
+        " (acc, x) -> acc + x)"
+    )
+    l2_sub = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(generate_series(1, 8),"
+        " i -> ({r}[{m} * 8 + i] - {b}[i]) * ({r}[{m} * 8 + i] - {b}[i]))),"
+        " (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), hord AS (
+        SELECT vec_id, v,
+               row_number() OVER (
+                   ORDER BY ({PORTABLE_A} * vec_id + {PORTABLE_B})
+                            % {PORTABLE_M}, vec_id) AS hrn
+        FROM e
+    ), cellpick AS (
+        SELECT hrn AS cell, v AS cellvec FROM hord WHERE hrn <= 16
+    ), casg AS (
+        SELECT vec_id, v, cell, cellvec FROM (
+            SELECT e.vec_id, e.v, c.cell, c.cellvec,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       {l2_64.format(a='e.v', b='c.cellvec')} ASC,
+                       c.cell ASC) AS rn
+            FROM e, cellpick c
+        ) WHERE rn = 1
+    ), cres AS (
+        SELECT vec_id, cell,
+               list_transform(generate_series(1, 64),
+                              i -> v[i] - cellvec[i]) AS res
+        FROM casg
+    ), bookpick AS (
+        SELECT hrn - 16 AS code, vec_id FROM hord
+        WHERE hrn > 16 AND hrn <= 32
+    ), books AS (
+        SELECT s.sub, b.code,
+               list_slice(r.res, s.sub * 8 + 1, s.sub * 8 + 8) AS bvec
+        FROM bookpick b
+        JOIN cres r ON r.vec_id = b.vec_id
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+    ), enc AS (
+        SELECT vec_id, cell, sub, code FROM (
+            SELECT cr.vec_id, cr.cell, b.sub, b.code,
+                   row_number() OVER (PARTITION BY cr.vec_id, b.sub
+                       ORDER BY
+                       {l2_sub.format(r='cr.res', m='b.sub', b='b.bvec')}
+                           ASC, b.code ASC) AS rn
+            FROM cres cr, books b
+        ) WHERE rn = 1
+    ), qprobe AS (
+        SELECT vec_id AS q_id, cell,
+               list_transform(generate_series(1, 64),
+                              i -> v[i] - cellvec[i]) AS qres
+        FROM (
+            SELECT e.vec_id, e.v, c.cell, c.cellvec,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       {l2_64.format(a='e.v', b='c.cellvec')} ASC,
+                       c.cell ASC) AS rn
+            FROM e, cellpick c
+            WHERE e.vec_id < 8
+        ) WHERE rn <= 2
+    ), dtab AS (
+        SELECT q.q_id, q.cell, b.sub, b.code,
+               CAST(floor(
+                   {l2_sub.format(r='q.qres', m='b.sub', b='b.bvec')}
+                   * 1073741824.0) AS BIGINT) AS dfp
+        FROM qprobe q, books b
+    ), adc AS (
+        SELECT d.q_id, enc.vec_id, CAST(sum(d.dfp) AS BIGINT) AS adc_fp
+        FROM enc JOIN dtab d
+            ON enc.cell = d.cell AND enc.sub = d.sub AND enc.code = d.code
+        GROUP BY 1, 2
+    )
+    SELECT q_id, vec_id, rank, adc_fp FROM (
+        SELECT q_id, vec_id, adc_fp,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc_fp ASC, vec_id ASC) AS rank
+        FROM adc
+    ) WHERE rank <= 5
+    """
+
+
+@query("ivf_pq_adc_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ serving path (build -> probe -> ADC top-k),
+    value-oracled in the portable rendering (VERDICT r7 item 3 — the
+    trick that oracled ann_ivf_topk, now applied to residual PQ):
+    16 hash-sampled coarse cells, 16-entry hash-sampled residual
+    codebooks per subspace (zero Lloyd iterations; hash positions
+    17..32 so the cells' own all-zero residuals never seed a book),
+    8x8-dim subspaces, nprobe=2, and ADC distances accumulated in
+    fixed point (floor(d * 2^30) per subspace BEFORE the sum) so the
+    total is an order-insensitive bigint that DuckDB reproduces
+    exactly. The Lloyd-TRAINED quantizer stays the production
+    default (ivf_pq_build iters>0), pinned against a straight-numpy
+    replica in tests/test_sampling_pq.py — same plan shape, only the
+    codebook values differ.
+
+    Scale shape: identical to the production path — the index
+    (1 cell int + 8 codes/vector) replaces raw vectors at search
+    time, the per-query distance table is |Q|*nprobe*8*16 broadcast
+    rows, candidates equi-join on (cell, sub, code), and the ADC sum
+    is map-side combined; no raw corpus vector is touched at search
+    time and no pairwise cross join ever forms."""
+    tune(spark)
+    from etl_inreach_spark.operators.pq import ivf_pq_build, ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells, books, index = ivf_pq_build(
+        emb, nlist=16, num_sub=8, ksub=16, iters=0, dim=64
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = ivf_pq_topk(
+        index, cells, books, queries,
+        k=5, nprobe=2, num_sub=8, dim=64, fp_bits=30,
+    )
+    return out.select(
+        "q_id", "vec_id", "rank", F.col("adc_dist").alias("adc_fp")
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""
@@ -1706,6 +1850,129 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("bigint").alias("cluster"),
         F.coalesce(F.col("size"), F.lit(0)).cast("bigint").alias("size"),
         F.col("centroid_checksum").cast("bigint").alias("centroid_checksum"),
+    )
+
+
+def _lloyd_round_oracle() -> str:
+    """DuckDB replay of ONE float spherical-Lloyd round (VERDICT r7
+    item 3: pin the float trainer's round semantics the way
+    kmeans_cluster_sizes pinned the integer trainer): portable-hash
+    centroid init, per-vector unit normalization (one sqrt + one
+    divide — both correctly rounded, identical cross-engine), argmax
+    sequential-fold-cosine assignment, and the update step's
+    sufficient statistics rendered on the 2^30 fixed-point grid
+    (floor BEFORE the sum, so the per-(cell, dim) totals are
+    order-insensitive bigints)."""
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+    )
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), u AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / greatest(
+                   sqrt(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(v, y -> y * y)),
+                       (acc, z) -> acc + z)),
+                   1e-12)) AS uv
+        FROM e
+    ), cent AS (
+        SELECT row_number() OVER (ORDER BY _h, _cid) AS cell, cv FROM (
+            SELECT ({PORTABLE_A} * vec_id + {PORTABLE_B}) % {PORTABLE_M}
+                       AS _h,
+                   vec_id AS _cid, v AS cv
+            FROM e ORDER BY 1, 2 LIMIT 16
+        )
+    ), asg AS (
+        SELECT vec_id, uv, cell FROM (
+            SELECT u.vec_id, u.uv, c.cell,
+                   row_number() OVER (PARTITION BY u.vec_id
+                       ORDER BY list_cosine_similarity(u.uv, c.cv) DESC,
+                                c.cell ASC) AS rn
+            FROM u, cent c
+        ) WHERE rn = 1
+    ), el AS (
+        SELECT cell, d - 1 AS dim,
+               CAST(floor(uv[d] * 1073741824.0) AS BIGINT) AS fp
+        FROM asg, (SELECT unnest(generate_series(1, 64)) AS d)
+    ), agg AS (
+        SELECT cell, dim,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(fp) AS BIGINT) AS sum_fp
+        FROM el GROUP BY 1, 2
+    )
+    SELECT cell, dim, n_members, sum_fp,
+           (sum_fp - ((sum_fp % n_members) + n_members) % n_members)
+               // n_members AS mean_fp
+    FROM agg
+    """
+
+
+@query("kmeans_lloyd_round_update", oracle=_lloyd_round_oracle())
+def kmeans_lloyd_round_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of the FLOAT spherical-Lloyd trainer
+    (operators/similarity.py kmeans_lloyd_distributed), value-oracled
+    via its sufficient statistics: portable-hash init (16 cells),
+    unit normalization, argmax-cosine assignment, and the update
+    step's per-(cell, dim) member count + fixed-point coordinate sum
+    — each element floored onto the 2^30 grid BEFORE aggregation, so
+    the sums are exact order-insensitive integers while the
+    production trainer's F.avg stays float (its multi-round
+    composition remains numpy-parity pytest, the documented
+    order-sensitivity caveat). mean_fp uses the remainder-subtraction
+    floor form — sums can be negative, where Spark div truncates but
+    DuckDB // floors.
+
+    Scale shape: identical to the production round — one broadcast
+    assignment pass over the corpus, one (cell, dim)-keyed partial
+    aggregation whose shuffle carries nlist*dim rows per upstream
+    partition, never the corpus."""
+    tune(spark)
+    from etl_inreach_spark.functions.vectors import l2_norm
+    from etl_inreach_spark.operators.similarity import (
+        _nearest_cells,
+        portable_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = portable_centroids(emb, 16)
+    unit = emb.select(
+        "vec_id",
+        F.col("embedding").alias("_v"),
+        F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)).alias("_n"),
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("_v"), lambda x: x.cast("double") / F.col("_n")
+        ).alias("_uv"),
+    )
+    asg = _nearest_cells(unit, cent, 1, "vec_id", "_uv")
+    el = asg.select(
+        "cell",
+        F.posexplode("_uv").alias("dim", "_x"),
+    ).select(
+        "cell",
+        "dim",
+        F.floor(F.col("_x") * F.lit(1073741824.0)).alias("fp"),
+    )
+    agg = el.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("fp").alias("sum_fp"),
+    )
+    return agg.select(
+        "cell",
+        F.col("dim").cast("bigint").alias("dim"),
+        "n_members",
+        "sum_fp",
+        F.expr(
+            "(sum_fp - ((sum_fp % n_members) + n_members) % n_members)"
+            " div n_members"
+        ).alias("mean_fp"),
     )
 
 

@@ -115,8 +115,9 @@ def test_priority_sample_rejects_bad_k(spark, sf_dir):
 # ---------------------------------------------------------------- PQ
 
 
-def _numpy_pq_train(vecs, ids, num_sub, ksub, iters):
-    """Straight-numpy replica of pq_train: portable-hash init,
+def _numpy_pq_train(vecs, ids, num_sub, ksub, iters, init_offset=0):
+    """Straight-numpy replica of pq_train: portable-hash init (the
+    ksub ids at hash-order positions [init_offset, init_offset+ksub)),
     argmin-L2 assignment with lowest-code ties, member mean, empty
     codes keep previous."""
     from etl_inreach_spark.operators.similarity import (
@@ -133,7 +134,12 @@ def _numpy_pq_train(vecs, ids, num_sub, ksub, iters):
     # cent[sub][code] = dsub-dim centroid; code 0-based here (Spark 1-based)
     cent = np.stack(
         [
-            np.stack([vecs[order[c], m * dsub : (m + 1) * dsub] for c in range(ksub)])
+            np.stack(
+                [
+                    vecs[order[init_offset + c], m * dsub : (m + 1) * dsub]
+                    for c in range(ksub)
+                ]
+            )
             for m in range(num_sub)
         ]
     ).astype(float)
@@ -252,7 +258,11 @@ def test_ivf_pq_build_and_search_match_numpy(spark):
     d2cells = ((vecs[:, None, :] - cellvecs[None, :, :]) ** 2).sum(axis=2)
     cell_of = np.argmin(d2cells, axis=1)  # ties -> lowest cell
     residuals = vecs - cellvecs[cell_of]
-    ref_books = _numpy_pq_train(residuals, ids, num_sub, ksub, iters)
+    # init_offset=nlist mirrors ivf_pq_build: the first nlist hash
+    # picks are the cells themselves (all-zero residuals)
+    ref_books = _numpy_pq_train(
+        residuals, ids, num_sub, ksub, iters, init_offset=nlist
+    )
     dsub = dim // num_sub
     ref_codes = {}
     for i in ids:
