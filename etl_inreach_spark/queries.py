@@ -141,6 +141,7 @@ _PENDING: tuple[str, ...] = (
     # r8 additions (VERDICT r7 items 3-4) — enter _FRONT in r9
     "ivf_pq_adc_topk",
     "kmeans_lloyd_round_update",
+    "nb_quality_train_score",
 )
 _TAIL: tuple[str, ...] = (
     # --- r7 continuation additions that landed after _PENDING hit

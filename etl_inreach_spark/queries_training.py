@@ -423,3 +423,111 @@ def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("subwords").cast("bigint").alias("n_subwords"),
         F.array_join("subwords", " ").alias("segmented"),
     )
+
+
+def _nb_quality_oracle() -> str:
+    """DuckDB replay of the Naive-Bayes quality classifier: identical
+    tokenization, identical Laplace-smoothed counts, and the SAME
+    fixed-point integer log2 (ilog2_sql_cte_chain unrolls the
+    repeated-squaring algorithm as chained projections — see its
+    docstring for why a list_reduce fold is NOT safe here), so
+    weights, prior, and every per-document score reproduce
+    bit-for-bit."""
+    from etl_inreach_spark.operators.nb_quality import ilog2_sql_cte_chain
+
+    w_chain, w_fin = ilog2_sql_cte_chain(
+        "wsrc", {"a": "xa", "b": "xb"}, "wl"
+    )
+    p_chain, p_fin = ilog2_sql_cte_chain(
+        "psrc", {"p1": "d1", "p0": "d0"}, "pl"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x != '')) AS term
+        FROM documents
+    ), tr AS (
+        SELECT * FROM toks WHERE doc_id % 3 != 0
+    ), te AS (
+        SELECT * FROM toks WHERE doc_id % 3 = 0
+    ), cnt AS (
+        SELECT term, CAST(sum(y) AS BIGINT) AS c1,
+               CAST(sum(1 - y) AS BIGINT) AS c0
+        FROM tr GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c0) AS BIGINT) AS n0,
+               CAST(count(*) AS BIGINT) AS v
+        FROM cnt
+    ), wsrc AS (
+        SELECT term, (c1 + 1) * (n0 + v) AS xa, (c0 + 1) * (n1 + v) AS xb
+        FROM cnt, tot
+    ),
+    {w_chain},
+    w AS (
+        SELECT term, l_a - l_b AS w_fp FROM {w_fin}
+    ), psrc AS (
+        SELECT CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END)
+                    AS BIGINT) AS d1,
+               CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END)
+                    AS BIGINT) AS d0
+        FROM tr
+    ),
+    {p_chain},
+    prior AS (
+        SELECT l_p1 - l_p0 AS prior_fp FROM {p_fin}
+    )
+    SELECT te.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           max(te.y) AS y_true,
+           CAST(p.prior_fp + sum(w.w_fp) AS BIGINT) AS score_fp,
+           CAST(p.prior_fp + sum(w.w_fp) >= 0 AS BIGINT) AS pred
+    FROM te JOIN w USING (term), prior p
+    GROUP BY te.doc_id, p.prior_fp
+    """
+
+
+@query("nb_quality_train_score", oracle=_nb_quality_oracle())
+def nb_quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEARNED quality-filter primitive (VERDICT r7 item 4): train
+    a Laplace-smoothed multinomial Naive-Bayes classifier on 2/3 of
+    the corpus (label: lang = 'en' — the CCNet setup of scoring text
+    against a target-language distribution) and score the held-out
+    third, ALL in exact integer arithmetic. Per-token weights and the
+    class prior are fixed-point base-2 log-odds computed by the
+    repeated-squaring ilog2_fp algorithm (operators/nb_quality.py) —
+    no libm in either engine (the tfidf/Benford discipline), so the
+    per-document score is an exact, order-insensitive bigint sum and
+    DuckDB replays training AND scoring bit-for-bit.
+
+    Composes with quality_filter_pipeline (heuristic gates) and
+    bigram_lm_quality (perplexity gate) as the third, learned gate of
+    a CCNet-style curation stack.
+
+    Scale shape: training is one explode -> (term)-keyed partial agg
+    (shuffle ~ |vocab|) + a broadcast 1-row totals relation + the
+    unrolled 20-step integer-log projection chain over VOCAB rows
+    only; scoring is explode -> broadcast model join -> (doc)-keyed
+    partial-agg sum — the word-count shape. At 100 TB cap the vocab
+    (top-V TakeOrdered, as vocab_top_terms) so the model relation
+    stays broadcastable; int64 holds to ~3e9 training tokens per
+    class (DECIMAL(38,0) beyond)."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import tokens
+    from etl_inreach_spark.operators.nb_quality import nb_score, nb_train
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    train = toks.filter(F.col("doc_id") % 3 != 0)
+    test = toks.filter(F.col("doc_id") % 3 == 0)
+    weights, priors = nb_train(train)
+    scored = nb_score(test, weights, priors)
+    labels = test.groupBy("doc_id").agg(F.max("y").alias("y_true"))
+    return scored.join(labels, "doc_id").select(
+        "doc_id", "n_toks", "y_true", "score_fp", "pred"
+    )

@@ -1,0 +1,97 @@
+"""Spec tests for the integer-log-odds Naive-Bayes quality classifier
+(operators/nb_quality.py): the fixed-point log2 against its Python
+replica (the executable spec) and the end-to-end train+score query
+against a straight-Python Naive Bayes over the same split."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.operators.nb_quality import (
+    ilog2_fp_py,
+    with_ilog2_fp,
+)
+
+
+def test_ilog2_fp_spark_matches_python_replica(spark):
+    xs = [
+        1, 2, 3, 5, 31, 143, 190, 22000,
+        (1 << 20) - 1, 1 << 20, (1 << 20) + 1,
+        (1 << 21) - 1, 1 << 21,
+        27347992242, 10**12, 7**13, (1 << 62) - 1, 1 << 62,
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {
+        r["x"]: r["l"] for r in with_ilog2_fp(df, "x", "l").collect()
+    }
+    for x in xs:
+        assert got[x] == ilog2_fp_py(x), x
+    # accuracy envelope: each of the 20 squarings truncates <= 1 unit
+    # of the normalized mantissa, so the result sits within a few
+    # 2^-20 grid ulps of the true log2 (determinism, not tightness,
+    # is the contract — the algorithm IS the spec)
+    import math
+
+    for x in xs:
+        assert abs(got[x] - math.log2(x) * (1 << 20)) <= 4.0, x
+
+
+def test_nb_quality_query_matches_python_replica(spark, sf_dir):
+    from etl_inreach_spark.queries_training import nb_quality_train_score
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    c1: Counter = Counter()
+    c0: Counter = Counter()
+    d1 = d0 = 0
+    for r in docs:
+        if r["doc_id"] % 3 == 0:
+            continue
+        toks = r["text"].split()
+        if not toks:
+            continue
+        if r["lang"] == "en":
+            d1 += 1
+            c1.update(toks)
+        else:
+            d0 += 1
+            c0.update(toks)
+    vocab = set(c1) | set(c0)
+    n1, n0, v = sum(c1.values()), sum(c0.values()), len(vocab)
+    w = {
+        t: ilog2_fp_py((c1[t] + 1) * (n0 + v))
+        - ilog2_fp_py((c0[t] + 1) * (n1 + v))
+        for t in vocab
+    }
+    prior = ilog2_fp_py(d1) - ilog2_fp_py(d0)
+    expected = {}
+    for r in docs:
+        if r["doc_id"] % 3 != 0:
+            continue
+        toks = [t for t in r["text"].split() if t in w]
+        if not toks:
+            continue
+        score = prior + sum(w[t] for t in toks)
+        expected[r["doc_id"]] = (
+            len(toks),
+            1 if r["lang"] == "en" else 0,
+            score,
+            1 if score >= 0 else 0,
+        )
+
+    got = nb_quality_train_score(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    signs = set()
+    for r in got:
+        assert (
+            r["n_toks"], r["y_true"], r["score_fp"], r["pred"]
+        ) == expected[r["doc_id"]], r["doc_id"]
+        signs.add(r["pred"])
+    # the learned gate must actually separate: both classes predicted
+    assert signs == {0, 1}
