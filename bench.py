@@ -174,15 +174,18 @@ def main() -> None:
         except Exception:
             pass
 
-    # Spark JOB COUNT per iterative query: wall-clock on this host is
+    # Spark JOB COUNT per query: wall-clock on this host is
     # stall-dominated (scheduler stalls spread identical plans over a
-    # 2-6x range), but the number of jobs an iterative operator
-    # launches is a pure function of its convergence behavior — the
+    # 2-6x range), but the number of jobs an operator launches is a
+    # pure function of its convergence/checkpoint behavior — the
     # stall-proof regression metric (already used for CC: 54->44 and
     # 39->29 across rounds). Counted via a per-run job group against
-    # the status tracker; min across repeats (AQE warm-path can shave
-    # a job on later runs — min matches the timing policy).
-    iterative = {
+    # the status tracker for EVERY query (VERDICT r7 item 6); the
+    # emitted map keeps the multi-job pipelines (> 5 jobs) plus the
+    # five legacy iterative names for round-over-round comparability.
+    # min across repeats (AQE warm-path can shave a job on later
+    # runs — min matches the timing policy).
+    always_jobs = {
         "dedup_clusters",
         "dedup_clusters_star",
         "pagerank3_copurchase",
@@ -203,9 +206,8 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 dt = round(time.monotonic() - t0, 3)
                 best = dt if best is None else min(best, dt)
-                if name in iterative:
-                    nj = len(sc.statusTracker().getJobIdsForGroup(group))
-                    jobs[name] = min(jobs.get(name, nj), nj)
+                nj = len(sc.statusTracker().getJobIdsForGroup(group))
+                jobs[name] = min(jobs.get(name, nj), nj)
             except Exception as e:  # keep the bench line parseable on failure
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
                 # a later transient failure must not discard a valid
@@ -227,7 +229,11 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "failed": sorted(n for n, t in timings.items() if t < 0),
-        "jobs": jobs,
+        "jobs": {
+            n: c
+            for n, c in sorted(jobs.items())
+            if c > 5 or n in always_jobs
+        },
         "host_calibration": host_cal,
     }
     # Compact separators: the driver's stdout capture keeps a bounded
