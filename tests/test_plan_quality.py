@@ -211,3 +211,31 @@ def test_rankselect_family_prunes_columns(spark):
         for ln in read_schemas:
             for col in all_cols - keep:
                 assert col not in ln, (name, col, ln)
+
+
+def test_nb_quality_model_joins_broadcast(spark):
+    """The NB scoring join (token occurrences x vocab-sized model)
+    and the 1-row totals/prior joins must all be broadcast — the
+    corpus-sized token stream never shuffles for a join (its only
+    shuffles are the term-count and per-doc partial aggregations)."""
+    plan = _plan(spark, "nb_quality_train_score")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_ivf_pq_adc_join_broadcast(spark):
+    """ADC search joins the exploded corpus codes against the
+    per-query distance TABLE by broadcast on (cell, sub, code); no
+    sort-merge join may appear anywhere in the build+search plan."""
+    plan = _plan(spark, "ivf_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_ewma_windows_are_block_bounded(spark):
+    """The blocked EWMA rendering must never run an unpartitioned
+    data-sized window: every Window/Sort partitions by user (row
+    numbering) or (user, blk) (the in-block prefix). A SinglePartition
+    exchange may only feed nothing here at all."""
+    plan = _plan(spark, "ewma_user_daily")
+    assert "Exchange SinglePartition" not in plan
