@@ -182,10 +182,20 @@ def ilog2_sql_cte_chain(
 
 
 def nb_train(
-    toks: DataFrame, label_col: str = "y", term_col: str = "term"
+    toks: DataFrame,
+    doc_labels: DataFrame | None = None,
+    label_col: str = "y",
+    term_col: str = "term",
 ) -> tuple[DataFrame, DataFrame]:
     """Train the classifier from labeled token OCCURRENCES
     ``(doc_id, term, y)`` with y in {0, 1}.
+
+    ``doc_labels`` (doc_id, y) supplies the class PRIORS from the
+    document-level relation directly — at scale that skips an
+    explode-sized aggregation (the token stream is orders of
+    magnitude larger than the doc list); when omitted, priors fall
+    back to distinct-doc counts derived from the tokens (documents
+    with zero tokens then carry no prior mass).
 
     Returns ``(weights, priors)``: weights = (term, w_fp) — the
     vocabulary-sized model relation (broadcast it when scoring);
@@ -200,18 +210,29 @@ def nb_train(
         F.sum("c0").alias("n0"),
         F.count(F.lit(1)).alias("v"),
     )
-    ab = cnt.crossJoin(F.broadcast(tot)).select(
-        term_col,
+    # the weight is a pure function of the COUNT PAIR, and Zipf's law
+    # makes distinct (c1, c0) pairs orders of magnitude fewer than
+    # terms (millions of tail terms share single-digit counts) — run
+    # the 2x20-step log chain on the deduplicated pairs only, then
+    # broadcast the pair->weight map back onto the vocabulary
+    pairs = cnt.select("c1", "c0").distinct()
+    ab = pairs.crossJoin(F.broadcast(tot)).select(
+        "c1",
+        "c0",
         F.expr("(c1 + 1) * (n0 + v)").alias("_a"),
         F.expr("(c0 + 1) * (n1 + v)").alias("_b"),
     )
-    w = with_ilog2_fp(with_ilog2_fp(ab, "_a", "_la"), "_b", "_lb").select(
-        term_col, F.expr("_la - _lb").alias("w_fp")
+    pair_w = with_ilog2_fp(
+        with_ilog2_fp(ab, "_a", "_la"), "_b", "_lb"
+    ).select("c1", "c0", F.expr("_la - _lb").alias("w_fp"))
+    w = cnt.join(F.broadcast(pair_w), ["c1", "c0"]).select(
+        term_col, "w_fp"
     )
-    docs = toks.groupBy("doc_id").agg(F.max(y).alias("_y"))
-    dcnt = docs.agg(
-        F.sum("_y").alias("_d1"),
-        F.sum(1 - F.col("_y")).alias("_d0"),
+    if doc_labels is None:
+        doc_labels = toks.groupBy("doc_id").agg(F.max(y).alias(label_col))
+    dcnt = doc_labels.agg(
+        F.sum(label_col).alias("_d1"),
+        F.sum(1 - F.col(label_col)).alias("_d0"),
     )
     priors = with_ilog2_fp(
         with_ilog2_fp(dcnt, "_d1", "_l1"), "_d0", "_l0"

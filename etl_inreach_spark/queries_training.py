@@ -468,11 +468,12 @@ def _nb_quality_oracle() -> str:
     w AS (
         SELECT term, l_a - l_b AS w_fp FROM {w_fin}
     ), psrc AS (
-        SELECT CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END)
+        -- doc-level priors (one row per doc, not the token stream)
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                     AS BIGINT) AS d1,
-               CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END)
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
                     AS BIGINT) AS d0
-        FROM tr
+        FROM documents WHERE doc_id % 3 != 0
     ),
     {p_chain},
     prior AS (
@@ -518,6 +519,9 @@ def nb_quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_inreach_spark.operators.nb_quality import nb_score, nb_train
 
     d = load_table(spark, sf_dir, "documents")
+    lab = d.select(
+        "doc_id", (F.col("lang") == "en").cast("bigint").alias("y")
+    )
     toks = d.select(
         "doc_id",
         (F.col("lang") == "en").cast("bigint").alias("y"),
@@ -525,9 +529,15 @@ def nb_quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = toks.filter(F.col("doc_id") % 3 != 0)
     test = toks.filter(F.col("doc_id") % 3 == 0)
-    weights, priors = nb_train(train)
+    # priors and output labels come from the DOC-level relation (one
+    # row per doc), never from explode-sized token aggregations
+    weights, priors = nb_train(
+        train, doc_labels=lab.filter(F.col("doc_id") % 3 != 0)
+    )
     scored = nb_score(test, weights, priors)
-    labels = test.groupBy("doc_id").agg(F.max("y").alias("y_true"))
+    labels = lab.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.col("y").alias("y_true")
+    )
     return scored.join(labels, "doc_id").select(
         "doc_id", "n_toks", "y_true", "score_fp", "pred"
     )

@@ -111,7 +111,8 @@ def post_feature_collections(
 def parse_feature_collection(doc: str) -> list[dict]:
     """Test helper: FeatureCollection JSON -> list of feature dicts."""
     parsed = json.loads(doc)
-    assert parsed["type"] == "FeatureCollection"
+    if parsed["type"] != "FeatureCollection":
+        raise ValueError(f"not a FeatureCollection: {parsed['type']!r}")
     return parsed["features"]
 
 

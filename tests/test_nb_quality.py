@@ -53,15 +53,14 @@ def test_nb_quality_query_matches_python_replica(spark, sf_dir):
     for r in docs:
         if r["doc_id"] % 3 == 0:
             continue
-        toks = r["text"].split()
-        if not toks:
-            continue
+        # priors are DOC-level (every train doc counts, token-ful or
+        # not); token counts come from the tokenized stream
         if r["lang"] == "en":
             d1 += 1
-            c1.update(toks)
+            c1.update(r["text"].split())
         else:
             d0 += 1
-            c0.update(toks)
+            c0.update(r["text"].split())
     vocab = set(c1) | set(c0)
     n1, n0, v = sum(c1.values()), sum(c0.values()), len(vocab)
     w = {
