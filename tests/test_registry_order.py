@@ -58,3 +58,33 @@ def test_oracles_subset_of_queries():
     # portable companion: kmv_distinct_users, order_value_percentiles)
     rows_only = {"approx_distinct_users", "approx_order_percentiles"}
     assert set(qs) - set(os_) == rows_only
+
+
+def test_round9_rotation_groups_are_intact():
+    """The ROUND-9 ROTATION PLAN (comment in queries.py) is executable
+    only if the tail still leads with its priority groups: the 12
+    post-cap r7 additions (never driver-verified) first, then the
+    24-name r5-window remainder (past the staleness bound). Pinning
+    the group boundaries makes executing the plan at r9 start a
+    mechanical copy, and any tail edit that would silently demote a
+    never-verified query fails here instead."""
+    postcap_r7 = (
+        "grouped_quantile_rankselect",
+        "phrase_match_positional",
+        "revenue_weighted_quantile",
+        "ks_drift_orders",
+        "ohlc_user_hourly",
+        "session_path_trigrams",
+        "source_centroid_similarity",
+        "auc_price_status",
+        "benford_first_digit_orders",
+        "farthest_point_seeds",
+        "source_concentration_hhi",
+        "gini_order_values",
+    )
+    assert Q._TAIL[: len(postcap_r7)] == postcap_r7
+    # r5 remainder begins immediately after and runs 24 names deep
+    assert Q._TAIL[len(postcap_r7)] == "distinct_users_per_type"
+    assert Q._TAIL[len(postcap_r7) + 23] == "ann_ivf_topk"
+    # everything in _PENDING enters r9 group 1 ahead of these
+    assert len(Q._PENDING) + len(postcap_r7) + 24 <= 2 * DRIVER_WINDOW
