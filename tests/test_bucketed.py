@@ -119,3 +119,29 @@ def test_bucketed_groupby_on_bucket_key_is_exchange_free(spark, sf_dir):
         )
         plan = _executed_plan(agg)
         assert "Exchange" not in plan, plan
+
+
+def test_lakehouse_fixtures_do_not_accumulate(spark, sf_dir):
+    """ADVICE r7: repeated invocations of the lakehouse gates must
+    reuse their scratch slots (one session root, emptied per call)
+    and leave ZERO catalog tables behind — a long oracle sweep must
+    not grow disk or the catalog."""
+    import os
+
+    from etl_inreach_spark import queries_lakehouse as L
+
+    r1 = sorted(
+        map(tuple, L.bucketed_join_revenue(spark, sf_dir).collect())
+    )
+    r2 = sorted(
+        map(tuple, L.bucketed_join_revenue(spark, sf_dir).collect())
+    )
+    assert r1 == r2
+    assert not [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("bjr_")
+    ]
+    root = L._SCRATCH_ROOT
+    assert root is not None
+    assert sorted(os.listdir(root)).count("bucketed") == 1

@@ -94,3 +94,33 @@ def test_nb_quality_query_matches_python_replica(spark, sf_dir):
         signs.add(r["pred"])
     # the learned gate must actually separate: both classes predicted
     assert signs == {0, 1}
+
+
+def test_ilog2_sql_cte_chain_matches_python_replica_fuzz():
+    """The DuckDB unrolled-CTE rendering must equal the Python spec on
+    arbitrary int64 inputs (one batched query, no Spark): hypothesis
+    would shrink nicely here but a seeded dense sweep of magnitudes
+    exercises every normalization branch (m < 20, m = 20, m > 20) and
+    both fold branches at each step."""
+    import random
+
+    import duckdb
+
+    from etl_inreach_spark.operators.nb_quality import ilog2_sql_cte_chain
+
+    rng = random.Random(0xC0FFEE)
+    xs = sorted(
+        {1, 2, 3, (1 << 20) - 1, 1 << 20, (1 << 20) + 1, (1 << 62) - 1}
+        | {rng.randrange(1, 1 << b) for b in range(2, 63) for _ in range(4)}
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS x", [list(xs)]
+    )
+    chain, fin = ilog2_sql_cte_chain("t", {"v": "x"}, "il")
+    rows = con.execute(
+        f"WITH {chain} SELECT x, l_v FROM {fin} ORDER BY x"
+    ).fetchall()
+    assert len(rows) == len(xs)
+    for x, got in rows:
+        assert got == ilog2_fp_py(x), x
