@@ -638,10 +638,14 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     8x8-dim subspaces, nprobe=2, and ADC distances accumulated in
     fixed point (floor(d * 2^30) per subspace BEFORE the sum) so the
     total is an order-insensitive bigint that DuckDB reproduces
-    exactly. The Lloyd-TRAINED quantizer stays the production
-    default (ivf_pq_build iters>0), pinned against a straight-numpy
-    replica in tests/test_sampling_pq.py — same plan shape, only the
-    codebook values differ.
+    exactly. Query ids are corpus members and KEEP themselves in the
+    result (the quantized self-distance is small but not zero) — the
+    serving-path convention where exclusion is the caller's filter;
+    ann_ivf_topk shows the excluded variant. The Lloyd-TRAINED
+    quantizer stays the production default (ivf_pq_build iters>0),
+    pinned against a straight-numpy replica in
+    tests/test_sampling_pq.py — same plan shape, only the codebook
+    values differ.
 
     Scale shape: identical to the production path — the index
     (1 cell int + 8 codes/vector) replaces raw vectors at search
