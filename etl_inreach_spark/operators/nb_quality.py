@@ -118,9 +118,16 @@ def with_ilog2_fp(
                 ),
             )
         )
-    return df.withColumn(out_col, F.expr(f"_il_m * {g} + _il_a")).drop(
-        "_il_m", "_il_y", "_il_y2", "_il_a"
-    )
+    return df.withColumn(
+        # x < 1 is outside the domain (the Python spec raises): yield
+        # NULL so an impossible input — e.g. a zero-document class
+        # feeding the prior — propagates as NULL scores that fail a
+        # value gate LOUDLY instead of a silently-finite log of 0
+        out_col,
+        F.expr(
+            f"CASE WHEN {x_col} >= 1 THEN _il_m * {g} + _il_a END"
+        ),
+    ).drop("_il_m", "_il_y", "_il_y2", "_il_a")
 
 
 def ilog2_sql_cte_chain(
@@ -149,6 +156,7 @@ def ilog2_sql_cte_chain(
     cols = []
     for sfx, x in exprs.items():
         m = f"(length(to_base({x}, 2)) - 1)"
+        cols.append(f"({x}) AS x_{sfx}")
         cols.append(f"{m} AS m_{sfx}")
         cols.append(
             f"((({x}) << greatest({frac_bits} - {m}, 0))"
@@ -174,7 +182,13 @@ def ilog2_sql_cte_chain(
             f"{prefix}{i} AS (SELECT * EXCLUDE ({keep}),"
             f" {', '.join(cols)} FROM {prefix}{i - 1})"
         )
-    lcols = ", ".join(f"m_{s} * {g} + a_{s} AS l_{s}" for s in exprs)
+    # mirror the Spark rendering's domain guard: x < 1 -> NULL (the
+    # Python spec raises; a silently-finite log of 0 would corrupt a
+    # zero-document-class prior)
+    lcols = ", ".join(
+        f"CASE WHEN x_{s} >= 1 THEN m_{s} * {g} + a_{s} END AS l_{s}"
+        for s in exprs
+    )
     parts.append(
         f"{prefix}fin AS (SELECT *, {lcols} FROM {prefix}{frac_bits})"
     )

@@ -2104,8 +2104,15 @@ def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     pre = seq.withColumn("p", F.sum("w").over(w_pre))
-    summaries = seq.groupBy("user_id", "blk").agg(
-        F.sum("w").alias("s_blk"),
+    # summaries derive from PRE, not seq: s_blk is the block's LAST
+    # cumulative value (max of the running sum — weights are
+    # non-negative), so the shared scan/shuffle/window lineage is
+    # single by CONSTRUCTION rather than by relying on AQE's runtime
+    # exchange reuse to deduplicate two identical subtrees (measured:
+    # jobs/exchanges identical either way on this host, but the
+    # guarantee should not depend on a runtime optimization)
+    summaries = pre.groupBy("user_id", "blk").agg(
+        F.max("p").alias("s_blk"),
         F.count(F.lit(1)).alias("len_blk"),
         F.max(
             F.when(F.col("j") == 1, F.col("c") * F.lit(_EWMA_G))

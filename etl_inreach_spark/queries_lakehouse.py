@@ -15,6 +15,15 @@ satisfy — the same pattern that oracle-gated the CMS monoid via
 * ``binary_media_metadata`` — the binaryFile MEDIA_SCHEMA scan's
   metadata/content against DuckDB's ``read_blob`` over the same
   committed fixture directory.
+
+CALLER CONTRACT (fixture lifetime): each query's returned DataFrame
+reads files under a named scratch slot that the NEXT invocation of
+the SAME query empties and rebuilds (see ``_scratch``) — collect a
+result before re-invoking its query. Every harness here (driver,
+oracle_check, bench) does exactly that; holding two invocations'
+lazy results concurrently is the one unsupported pattern, traded for
+sweeps that no longer accumulate a full orders/customer copy per
+call (ADVICE r7).
 """
 
 from __future__ import annotations

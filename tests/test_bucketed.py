@@ -133,6 +133,9 @@ def test_lakehouse_fixtures_do_not_accumulate(spark, sf_dir):
     r1 = sorted(
         map(tuple, L.bucketed_join_revenue(spark, sf_dir).collect())
     )
+    root = L._SCRATCH_ROOT
+    assert root is not None
+    entries_after_first = sorted(os.listdir(root))
     r2 = sorted(
         map(tuple, L.bucketed_join_revenue(spark, sf_dir).collect())
     )
@@ -142,6 +145,7 @@ def test_lakehouse_fixtures_do_not_accumulate(spark, sf_dir):
         for t in spark.catalog.listTables()
         if t.name.startswith("bjr_")
     ]
-    root = L._SCRATCH_ROOT
-    assert root is not None
-    assert sorted(os.listdir(root)).count("bucketed") == 1
+    # the second invocation must REUSE its slot, not add entries —
+    # compare the whole root listing across invocations
+    assert sorted(os.listdir(root)) == entries_after_first
+    assert "bucketed" in entries_after_first
