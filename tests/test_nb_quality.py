@@ -124,3 +124,28 @@ def test_ilog2_sql_cte_chain_matches_python_replica_fuzz():
     assert len(rows) == len(xs)
     for x, got in rows:
         assert got == ilog2_fp_py(x), x
+
+
+def test_nb_train_empty_class_prior_is_null_not_zero(spark):
+    """A training split with ZERO documents in one class is outside
+    the model's domain: ilog2(0) must surface as a NULL prior (which
+    any downstream value gate fails loudly), never as the silently
+    finite log-of-zero = 0 the unguarded rendering produced (review
+    finding r8). The Python spec raises on the same input."""
+    import pytest as _pytest
+
+    from etl_inreach_spark.operators.nb_quality import nb_train
+
+    toks = spark.createDataFrame(
+        [(1, 1, "a"), (1, 1, "b"), (2, 1, "a")],
+        "doc_id long, y long, term string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, y long"
+    )
+    _, priors = nb_train(toks, doc_labels=labels)
+    row = priors.collect()[0]
+    assert row["n0_docs"] == 0
+    assert row["prior_fp"] is None
+    with _pytest.raises(ValueError):
+        ilog2_fp_py(0)
