@@ -47,106 +47,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window as long as the tail stays >= (total - 50) names.
 #
 # Verdict history (rN = CORRECTNESS_r0N):
-#   Round-8 rotation — executes the ROUND-8 ROTATION PLAN written at
-#   r7 verbatim (CORRECTNESS_r07 was 50/50 green, so every name in
-#   the r7 window has a fresh verdict and rotates out with one round
+#   Round-9 rotation — executes the ROUND-9 ROTATION PLAN written at
+#   r8 verbatim (CORRECTNESS_r08 was 50/50 green, so every name in
+#   the r8 window has a fresh verdict and rotates out with one round
 #   of headroom). _FRONT groups, in order:
-#   (1a) all 12 former _PENDING names (r7 additions) — never
-#        driver-verified (local oracle_check PASS at three SFs +
-#        green rows in ORACLE_FULL_r7.json; judge re-ran several);
-#   (1b) the 12 r6 late additions deferred from the r7 window
-#        (lateral_top2_customers .. distribution_drift_orders) —
-#        never driver-verified;
-#   (2)  the head of the r5-window block (greens out r6+r7 — AT the
-#        staleness bound), 26 names to fill 50 exactly
-#        (asof_next_purchase_after_click .. tumbling_15min_counts).
-#   12 + 12 + 26 = 50 exactly.
+#   (1) all 3 former _PENDING names (r8 additions) — never
+#       driver-verified (local oracle_check PASS at three SFs +
+#       green rows in ORACLE_FULL_r8.json; judge re-ran all 3);
+#   (2) the 12 post-cap r7 tail additions — never driver-verified
+#       (judge re-ran the family at r7 and r8: PASS, but the
+#       driver's signature is the contract);
+#   (3) the 24-name r5-window remainder — out r6+r7+r8: PAST the
+#       staleness bound, must re-enter now;
+#   (4) the head of the r6-window block (greens out r7+r8 — AT the
+#       staleness bound), 11 names to fill 50 exactly
+#       (cms_user_event_counts .. tpch_q14_promo_revenue).
+#   3 + 12 + 24 + 11 = 50 exactly.
 _FRONT: tuple[str, ...] = (
-    # (1a) former _PENDING (r7 additions) — never driver-verified
-    "incremental_dedup_convergence",
-    "bucketed_join_revenue",
-    "compaction_roundtrip_orders",
-    "binary_media_metadata",
-    "bpe_merge_sequence",
-    "bpe_segment_documents",
-    "embedding_project_jl",
-    "schema_evolution_merge",
-    "ewma_user_daily",
-    "exact_quantile_rankselect",
-    "mad_anomaly_daily",
-    "embedding_standardize",
-    # (1b) r6 late additions deferred from the r7 window — never
-    # driver-verified
-    "lateral_top2_customers",
-    "pareto_frontier_orders",
-    "temperature_resample_sources",
-    "ngram_diversity_sources",
-    "pagerank3_copurchase",
-    "cohort_retention_weekly",
-    "trailing_1h_distinct_users",
-    "null_safe_join_buckets",
-    "not_in_null_semantics",
-    "set_ops_bag_semantics",
-    "k_anonymity_audit",
-    "distribution_drift_orders",
-    # (2) r5-window greens out r6+r7 — at the staleness bound
-    "asof_next_purchase_after_click",
-    "interval_overlap_order_windows",
-    "dedup_clusters_star",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q21_last_shipper",
-    "bm25_term_search",
-    "walk3_centrality",
-    "bloom_prune_join",
-    "incremental_agg_merge",
-    "embedding_argmax_arrow",
-    "pandas_udaf_median_price",
-    "corpus_curation_pipeline",
-    "streaming_sliding_counts",
-    "scd2_point_in_time_join",
-    "top3_orders_per_customer",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "asof_last_click_before_purchase",
-    "cross_join_region_nation",
-    "range_join_ship_within_90d",
-    "rollup_pricing",
-    "set_ops_repeat_customers",
-    "set_ops_churned_customers",
-    "window_running_stats",
-    "tumbling_15min_counts",
-)
-# ROUND-9 ROTATION PLAN (write this into _FRONT at r9 start):
-#   1.  any _PENDING names below (r8 additions — never
-#       driver-verified) — MUST enter first;
-#   2.  the 12 post-cap r7 tail additions at the _TAIL head
-#       (grouped_quantile_rankselect .. gini_order_values) — never
-#       driver-verified (judge re-ran the order-statistics family
-#       r7: PASS — but the driver's signature is the contract);
-#   3.  the 24-name r5-window remainder (distinct_users_per_type ..
-#       ann_ivf_topk) — out r6+r7+r8: PAST the staleness bound, MUST
-#       re-enter r9;
-#   4.  fill the remaining window with the head of the r6-window
-#       block (cms_user_event_counts ..) — out r7+r8, at the bound.
-#   Structural debt (tracked, not hidden): the registry (186+)
-#   exceeds 3.7x the 50-name window, so blocks cannot fully re-enter
-#   the round after they age out; the r6-block remainder and the
-#   r7-window greens (out r8 only, one round of headroom) lead r10.
-#
-# _PENDING: oracle-gated queries added AFTER the r8 window froze (the
-# 50-name _FRONT above is the frozen window). Names here MUST move to
-# _FRONT in r9 (group 1 of the plan above). Cap 12 (test-enforced).
-_PENDING: tuple[str, ...] = (
-    # r8 additions (VERDICT r7 items 3-4) — enter _FRONT in r9
+    # (1) former _PENDING (r8 additions) — never driver-verified
     "ivf_pq_adc_topk",
     "kmeans_lloyd_round_update",
     "nb_quality_train_score",
-)
-_TAIL: tuple[str, ...] = (
-    # --- r7 continuation additions that landed after _PENDING hit
-    # its cap — never driver-verified; group 2 of the ROUND-9 plan,
-    # kept at the tail head so they re-enter first
+    # (2) post-cap r7 tail additions — never driver-verified
     "grouped_quantile_rankselect",
     "phrase_match_positional",
     "revenue_weighted_quantile",
@@ -159,9 +81,8 @@ _TAIL: tuple[str, ...] = (
     "farthest_point_seeds",
     "source_concentration_hhi",
     "gini_order_values",
-    # r5 window remainder (green in CORRECTNESS_r05) — out r6+r7+r8
-    # after this rotation, PAST the staleness bound; group 3 of the
-    # ROUND-9 plan
+    # (3) r5-window remainder — out r6+r7+r8, PAST the staleness
+    # bound
     "distinct_users_per_type",
     "sessionize_events",
     "session_window_native",
@@ -186,8 +107,7 @@ _TAIL: tuple[str, ...] = (
     "mode_ship_month",
     "order_value_percentiles",
     "ann_ivf_topk",
-    # r6 window (all green in CORRECTNESS_r06) — out r7+r8, at the
-    # staleness bound; group 4 (window fill) of the ROUND-9 plan
+    # (4) r6-window head — out r7+r8, at the staleness bound
     "cms_user_event_counts",
     "fuzzy_name_pairs_edit1",
     "semantic_dedup_embeddings",
@@ -199,6 +119,30 @@ _TAIL: tuple[str, ...] = (
     "groupwise_split_documents",
     "compress_consecutive_events",
     "tpch_q14_promo_revenue",
+)
+# ROUND-10 ROTATION PLAN (write this into _FRONT at r10 start):
+#   1.  any _PENDING names below (r9 additions — never
+#       driver-verified) — MUST enter first;
+#   2.  the 39-name r6-window remainder at the _TAIL head
+#       (token_budget_select .. udtf_token_runs) — out r7+r8+r9:
+#       PAST the staleness bound, MUST re-enter r10;
+#   3.  fill the remaining window with the head of the r7-window
+#       block (priority_sample_documents ..) — out r8+r9, at the
+#       bound.
+#   Structural debt (tracked, not hidden): the registry (189+)
+#   exceeds 3.7x the 50-name window, so blocks cannot fully re-enter
+#   the round after they age out; the r7-block remainder and the
+#   r8-window greens (out r9 only, one round of headroom) lead r11.
+#
+# _PENDING: oracle-gated queries added AFTER the r9 window froze (the
+# 50-name _FRONT above is the frozen window). Names here MUST move to
+# _FRONT in r10 (group 1 of the plan above). Cap 12 (test-enforced).
+_PENDING: tuple[str, ...] = (
+)
+_TAIL: tuple[str, ...] = (
+    # r6-window remainder (green in CORRECTNESS_r06) — out r7+r8+r9
+    # after this rotation, PAST the staleness bound; group 2 of the
+    # ROUND-10 plan, kept at the tail head so they re-enter first
     "token_budget_select",
     "ann_lsh_topk",
     "corr_price_quantity",
@@ -238,8 +182,8 @@ _TAIL: tuple[str, ...] = (
     "reservoir_sample_per_source",
     "domain_mix_weights",
     "udtf_token_runs",
-    # r7 window (all green in CORRECTNESS_r07) — out r8 only, one
-    # round of headroom; re-enter r10
+    # r7 window (all green in CORRECTNESS_r07) — out r8+r9; group 3
+    # (window fill) of the ROUND-10 plan
     "priority_sample_documents",
     "global_row_index_orders",
     "negative_sample_contrastive",
@@ -290,6 +234,58 @@ _TAIL: tuple[str, ...] = (
     "rrf_hybrid_retrieval",
     "dup_span_maximal",
     "recursive_nation_chain",
+    # r8 window (all green in CORRECTNESS_r08) — out r9 only, one
+    # round of headroom; re-enter r11
+    "incremental_dedup_convergence",
+    "bucketed_join_revenue",
+    "compaction_roundtrip_orders",
+    "binary_media_metadata",
+    "bpe_merge_sequence",
+    "bpe_segment_documents",
+    "embedding_project_jl",
+    "schema_evolution_merge",
+    "ewma_user_daily",
+    "exact_quantile_rankselect",
+    "mad_anomaly_daily",
+    "embedding_standardize",
+    "lateral_top2_customers",
+    "pareto_frontier_orders",
+    "temperature_resample_sources",
+    "ngram_diversity_sources",
+    "pagerank3_copurchase",
+    "cohort_retention_weekly",
+    "trailing_1h_distinct_users",
+    "null_safe_join_buckets",
+    "not_in_null_semantics",
+    "set_ops_bag_semantics",
+    "k_anonymity_audit",
+    "distribution_drift_orders",
+    "asof_next_purchase_after_click",
+    "interval_overlap_order_windows",
+    "dedup_clusters_star",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_last_shipper",
+    "bm25_term_search",
+    "walk3_centrality",
+    "bloom_prune_join",
+    "incremental_agg_merge",
+    "embedding_argmax_arrow",
+    "pandas_udaf_median_price",
+    "corpus_curation_pipeline",
+    "streaming_sliding_counts",
+    "scd2_point_in_time_join",
+    "top3_orders_per_customer",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "asof_last_click_before_purchase",
+    "cross_join_region_nation",
+    "range_join_ship_within_90d",
+    "rollup_pricing",
+    "set_ops_repeat_customers",
+    "set_ops_churned_customers",
+    "window_running_stats",
+    "tumbling_15min_counts",
 )
 
 

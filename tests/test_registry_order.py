@@ -60,31 +60,37 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(os_) == rows_only
 
 
-def test_round9_rotation_groups_are_intact():
-    """The ROUND-9 ROTATION PLAN (comment in queries.py) is executable
-    only if the tail still leads with its priority groups: the 12
-    post-cap r7 additions (never driver-verified) first, then the
-    24-name r5-window remainder (past the staleness bound). Pinning
-    the group boundaries makes executing the plan at r9 start a
-    mechanical copy, and any tail edit that would silently demote a
-    never-verified query fails here instead."""
-    postcap_r7 = (
-        "grouped_quantile_rankselect",
-        "phrase_match_positional",
-        "revenue_weighted_quantile",
-        "ks_drift_orders",
-        "ohlc_user_hourly",
-        "session_path_trigrams",
-        "source_centroid_similarity",
-        "auc_price_status",
-        "benford_first_digit_orders",
-        "farthest_point_seeds",
-        "source_concentration_hhi",
-        "gini_order_values",
-    )
-    assert Q._TAIL[: len(postcap_r7)] == postcap_r7
-    # r5 remainder begins immediately after and runs 24 names deep
-    assert Q._TAIL[len(postcap_r7)] == "distinct_users_per_type"
-    assert Q._TAIL[len(postcap_r7) + 23] == "ann_ivf_topk"
-    # everything in _PENDING enters r9 group 1 ahead of these
-    assert len(Q._PENDING) + len(postcap_r7) + 24 <= 2 * DRIVER_WINDOW
+def test_round9_window_matches_the_written_plan():
+    """The r9 _FRONT must be exactly the ROUND-9 ROTATION PLAN written
+    at r8 close: 3 former _PENDING + 12 post-cap r7 additions + the
+    24-name r5-window remainder + 11 r6-window head names = 50."""
+    order = list(Q.all_queries())
+    assert order[:3] == [
+        "ivf_pq_adc_topk",
+        "kmeans_lloyd_round_update",
+        "nb_quality_train_score",
+    ]
+    assert order[3] == "grouped_quantile_rankselect"
+    assert order[14] == "gini_order_values"
+    assert order[15] == "distinct_users_per_type"
+    assert order[38] == "ann_ivf_topk"
+    assert order[39] == "cms_user_event_counts"
+    assert order[49] == "tpch_q14_promo_revenue"
+    assert len(Q._FRONT) == DRIVER_WINDOW
+
+
+def test_round10_rotation_groups_are_intact():
+    """The ROUND-10 ROTATION PLAN (comment in queries.py) is executable
+    only if the tail still leads with its priority group: the 39-name
+    r6-window remainder (out r7+r8+r9 — past the staleness bound),
+    then the r7-window block (out r8+r9, at the bound) as window fill.
+    Pinning the group boundaries makes executing the plan at r10 start
+    a mechanical copy, and any tail edit that would silently demote a
+    stale query fails here instead."""
+    assert Q._TAIL[0] == "token_budget_select"
+    assert Q._TAIL[38] == "udtf_token_runs"
+    # r7-window block begins immediately after and runs 50 names deep
+    assert Q._TAIL[39] == "priority_sample_documents"
+    assert Q._TAIL[88] == "recursive_nation_chain"
+    # everything in _PENDING enters r10 group 1 ahead of these
+    assert len(Q._PENDING) + 39 + 11 <= 2 * DRIVER_WINDOW
