@@ -33,12 +33,15 @@ corpus, except the one explode+partial-agg scoring pass):
   pure Catalyst expressions, no UDF, no window;
 * scoring = explode + broadcast-join the (term, w_fp) model + one
   (doc)-keyed partial-agg SUM — map-side combined, the word-count
-  shape. At 100 TB cap the vocabulary (top-V by frequency) exactly
-  like vocab_top_terms' TakeOrdered; the model relation stays
-  broadcast-sized by construction.
+  shape. At 100 TB pass ``nb_train(..., max_vocab=V)`` — a top-V-by-
+  frequency TakeOrdered cut (the vocab_top_terms pattern) that keeps
+  the model relation broadcast-sized by construction.
 
 int64 bounds: weights need (c+1)*(N+V) < 2^63 — N below ~3e9 total
-training tokens per class (widen to DECIMAL(38,0) beyond); scores
+training tokens per class; past that, ``nb_train`` RAISES (a guard on
+the distinct count pairs) instead of letting non-ANSI Spark wrap
+silently while the oracle errors — widen to DECIMAL(38,0) or shard
+the class if you ever hit it. Scores
 need n_toks_per_doc * max|w| < 2^63 with max|w| ~ 63*2^20 < 2^26,
 safe to ~2^37 tokens per document.
 
@@ -83,6 +86,10 @@ def with_ilog2_fp(
     for vocabulary-sized relations; every step is exact int64 (the
     squared normalized mantissa is < 2^(2*frac_bits+2))."""
     g = 1 << frac_bits
+    # pin the input to BIGINT up front: on an INT column the first
+    # shiftleft would stay int32 and the chain would silently rely on
+    # later div-by-bigint promotion (ADVICE r8) — cast once, here
+    df = df.withColumn(x_col, F.col(x_col).cast("bigint"))
     df = (
         df.withColumn("_il_m", F.expr(f"length(bin({x_col})) - 1"))
         .withColumn(
@@ -200,6 +207,7 @@ def nb_train(
     doc_labels: DataFrame | None = None,
     label_col: str = "y",
     term_col: str = "term",
+    max_vocab: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the classifier from labeled token OCCURRENCES
     ``(doc_id, term, y)`` with y in {0, 1}.
@@ -211,6 +219,16 @@ def nb_train(
     back to distinct-doc counts derived from the tokens (documents
     with zero tokens then carry no prior mass).
 
+    ``max_vocab`` caps the vocabulary to the top-V terms by total
+    training frequency (ties broken by term, so the cut is
+    deterministic) — the 100 TB knob: the model relation that scoring
+    broadcasts is then bounded by CONSTRUCTION, not by assumption.
+    The orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-V, no full sort shuffle). Smoothing totals (N0, N1, V) are
+    recomputed over the capped vocabulary, since the smoothing mass is
+    defined over the training vocabulary (module docstring). Default
+    ``None`` keeps the uncapped, oracle-identical behavior.
+
     Returns ``(weights, priors)``: weights = (term, w_fp) — the
     vocabulary-sized model relation (broadcast it when scoring);
     priors = ONE row (prior_fp, n1_docs, n0_docs)."""
@@ -219,6 +237,10 @@ def nb_train(
         F.sum(y).alias("c1"),
         F.sum(1 - y).alias("c0"),
     )
+    if max_vocab is not None:
+        cnt = cnt.orderBy(
+            F.expr("c1 + c0").desc(), F.col(term_col)
+        ).limit(max_vocab)
     tot = cnt.agg(
         F.sum("c1").alias("n1"),
         F.sum("c0").alias("n0"),
@@ -230,11 +252,23 @@ def nb_train(
     # the 2x20-step log chain on the deduplicated pairs only, then
     # broadcast the pair->weight map back onto the vocabulary
     pairs = cnt.select("c1", "c0").distinct()
+    # int64 guard (ADVICE r8): past ~3e9 tokens per class the products
+    # below exceed 2^63; non-ANSI Spark would WRAP silently (a
+    # plausible-but-wrong weight) while the DuckDB oracle errors — make
+    # Spark fail loudly too, with the remedy in the message. Checked on
+    # the distinct count pairs only, so the guard costs nothing.
+    _of = (
+        "CASE WHEN {c} + 1 <= 9223372036854775807L div ({n} + v)"
+        " THEN ({c} + 1) * ({n} + v)"
+        " ELSE raise_error('nb_train: ({c}+1)*({n}+v) overflows int64"
+        " (class exceeds ~3e9 training tokens); widen counts to"
+        " DECIMAL(38,0) or shard the class') END"
+    )
     ab = pairs.crossJoin(F.broadcast(tot)).select(
         "c1",
         "c0",
-        F.expr("(c1 + 1) * (n0 + v)").alias("_a"),
-        F.expr("(c0 + 1) * (n1 + v)").alias("_b"),
+        F.expr(_of.format(c="c1", n="n0")).alias("_a"),
+        F.expr(_of.format(c="c0", n="n1")).alias("_b"),
     )
     pair_w = with_ilog2_fp(
         with_ilog2_fp(ab, "_a", "_la"), "_b", "_lb"

@@ -602,6 +602,7 @@ def semantic_dedup_cells(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic dedup: assign every
     vector to its nearest coarse cell (portable hash-sampled
@@ -620,7 +621,21 @@ def semantic_dedup_cells(
     operator is what you run first at 100 TB, with nlist sized so
     cells fit a task (n/nlist vectors -> |cell|^2 bounded per task).
     Approximation contract: only SAME-CELL duplicates are seen, the
-    standard SemDeDup trade (recall grows with nprobe if needed)."""
+    standard SemDeDup trade (recall grows with nprobe if needed).
+
+    ``max_cell_rows`` bounds the per-TASK pair work when a cell goes
+    hot (mass near-duplicates collapse into one cell — the r9 skew
+    probe measured the straggler): rows of a cell are salted into
+    ``ceil(|cell| / max_cell_rows)`` hash blocks and the in-cell pair
+    search becomes a (cell, block_i, block_j) EQUI-join over the
+    triangular block grid — every unordered in-cell pair still
+    appears exactly once, so the output is IDENTICAL to the uncapped
+    path (pinned in tests/test_skew_cap.py); per-task pairs drop from
+    |cell|^2 to max_cell_rows^2 at a replication cost of ~n_blocks/2
+    copies of the hot cell's rows. Block counts come from a
+    broadcast nlist-row cell-size relation, so balanced corpora pay
+    one tiny join and keep n_blocks = 1 everywhere (the grid then
+    degenerates to the plain cell join)."""
     cent = portable_centroids(corpus, nlist, id_col, vec_col)
     asg = _nearest_cells(corpus, cent, 1, id_col, vec_col)
     # Precompute each vector's norm ONCE: cosine(a,b) recomputes both
@@ -634,22 +649,71 @@ def semantic_dedup_cells(
         F.col(id_col), F.col(vec_col), "cell",
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
-    a = withn.select(
-        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
-        F.col("_nrm").alias("_na"), "cell",
-    )
-    b = withn.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
-        F.col("_nrm").alias("_nb"), "cell",
-    )
     pair_cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(pair_cos >= F.lit(tau))
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
-    )
+    if max_cell_rows is None:
+        a = withn.select(
+            F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+            F.col("_nrm").alias("_na"), "cell",
+        )
+        b = withn.select(
+            F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+            F.col("_nrm").alias("_nb"), "cell",
+        )
+        dropped = (
+            a.join(b, "cell")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .filter(pair_cos >= F.lit(tau))
+            .select(F.col("_idb").alias(id_col))
+            .distinct()
+        )
+    else:
+        # triangular block grid within each cell: row -> block by id
+        # hash; an unordered pair (x, y) with blocks (kx, ky) meets in
+        # exactly ONE grid cell — (min, max) off-diagonal (x on the
+        # side whose block is the smaller coordinate), or (k, k) where
+        # the _ida < _idb filter de-duplicates the two orientations —
+        # so no pair dedup is needed and the output equals the plain
+        # cell join's exactly
+        sizes = withn.groupBy("cell").agg(
+            F.ceil(F.count(F.lit(1)) / max_cell_rows)
+            .cast("int")
+            .alias("_nb_blk")
+        )
+        wb = withn.join(F.broadcast(sizes), "cell").withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb_blk")).cast("int")
+        )
+        a = wb.select(
+            F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+            F.col("_nrm").alias("_na"), "cell",
+            F.col("_blk").alias("_gi"),
+            F.explode(
+                F.sequence(F.col("_blk"), F.col("_nb_blk") - 1)
+            ).alias("_gj"),
+        )
+        b = wb.select(
+            F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+            F.col("_nrm").alias("_nb"), "cell",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_blk"))
+            ).alias("_gi"),
+            F.col("_blk").alias("_gj"),
+        )
+        dropped = (
+            a.join(b, ["cell", "_gi", "_gj"])
+            .filter(
+                (
+                    (F.col("_gi") < F.col("_gj"))
+                    & (F.col("_ida") != F.col("_idb"))
+                )
+                | (
+                    (F.col("_gi") == F.col("_gj"))
+                    & (F.col("_ida") < F.col("_idb"))
+                )
+            )
+            .filter(pair_cos >= F.lit(tau))
+            .select(F.greatest("_ida", "_idb").alias(id_col))
+            .distinct()
+        )
     return asg.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left").select(
         id_col, "cell", F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")
     )

@@ -1442,12 +1442,17 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     global n^2 of embedding_cosine_dedup — which is the shape that
     scales: size nlist so a cell fits one task. Every stage (centroid
     pick, argmax-cosine assignment, in-cell pair cosine, survivor
-    rule) reproduces bit-for-bit in the DuckDB oracle."""
+    rule) reproduces bit-for-bit in the DuckDB oracle.
+    max_cell_rows salts a HOT cell into a triangular block grid so no
+    single task ever sees more than max_cell_rows^2 pairs (r9 skew
+    probe: a 92%-hot cell was a 50x straggler without it) — output
+    identical by construction, inert at test SFs (cells ~30-300
+    rows)."""
     tune(spark)
     from etl_inreach_spark.operators.similarity import semantic_dedup_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_cells(emb, 0.3, nlist=16)
+    return semantic_dedup_cells(emb, 0.3, nlist=16, max_cell_rows=4096)
 
 
 @query(

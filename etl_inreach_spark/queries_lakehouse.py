@@ -17,13 +17,13 @@ satisfy — the same pattern that oracle-gated the CMS monoid via
   committed fixture directory.
 
 CALLER CONTRACT (fixture lifetime): each query's returned DataFrame
-reads files under a named scratch slot that the NEXT invocation of
-the SAME query empties and rebuilds (see ``_scratch``) — collect a
-result before re-invoking its query. Every harness here (driver,
-oracle_check, bench) does exactly that; holding two invocations'
-lazy results concurrently is the one unsupported pattern, traded for
-sweeps that no longer accumulate a full orders/customer copy per
-call (ADVICE r7).
+reads files under a per-invocation GENERATION subdirectory of a named
+scratch slot with keep-last-1 retention (see ``_scratch``): invoking
+the same query again leaves the previous invocation's files readable
+and deletes anything older (ADVICE r8). So a caller may hold the
+previous result while collecting the new one; only a result >= 2
+invocations old goes stale — traded for sweeps that never accumulate
+more than two orders/customer copies per slot (ADVICE r7).
 """
 
 from __future__ import annotations
@@ -46,23 +46,32 @@ from etl_inreach_spark.queries import query
 from etl_inreach_spark.session import tune
 
 _SCRATCH_ROOT: str | None = None
+_SCRATCH_GEN: dict[str, int] = {}
 
 
 def _scratch(name: str) -> str:
-    """Fixture directory ``<session-root>/<name>``: ONE mkdtemp per
-    process, removed at interpreter exit, and the named slot is
-    recreated EMPTY on every call — so repeated oracle/bench sweeps
-    reuse the slot instead of accumulating full copies of
-    orders/customer per invocation (ADVICE r7). Recreating on the
-    NEXT call (not a finally) is deliberate: the returned DataFrames
-    are lazy and must stay readable until the caller collects them;
-    the harness collects each result before re-invoking a query."""
+    """Per-invocation fixture directory
+    ``<session-root>/<name>/g<N>``: ONE mkdtemp per process, removed
+    at interpreter exit; each call of the same slot gets a FRESH
+    generation subdirectory and deletes every generation older than
+    the previous one (keep-last-1, ADVICE r8). The returned
+    DataFrames are lazy, so the previous invocation's files must stay
+    readable until its caller collects — retention of exactly one
+    back-generation supports that without letting repeated
+    oracle/bench sweeps accumulate full copies of orders/customer per
+    invocation (ADVICE r7). A result older than two invocations of
+    the same query reads deleted files — the documented (and now
+    generous) edge of the contract."""
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_lakehouse_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    d = os.path.join(_SCRATCH_ROOT, name)
-    shutil.rmtree(d, ignore_errors=True)
+    gen = _SCRATCH_GEN.get(name, 0) + 1
+    _SCRATCH_GEN[name] = gen
+    slot = os.path.join(_SCRATCH_ROOT, name)
+    for g in range(1, gen - 1):
+        shutil.rmtree(os.path.join(slot, f"g{g}"), ignore_errors=True)
+    d = os.path.join(slot, f"g{gen}")
     os.makedirs(d)
     return d
 

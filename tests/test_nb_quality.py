@@ -126,6 +126,62 @@ def test_ilog2_sql_cte_chain_matches_python_replica_fuzz():
         assert got == ilog2_fp_py(x), x
 
 
+def test_with_ilog2_fp_accepts_int32_input(spark):
+    """ADVICE r8: an INT (32-bit) input column must be pinned to
+    BIGINT at the top of the chain, not left to rely on later implicit
+    promotion — same results as the 64-bit path."""
+    xs = [1, 3, 1000, (1 << 20) + 1, (1 << 31) - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "x int")
+    got = {r["x"]: r["l"] for r in with_ilog2_fp(df, "x", "l").collect()}
+    for x in xs:
+        assert got[x] == ilog2_fp_py(x), x
+
+
+def test_nb_train_max_vocab_cap_matches_python_replica(spark, sf_dir):
+    """The max_vocab top-V cut (VERDICT r8 item 3) against a straight
+    Python replica over the same training split: the kept vocabulary
+    is the top-V terms by total frequency (term tie-break), smoothing
+    totals are recomputed over the CAPPED vocabulary, and every kept
+    weight is exact."""
+    from etl_inreach_spark.operators.nb_quality import nb_train
+
+    cap = 40
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    c1: Counter = Counter()
+    c0: Counter = Counter()
+    for r in docs:
+        if r["doc_id"] % 3 == 0:
+            continue
+        (c1 if r["lang"] == "en" else c0).update(r["text"].split())
+    freq = Counter({t: c1[t] + c0[t] for t in set(c1) | set(c0)})
+    kept = sorted(freq, key=lambda t: (-freq[t], t))[:cap]
+    n1 = sum(c1[t] for t in kept)
+    n0 = sum(c0[t] for t in kept)
+    v = len(kept)
+    expected = {
+        t: ilog2_fp_py((c1[t] + 1) * (n0 + v))
+        - ilog2_fp_py((c0[t] + 1) * (n1 + v))
+        for t in kept
+    }
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 != 0)
+        .select(
+            "doc_id",
+            F.expr("cast(lang = 'en' as bigint)").alias("y"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+    )
+    w, _ = nb_train(toks, max_vocab=cap)
+    got = {r["term"]: r["w_fp"] for r in w.collect()}
+    assert got == expected
+
+
 def test_nb_train_empty_class_prior_is_null_not_zero(spark):
     """A training split with ZERO documents in one class is outside
     the model's domain: ilog2(0) must surface as a NULL prior (which

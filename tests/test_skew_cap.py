@@ -1,0 +1,65 @@
+"""Hot-cell cap for semantic dedup (VERDICT r8 item 6): the
+triangular block grid behind ``max_cell_rows`` must be OUTPUT-
+invariant — every unordered in-cell pair meets in exactly one grid
+cell — while bounding per-task pair work. The r9 skew probe
+(tools/skew_probe.py) measures the straggler it removes; this test
+pins the semantics the probe relies on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.operators.similarity import semantic_dedup_cells
+
+
+def _rows(df):
+    return sorted(
+        (r["vec_id"], r["cell"], r["kept"]) for r in df.collect()
+    )
+
+
+def test_capped_semantic_dedup_equals_uncapped(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _rows(semantic_dedup_cells(emb, 0.3, nlist=16))
+    # cap far below the cell sizes, forcing a multi-block grid in
+    # EVERY cell (sf0.001 cells are ~6-60 rows; cap 7 gives 1-9
+    # blocks), including off-diagonal and diagonal grid cells
+    capped = _rows(
+        semantic_dedup_cells(emb, 0.3, nlist=16, max_cell_rows=7)
+    )
+    assert capped == base
+    # and the inert production cap is a no-op too
+    inert = _rows(
+        semantic_dedup_cells(emb, 0.3, nlist=16, max_cell_rows=4096)
+    )
+    assert inert == base
+
+
+def test_capped_dedup_all_duplicates_one_cell(spark):
+    """Degenerate hot cell: every vector is a near-duplicate of one
+    base vector, so all land in one cell and every pair qualifies —
+    the exact shape of the skew probe. The min-id survivor must be
+    the ONLY keeper under any cap."""
+    n = 200
+    rows = [
+        (i, [1.0 + (i % 17) * 1e-6, 2.0, 3.0, 4.0]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    base = semantic_dedup_cells(emb, 0.99, nlist=4).collect()
+    # every pair qualifies, so each CELL keeps exactly its min id
+    # (tiny jitter may scatter the near-dups across the 4 cells)
+    per_cell_min = {}
+    for r in base:
+        c = r["cell"]
+        per_cell_min[c] = min(per_cell_min.get(c, r["vec_id"]), r["vec_id"])
+    kept = sorted(r["vec_id"] for r in base if r["kept"])
+    assert kept == sorted(per_cell_min.values())
+    assert len(base) == n
+    # a cap forcing ~13 blocks in the hot cell changes nothing
+    capped = semantic_dedup_cells(
+        emb, 0.99, nlist=4, max_cell_rows=16
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, base))

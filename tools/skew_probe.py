@@ -75,13 +75,15 @@ def _max_task_ms(app_id: str, stage_ids: set[int]) -> float:
 
 def _run(spark, name, fn, sf_dir, repeats: int = 3):
     """One discarded warm-up pass (codegen/shuffle JIT), then
-    min-of-``repeats`` for wall AND max task — the bench discipline;
-    a single cold draw made the committed uniform-vs-skew comparison
-    warm-up-dominated (review finding r8)."""
+    min-of-``repeats`` for wall (the bench discipline) and ALL
+    per-repeat max-task values for the straggler signal: a straggler
+    detector must not hide an intermittent straggler behind a
+    min-of-max (ADVICE r8), so the probe reports every repeat's max
+    task plus its worst case."""
     sc = spark.sparkContext
     fn(spark, sf_dir).count()  # warm-up, not measured
     best_wall = None
-    best_task = None
+    task_maxes: list[float] = []
     n = 0
     for rep in range(repeats):
         group = f"probe:{name}:{rep}"
@@ -97,13 +99,13 @@ def _run(spark, name, fn, sf_dir, repeats: int = 3):
                 stage_ids.update(ji.stageIds)
         sc.setLocalProperty("spark.jobGroup.id", None)
         sc.setLocalProperty("spark.job.description", None)
-        mt = _max_task_ms(app_id, stage_ids) / 1000.0
+        task_maxes.append(_max_task_ms(app_id, stage_ids) / 1000.0)
         best_wall = wall if best_wall is None else min(best_wall, wall)
-        best_task = mt if best_task is None else min(best_task, mt)
     return {
         "wall_sec": round(best_wall, 2),
         "rows": n,
-        "max_task_sec": round(best_task, 2),
+        "max_task_sec": round(max(task_maxes), 2),
+        "max_task_sec_per_repeat": [round(t, 2) for t in task_maxes],
     }
 
 
