@@ -138,6 +138,9 @@ _FRONT: tuple[str, ...] = (
 # 50-name _FRONT above is the frozen window). Names here MUST move to
 # _FRONT in r10 (group 1 of the plan above). Cap 12 (test-enforced).
 _PENDING: tuple[str, ...] = (
+    # r9 additions (VERDICT r8 items 4-5) — enter _FRONT in r10
+    "kmeans_lloyd_round2_update",
+    "curation_gate_composed",
 )
 _TAIL: tuple[str, ...] = (
     # r6-window remainder (green in CORRECTNESS_r06) — out r7+r8+r9

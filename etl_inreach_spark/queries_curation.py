@@ -1520,3 +1520,224 @@ def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_fp"),
     )
+
+
+def _curation_gate_oracle() -> str:
+    """DuckDB replay of the full three-stage curation stack with each
+    stage trained on the PREVIOUS stage's survivors: gate-1 heuristics
+    (the quality_filter_pipeline rules verbatim), gate-2 bigram-LM ppm
+    score trained on gate-1 survivors (the bigram_lm_quality
+    arithmetic, every division integer), gate-3 Naive-Bayes log-odds
+    trained on the en/non-en split of gate-2 survivors (the
+    nb_quality ilog2 chain). All joins by doc_id; every score an
+    exact bigint; the final attribution column names the first gate
+    that rejected."""
+    from etl_inreach_spark.operators.nb_quality import ilog2_sql_cte_chain
+
+    w_chain, w_fin = ilog2_sql_cte_chain("cg_wsrc", {"a": "xa", "b": "xb"}, "cgw")
+    p_chain, p_fin = ilog2_sql_cte_chain("cg_psrc", {"p1": "d1", "p0": "d0"}, "cgp")
+    return f"""
+    WITH t0 AS (
+        SELECT doc_id, lang, text, n_chars,
+               len({_DUCK_TOKS}) AS n_tokens,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS punct_cnt,
+               len(list_intersect(list_distinct({_DUCK_TOKS}),
+                   ['the','a','of','and','is'])) AS stop_hits
+        FROM documents
+    ), g1 AS (
+        SELECT doc_id, lang, text,
+               CASE
+                 WHEN n_tokens < 5 THEN 'too_short'
+                 WHEN n_tokens > 500 THEN 'too_long'
+                 WHEN CAST(punct_cnt AS DOUBLE) / n_chars > 0.1
+                     THEN 'too_much_punct'
+                 WHEN stop_hits = 0 THEN 'no_stopwords'
+                 ELSE 'ok'
+               END AS verdict1
+        FROM t0
+    ), surv1 AS (
+        SELECT doc_id, lang, text FROM g1 WHERE verdict1 = 'ok'
+    ), ltoks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS t FROM surv1
+    ), bigs AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM ltoks, UNNEST(range(1, len(t))) AS u(i)
+    ), cnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+        FROM bigs GROUP BY w1, w2
+    ), pre AS (
+        SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_pre FROM cnt GROUP BY w1
+    ), lm AS (
+        SELECT b.doc_id,
+               CAST(SUM((1000000 * m.c_big) // m.c_pre) // COUNT(*)
+                    AS BIGINT) AS lm_ppm
+        FROM bigs b
+        LEFT JOIN (SELECT w1, w2, c_big, c_pre FROM cnt JOIN pre USING (w1)) m
+            USING (w1, w2)
+        GROUP BY b.doc_id
+    ), g2 AS (
+        SELECT s.doc_id, s.lang, s.text, l.lm_ppm,
+               l.lm_ppm >= 33000 AS keep2
+        FROM surv1 s JOIN lm l USING (doc_id)
+    ), surv2 AS (
+        SELECT doc_id, lang, text FROM g2 WHERE keep2
+    ), ntoks AS (
+        SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+               unnest({_DUCK_TOKS}) AS term
+        FROM surv2
+    ), ncnt AS (
+        SELECT term, CAST(sum(y) AS BIGINT) AS c1,
+               CAST(sum(1 - y) AS BIGINT) AS c0
+        FROM ntoks WHERE doc_id % 3 != 0 GROUP BY term
+    ), ntot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c0) AS BIGINT) AS n0,
+               CAST(count(*) AS BIGINT) AS v
+        FROM ncnt
+    ), cg_wsrc AS (
+        SELECT term, (c1 + 1) * (n0 + v) AS xa, (c0 + 1) * (n1 + v) AS xb
+        FROM ncnt, ntot
+    ),
+    {w_chain},
+    w AS (
+        SELECT term, l_a - l_b AS w_fp FROM {w_fin}
+    ), cg_psrc AS (
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS d0
+        FROM surv2 WHERE doc_id % 3 != 0
+    ),
+    {p_chain},
+    prior AS (
+        SELECT l_p1 - l_p0 AS prior_fp FROM {p_fin}
+    ), nsc AS (
+        SELECT t.doc_id,
+               CAST(p.prior_fp + sum(w.w_fp) AS BIGINT) AS nb_score_fp
+        FROM ntoks t JOIN w USING (term), prior p
+        GROUP BY t.doc_id, p.prior_fp
+    )
+    SELECT g1.doc_id, g1.verdict1,
+           (g1.verdict1 = 'ok') AS keep1,
+           g2.lm_ppm,
+           COALESCE(g2.keep2, FALSE) AS keep2,
+           nsc.nb_score_fp,
+           COALESCE(g2.keep2, FALSE)
+               AND COALESCE(nsc.nb_score_fp >= 0, FALSE) AS keep3,
+           CASE
+             WHEN g1.verdict1 != 'ok' THEN g1.verdict1
+             WHEN NOT COALESCE(g2.keep2, FALSE) THEN 'lm_low'
+             WHEN NOT COALESCE(nsc.nb_score_fp >= 0, FALSE)
+                 THEN 'nb_reject'
+             ELSE 'keep'
+           END AS gate
+    FROM g1
+    LEFT JOIN g2 USING (doc_id)
+    LEFT JOIN nsc USING (doc_id)
+    """
+
+
+@query("curation_gate_composed", oracle=_curation_gate_oracle())
+def curation_gate_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style quality stack END-TO-END (VERDICT r8 item 5):
+    three gates chained so each stage trains on the previous stage's
+    survivors, with per-gate attribution for every document —
+
+    1. heuristics (quality_filter_pipeline's rules: length bounds,
+       punctuation density, stopword presence; first failing rule is
+       the attribution);
+    2. bigram-LM corpus-likelihood (bigram_lm_quality's exact ppm
+       arithmetic), MODEL TRAINED ON GATE-1 SURVIVORS only — junk
+       text no longer pollutes the reference distribution; fixed
+       threshold 33,000 ppm (~the survivor population's lower decile
+       across SFs);
+    3. learned Naive-Bayes en-likeness (operators/nb_quality.py,
+       exact integer log-odds), trained on the doc_id%3!=0 split of
+       gate-2 survivors, scoring ALL gate-2 survivors; documents
+       whose tokens are entirely outside the trained vocabulary fail
+       the gate explicitly (no evidence != pass).
+
+    Output: one row per INPUT document — (verdict1, keep1, lm_ppm,
+    keep2, nb_score_fp, keep3, gate) where ``gate`` names the first
+    rejecting stage or 'keep'. Scores of documents rejected upstream
+    are NULL, never computed: at 100 TB each stage's training and
+    scoring relations shrink to its survivor set, which is the point
+    of running the cheap gate first (CCNet's cascade order).
+
+    Shuffle budget: gate 1 is a narrow projection (zero shuffles);
+    gate 2 is the bigram model's two partial aggs + one (w1, w2)
+    equi-join; gate 3 is the NB vocab agg + broadcast model join +
+    doc-keyed sum; final assembly is two doc_id equi-joins of
+    doc-sized relations. No window functions, no driver collects."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import (
+        LANG_MARKERS,
+        marker_hits,
+        punct_count,
+        tokens,
+    )
+    from etl_inreach_spark.operators.cooccur import bigram_lm_score
+    from etl_inreach_spark.operators.nb_quality import nb_score, nb_train
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    punct_ratio = punct_count(F.col("text")).cast("double") / F.col("n_chars")
+    stop_hits = marker_hits(F.array_distinct(toks), LANG_MARKERS["en"])
+    verdict1 = (
+        F.when(n_tokens < 5, F.lit("too_short"))
+        .when(n_tokens > 500, F.lit("too_long"))
+        .when(punct_ratio > 0.1, F.lit("too_much_punct"))
+        .when(stop_hits == 0, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    g1 = d.select("doc_id", "lang", "text", verdict1.alias("verdict1"))
+    surv1 = g1.filter(F.col("verdict1") == "ok").select(
+        "doc_id", "lang", "text"
+    )
+    lm = bigram_lm_score(surv1).select(
+        "doc_id", F.col("mean_prob_ppm").alias("lm_ppm")
+    )
+    g2 = surv1.join(lm, "doc_id").select(
+        "doc_id", "lang", "text", "lm_ppm",
+        (F.col("lm_ppm") >= 33000).alias("keep2"),
+    )
+    surv2 = g2.filter(F.col("keep2")).select("doc_id", "lang", "text")
+    ntoks = surv2.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    lab = surv2.select(
+        "doc_id", (F.col("lang") == "en").cast("bigint").alias("y")
+    )
+    weights, priors = nb_train(
+        ntoks.filter(F.col("doc_id") % 3 != 0),
+        doc_labels=lab.filter(F.col("doc_id") % 3 != 0),
+    )
+    nsc = nb_score(ntoks, weights, priors).select(
+        "doc_id", F.col("score_fp").alias("nb_score_fp")
+    )
+    keep2 = F.coalesce(F.col("keep2"), F.lit(False))
+    keep3 = keep2 & F.coalesce(F.col("nb_score_fp") >= 0, F.lit(False))
+    return (
+        g1.join(g2.select("doc_id", "lm_ppm", "keep2"), "doc_id", "left")
+        .join(nsc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "verdict1",
+            (F.col("verdict1") == "ok").alias("keep1"),
+            "lm_ppm",
+            keep2.alias("keep2"),
+            "nb_score_fp",
+            keep3.alias("keep3"),
+            F.when(F.col("verdict1") != "ok", F.col("verdict1"))
+            .when(~keep2, F.lit("lm_low"))
+            .when(
+                ~F.coalesce(F.col("nb_score_fp") >= 0, F.lit(False)),
+                F.lit("nb_reject"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("gate"),
+        )
+    )

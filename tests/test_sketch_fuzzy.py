@@ -222,3 +222,81 @@ def test_kmeans_lloyd_distributed_matches_numpy_reference(spark):
     assert set(got) == set(range(1, nlist + 1))
     for c in range(nlist):
         assert np.allclose(got[c + 1], cent[c], atol=1e-9), f"cell {c+1}"
+
+
+def test_kmeans_lloyd_round2_matches_python_fold_replica(spark, sf_dir):
+    """The TWO-round composed Lloyd query (kmeans_lloyd_round2_update,
+    VERDICT r8 item 4) against a pure-Python sequential-fold replica —
+    a THIRD engine beside Spark and the DuckDB oracle, and EXACT, not
+    allclose: every float op (fold dot, norm, unit divide, cosine) is
+    replayed in the same left-to-right order as Spark's F.aggregate,
+    so doubles match bit-for-bit, and the cross-round handoff
+    (mean_fp / 2^30) is a power-of-two division with no rounding at
+    all."""
+    import math
+
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+    )
+    from etl_inreach_spark.catalog import load_table
+    from etl_inreach_spark.queries_extended import kmeans_lloyd_round2_update
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    dim = len(next(iter(vecs.values())))
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cosine(a, b):
+        return fold_dot(a, b) / (
+            math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        )
+
+    unit = {
+        i: [x / max(math.sqrt(fold_dot(v, v)), 1e-12) for x in v]
+        for i, v in vecs.items()
+    }
+    order = sorted(vecs, key=lambda i: ((PORTABLE_A * i + PORTABLE_B) % PORTABLE_M, i))
+    cents = {c + 1: vecs[order[c]] for c in range(16)}
+
+    def assign(cent):
+        out = {}
+        for i, uv in unit.items():
+            best = max(
+                sorted(cent),
+                key=lambda c: (cosine(uv, cent[c]), -c),
+            )
+            out[i] = best
+        return out
+
+    def stats(asg):
+        st = {}
+        for i, c in asg.items():
+            for d in range(dim):
+                k = (c, d)
+                n, s = st.get(k, (0, 0))
+                st[k] = (n + 1, s + math.floor(unit[i][d] * 1073741824.0))
+        return st
+
+    st1 = stats(assign(cents))
+    cent2 = {}
+    for (c, d), (n, s) in st1.items():
+        cent2.setdefault(c, [0.0] * dim)[d] = (s // n) / 1073741824.0
+    st2 = stats(assign(cent2))
+    expected = {
+        (c, d): (n, s, s // n) for (c, d), (n, s) in st2.items()
+    }
+
+    got = {
+        (r["cell"], r["dim"]): (r["n_members"], r["sum_fp"], r["mean_fp"])
+        for r in kmeans_lloyd_round2_update(spark, sf_dir).collect()
+    }
+    assert got == expected

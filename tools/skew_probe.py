@@ -42,12 +42,21 @@ def _get_spark_with_ui():
 
     from etl_inreach_spark.session import BUILDER_ONLY_CONF
 
+    from etl_inreach_spark.session import _default_driver_mem
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("skew-probe")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4050")
+        # mirror get_spark's sizing: the default 1g driver heap OOMs
+        # on the 10x-documents shingle checkpoint
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
+        .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in {**RUNTIME_CONF, **BUILDER_ONLY_CONF}.items():
         b = b.config(k, v)
@@ -109,11 +118,7 @@ def _run(spark, name, fn, sf_dir, repeats: int = 3):
     }
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    spark = _get_spark_with_ui()
-    spark.sparkContext.setLogLevel("ERROR")
+def _probe_events(spark, sf_dir: str, repl: int) -> dict:
     from etl_inreach_spark.queries_analytics import (
         session_path_trigrams,
         trailing_1h_distinct_users,
@@ -171,8 +176,237 @@ def main() -> int:
                 spark, f"trigrams:{label}", session_path_trigrams, d
             ),
         }
-    print(json.dumps(out))
     shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _probe_minhash(spark, sf_dir: str, repl: int) -> dict:
+    """Band-bucket skew for MinHash-LSH (VERDICT r8 item 6): at
+    ``repl``x documents, the skew variant plants a BOUNDED boilerplate
+    cluster — 1,000 documents with IDENTICAL text — so every one of
+    the 16 bands gets one 1,000-item bucket whose collect_list task
+    expands ~500k candidate pairs (the per-bucket |b|^2 bound under
+    test). The cluster is bounded BY DESIGN: a 92%-of-corpus identical
+    cluster is the degenerate case whose true duplicate-pair OUTPUT is
+    itself quadratic (~1e9 pairs at 10x) — no candidate strategy can
+    beat its own output size, and the documented 100 TB remedy is the
+    exact-dedup pre-pass (exact_dedup_documents collapses identical
+    texts before LSH ever runs). What must hold here: the hot buckets
+    stay single-task-sized in memory (1,000 sigs ~ 0.5 MB), the
+    expansion tasks stay seconds-not-minutes, and wall degrades
+    gracefully vs the uniform mix.
+
+    Uniform baseline: each replica's text is prefixed with a replica
+    tag, so replicas are genuine ~0.97-Jaccard near-dups of their
+    source — buckets of ~repl items, the healthy LSH regime."""
+    from etl_inreach_spark.queries_extended import minhash_lsh_dedup
+
+    d0 = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="spark_graft_skewprobe_")
+    reps = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in range(repl)])
+    ).alias("_k")
+    base = d0.select("*", reps).select(
+        (F.col("doc_id") + F.col("_k") * F.lit(10**9)).alias("doc_id"),
+        F.concat(F.lit("r"), F.col("_k"), F.lit(" "), F.col("text")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "_k",
+    )
+    base = base.withColumn("n_chars", F.length("text"))
+    boiler = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua ut "
+        "enim ad minim veniam quis nostrud exercitation ullamco laboris "
+        "nisi ut aliquip ex ea commodo consequat duis aute irure dolor"
+    )
+    variants = {}
+    for label, df in (
+        ("uniform", base.drop("_k")),
+        (
+            # 1,000 docs remapped to ONE identical boilerplate text
+            "hot1k",
+            base.withColumn(
+                "text",
+                F.when(
+                    (F.col("_k") == 0)
+                    & (F.pmod(F.xxhash64("doc_id"), F.lit(5)) < 1),
+                    F.lit(boiler),
+                ).otherwise(F.col("text")),
+            ).drop("_k"),
+        ),
+    ):
+        d = os.path.join(root, label)
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        variants[label] = d
+
+    out = {}
+    for label, d in variants.items():
+        out[label] = {
+            "n_docs": spark.read.parquet(
+                os.path.join(d, "documents.parquet")
+            ).count(),
+            "minhash_lsh_dedup": _run(
+                spark, f"minhash:{label}", minhash_lsh_dedup, d
+            ),
+        }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _probe_semdedup(spark, sf_dir: str, repl: int) -> dict:
+    """Hot-CELL skew for SemDeDup (VERDICT r8 item 6): 92% of a
+    ``repl``x embeddings corpus remapped to jittered copies of ONE
+    base vector, so they all quantize into one cell. Three runs:
+
+    * uniform capped — balanced cells, block grid inert (nb=1);
+    * skew92 UNCAPPED — the straggler the cap exists for: the hot
+      cell's |cell|^2 pair search lands in ONE join task (repeats=1;
+      at this magnitude draw noise is irrelevant and each extra
+      repeat costs the full straggler);
+    * skew92 capped (max_cell_rows=512) — same data, same output,
+      per-task pairs bounded by 512^2/2.
+
+    The hot-cell size is what the quadratic bound sees — per-bucket
+    |b|^2 is independent of corpus size — so ``repl`` pins it
+    directly: repl=2 -> 3,680-row hot cell -> ~6.8M single-task pairs
+    uncapped (~35 s at the measured ~190k pair-cosines/s/task); 10x
+    would make the same single task ~15 min, which is the point of
+    the cap, not a thing to wait on."""
+    from etl_inreach_spark.operators.similarity import semantic_dedup_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="spark_graft_skewprobe_")
+    reps = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in range(repl)])
+    ).alias("_k")
+    base = emb.select("*", reps).select(
+        (F.col("vec_id") + F.col("_k") * F.lit(10**9)).alias("vec_id"),
+        # per-replica jitter so replicas are not trivially identical
+        F.transform(
+            "embedding",
+            lambda x: (x * (1.0 + F.col("_k") * F.lit(1e-4))).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    # the quantizer's nlist sample is picked by id HASH only, so the
+    # picked ids are invariant under any embedding remap: exclude them
+    # from the hot remap so the centroids keep their original diverse
+    # vectors. Without this the 92% duplication swallows ~15 of the 16
+    # sampled centroids and the near-identical centroids SPLIT the hot
+    # mass across cells (measured: max cell 1053/4000) — the scenario
+    # under test is trained/diverse centroids + mass-duplicate
+    # arrivals, the one that concentrates a single hot cell.
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+    )
+
+    h = (F.lit(PORTABLE_A) * F.col("vec_id") + F.lit(PORTABLE_B)) % F.lit(
+        PORTABLE_M
+    )
+    cent_ids = [
+        r["vec_id"]
+        for r in base.select("vec_id", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(16)
+        .collect()
+    ]
+    hot = (F.pmod(F.xxhash64("vec_id"), F.lit(25)) < 23) & (
+        ~F.col("vec_id").isin(cent_ids)
+    )  # ~92%
+    base_vec = emb.select("embedding").first()["embedding"]
+    hot_vec = F.array(*[F.lit(float(v)) for v in base_vec])
+    skew = base.withColumn(
+        "embedding",
+        F.when(
+            hot,
+            F.transform(
+                hot_vec,
+                lambda x, i: (
+                    x
+                    * (
+                        1.0
+                        + (F.pmod(F.col("vec_id") + i, F.lit(97)) - 48)
+                        * F.lit(1e-5)
+                    )
+                ).cast("float"),
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    variants = {"uniform": base, "skew92": skew}
+    paths = {}
+    for label, df in variants.items():
+        d = os.path.join(root, label)
+        df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+        paths[label] = d
+
+    def capped(s, d):
+        e = load_table(s, d, "embeddings")
+        return semantic_dedup_cells(e, 0.3, nlist=16, max_cell_rows=512)
+
+    def uncapped(s, d):
+        e = load_table(s, d, "embeddings")
+        return semantic_dedup_cells(e, 0.3, nlist=16)
+
+    # Disable auto-broadcast for these runs: at probe scale Spark
+    # broadcasts the 4,000-row join side, which spreads the pair work
+    # by INPUT partitioning and hides the hot cell entirely. At 100 TB
+    # the corpus side cannot broadcast — the in-cell join shuffles on
+    # cell and the hot cell lands in ONE task. Note AQE's skew-join
+    # would NOT save that plan either: its detector is BYTE-based
+    # (256 MB threshold) while the blowup here is compute-quadratic in
+    # pair count — the 3,690-row hot cell is ~1 MB on the wire but
+    # ~6.8M pair-cosines of CPU. The deterministic block grid bounds
+    # pairs per task, which is the quantity that actually explodes.
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    out = {}
+    try:
+        for k in prev:
+            spark.conf.set(k, "-1")
+        for label, d in paths.items():
+            n = spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
+            entry = {
+                "n_vecs": n,
+                "capped512": _run(spark, f"sem:{label}:cap", capped, d),
+            }
+            if label == "skew92":
+                entry["uncapped"] = _run(
+                    spark, f"sem:{label}:uncap", uncapped, d, repeats=1
+                )
+            out[label] = entry
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    which = sys.argv[3] if len(sys.argv) > 3 else "all"
+    spark = _get_spark_with_ui()
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"sf_dir": sf_dir, "replication": repl, "probe": which}
+    if which in ("all", "events"):
+        out["events"] = _probe_events(spark, sf_dir, repl)
+    if which in ("all", "minhash"):
+        out["minhash"] = _probe_minhash(spark, sf_dir, repl)
+    if which in ("all", "semdedup"):
+        # hot-cell size = 0.92 * repl * |embeddings|; see docstring
+        out["semdedup"] = _probe_semdedup(spark, sf_dir, min(repl, 2))
+    print(json.dumps(out))
     return 0
 
 
