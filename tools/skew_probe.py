@@ -82,23 +82,44 @@ def _max_task_ms(app_id: str, stage_ids: set[int]) -> float:
     return worst
 
 
-def _run(spark, name, fn, sf_dir, repeats: int = 3):
-    """One discarded warm-up pass (codegen/shuffle JIT), then
-    min-of-``repeats`` for wall (the bench discipline) and ALL
-    per-repeat max-task values for the straggler signal: a straggler
-    detector must not hide an intermittent straggler behind a
-    min-of-max (ADVICE r8), so the probe reports every repeat's max
-    task plus its worst case."""
+def _run(spark, name, fn, sf_dir, repeats: int = 3, warm: bool = True):
+    """One discarded warm-up pass (codegen/shuffle JIT; skippable for
+    straggler runs where cold-JIT noise is orders of magnitude below
+    the signal), then min-of-``repeats`` for wall (the bench
+    discipline) and ALL per-repeat max-task values for the straggler
+    signal: a straggler detector must not hide an intermittent
+    straggler behind a min-of-max (ADVICE r8), so the probe reports
+    every repeat's max task plus its worst case.
+
+    Execution is a NOOP-format write, NOT count(): count() lets
+    Catalyst ELIMINATE a left join against a distinct-keyed side when
+    no joined column is referenced — semantic_dedup's kept flag is
+    exactly that shape, and the r9 probe initially "measured" the
+    hot-cell pair search at 1.4 s because the optimizer had deleted
+    it from the plan (the isolated join takes ~110 s). The noop write
+    materializes every column, so nothing can be optimized away while
+    still writing no bytes — the same discipline bench.py uses."""
+
+    def _exec(df):
+        df.write.format("noop").mode("overwrite").save()
+
     sc = spark.sparkContext
-    fn(spark, sf_dir).count()  # warm-up, not measured
+    n = fn(spark, sf_dir).count()  # row count only, not measured
+    if warm:
+        _exec(fn(spark, sf_dir))  # warm-up, not measured
     best_wall = None
     task_maxes: list[float] = []
-    n = 0
     for rep in range(repeats):
+        # GC between repeats: accumulated window/aggregation buffers
+        # from EARLIER executions otherwise bleed old-gen pauses into
+        # this run's task times (observed 3x repeat variance and a
+        # phantom 100 s "straggler" that a fresh session reruns in
+        # 3 s — session-state contamination, not plan shape)
+        sc._jvm.System.gc()
         group = f"probe:{name}:{rep}"
         sc.setJobGroup(group, name)
         t0 = time.monotonic()
-        n = fn(spark, sf_dir).count()
+        _exec(fn(spark, sf_dir))
         wall = time.monotonic() - t0
         app_id = sc.applicationId
         stage_ids: set[int] = set()
@@ -380,8 +401,12 @@ def _probe_semdedup(spark, sf_dir: str, repl: int) -> dict:
                 "capped512": _run(spark, f"sem:{label}:cap", capped, d),
             }
             if label == "skew92":
+                # the straggler run: one cold draw — at ~50x the capped
+                # wall, JIT noise is irrelevant and each extra repeat
+                # costs the full straggler
                 entry["uncapped"] = _run(
-                    spark, f"sem:{label}:uncap", uncapped, d, repeats=1
+                    spark, f"sem:{label}:uncap", uncapped, d, repeats=1,
+                    warm=False,
                 )
             out[label] = entry
     finally:
@@ -392,20 +417,35 @@ def _probe_semdedup(spark, sf_dir: str, repl: int) -> dict:
     return out
 
 
+def _fresh_spark():
+    """A FRESH session per probe family: co-resident heavy phases
+    contaminate each other's task times through JVM state (old-gen
+    buildup from window/aggregation buffers — a skewed trailing-1h
+    run measured a 100 s max task after 12 prior heavy executions vs
+    3 s in a fresh session). Isolation is part of the measurement."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(1)
+    s = _get_spark_with_ui()
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repl = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     which = sys.argv[3] if len(sys.argv) > 3 else "all"
-    spark = _get_spark_with_ui()
-    spark.sparkContext.setLogLevel("ERROR")
     out = {"sf_dir": sf_dir, "replication": repl, "probe": which}
     if which in ("all", "events"):
-        out["events"] = _probe_events(spark, sf_dir, repl)
+        out["events"] = _probe_events(_fresh_spark(), sf_dir, repl)
     if which in ("all", "minhash"):
-        out["minhash"] = _probe_minhash(spark, sf_dir, repl)
+        out["minhash"] = _probe_minhash(_fresh_spark(), sf_dir, repl)
     if which in ("all", "semdedup"):
         # hot-cell size = 0.92 * repl * |embeddings|; see docstring
-        out["semdedup"] = _probe_semdedup(spark, sf_dir, min(repl, 2))
+        out["semdedup"] = _probe_semdedup(_fresh_spark(), sf_dir, min(repl, 2))
     print(json.dumps(out))
     return 0
 
