@@ -632,10 +632,10 @@ def semantic_dedup_cells(
     appears exactly once, so the output is IDENTICAL to the uncapped
     path (pinned in tests/test_skew_cap.py); per-task pairs drop from
     |cell|^2 to max_cell_rows^2 at a replication cost of ~n_blocks/2
-    copies of the hot cell's rows. Block counts come from a
-    broadcast nlist-row cell-size relation, so balanced corpora pay
-    one tiny join and keep n_blocks = 1 everywhere (the grid then
-    degenerates to the plain cell join)."""
+    copies of the hot cell's rows. Block counts come from one bounded
+    nlist-row driver collect; a balanced corpus (every cell under the
+    cap) then runs the plain cell join UNCHANGED — the cap costs one
+    small counting job and nothing else until a hot cell exists."""
     cent = portable_centroids(corpus, nlist, id_col, vec_col)
     asg = _nearest_cells(corpus, cent, 1, id_col, vec_col)
     # Precompute each vector's norm ONCE: cosine(a,b) recomputes both
@@ -650,7 +650,24 @@ def semantic_dedup_cells(
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
     pair_cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    if max_cell_rows is None:
+    # Block counts for the hot-cell grid come from a bounded
+    # driver-side collect (nlist rows — the same boundedness class as
+    # the library's other collect sites), so the BALANCED case pays
+    # one small counting job and then runs the EXACT uncapped plan
+    # (bench: an always-on broadcast-join rendering of the cap cost
+    # ~2x on the inert path), and the grid machinery only
+    # materializes when a hot cell actually exists.
+    grid_sizes = None
+    if max_cell_rows is not None:
+        sizes = {
+            r["cell"]: -(-r["_n"] // max_cell_rows)
+            for r in withn.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        if any(v > 1 for v in sizes.values()):
+            grid_sizes = sizes
+    if grid_sizes is None:
         a = withn.select(
             F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
             F.col("_nrm").alias("_na"), "cell",
@@ -674,12 +691,12 @@ def semantic_dedup_cells(
         # the _ida < _idb filter de-duplicates the two orientations —
         # so no pair dedup is needed and the output equals the plain
         # cell join's exactly
-        sizes = withn.groupBy("cell").agg(
-            F.ceil(F.count(F.lit(1)) / max_cell_rows)
-            .cast("int")
-            .alias("_nb_blk")
+        nb_map = F.create_map(
+            *[F.lit(x) for cell, nb in grid_sizes.items() for x in (cell, nb)]
         )
-        wb = withn.join(F.broadcast(sizes), "cell").withColumn(
+        wb = withn.withColumn(
+            "_nb_blk", nb_map[F.col("cell")].cast("int")
+        ).withColumn(
             "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb_blk")).cast("int")
         )
         a = wb.select(

@@ -1691,16 +1691,31 @@ def curation_gate_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(stop_hits == 0, F.lit("no_stopwords"))
         .otherwise(F.lit("ok"))
     )
-    g1 = d.select("doc_id", "lang", "text", verdict1.alias("verdict1"))
+    # Stage boundaries are MATERIALIZED (eager localCheckpoint, the
+    # minhash shingle discipline): each gate's survivor relation has
+    # 3-4 downstream consumers (the next model's training, its
+    # scoring, and the final assembly), and without the cut the
+    # heuristic tokenization re-executed ~10x across the composed
+    # lineage (first bench draw: 12.7 s; with the cuts ~halved). At
+    # 100 TB this is where a pipeline would write each gate's
+    # survivors to a table anyway — the checkpoint is that
+    # materialization, minus the copy back to storage.
+    g1 = d.select(
+        "doc_id", "lang", "text", verdict1.alias("verdict1")
+    ).localCheckpoint(eager=True)
     surv1 = g1.filter(F.col("verdict1") == "ok").select(
         "doc_id", "lang", "text"
     )
     lm = bigram_lm_score(surv1).select(
         "doc_id", F.col("mean_prob_ppm").alias("lm_ppm")
     )
-    g2 = surv1.join(lm, "doc_id").select(
-        "doc_id", "lang", "text", "lm_ppm",
-        (F.col("lm_ppm") >= 33000).alias("keep2"),
+    g2 = (
+        surv1.join(lm, "doc_id")
+        .select(
+            "doc_id", "lang", "text", "lm_ppm",
+            (F.col("lm_ppm") >= 33000).alias("keep2"),
+        )
+        .localCheckpoint(eager=True)
     )
     surv2 = g2.filter(F.col("keep2")).select("doc_id", "lang", "text")
     ntoks = surv2.select(
