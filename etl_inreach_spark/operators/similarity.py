@@ -699,6 +699,18 @@ def semantic_dedup_cells(
         ).withColumn(
             "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb_blk")).cast("int")
         )
+        # The grid join's shuffle must be PINNED (explicit-N
+        # repartition on the join keys -> REPARTITION_BY_NUM, which
+        # AQE never coalesces; the SMJ reuses the partitioning, no
+        # second exchange): grid partitions are compute-dense but
+        # byte-SMALL (a hot cell's 6.8M pair-cosines ride on ~1 MB of
+        # shuffle), so AQE's byte-based coalescing otherwise merges
+        # the whole grid back into one task and resurrects the
+        # straggler the grid exists to remove (measured: max task
+        # 33-84 s coalesced vs ~3 s pinned, same data).
+        n_shuffle = int(
+            withn.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
         a = wb.select(
             F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
             F.col("_nrm").alias("_na"), "cell",
@@ -715,6 +727,8 @@ def semantic_dedup_cells(
             ).alias("_gi"),
             F.col("_blk").alias("_gj"),
         )
+        a = a.repartition(n_shuffle, "cell", "_gi", "_gj")
+        b = b.repartition(n_shuffle, "cell", "_gi", "_gj")
         dropped = (
             a.join(b, ["cell", "_gi", "_gj"])
             .filter(

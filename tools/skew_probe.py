@@ -107,15 +107,16 @@ def _run(spark, name, fn, sf_dir, repeats: int = 3, warm: bool = True):
     n = fn(spark, sf_dir).count()  # row count only, not measured
     if warm:
         _exec(fn(spark, sf_dir))  # warm-up, not measured
+    # ONE settle-down GC before the measurement loop: garbage from
+    # earlier executions otherwise bleeds old-gen pauses into the
+    # measured tasks. NOT per-repeat — a full GC of the large local
+    # heap right before a repeat overlapped that repeat's tasks and
+    # manufactured a 150 s phantom straggler of its own.
+    sc._jvm.System.gc()
+    time.sleep(2)
     best_wall = None
     task_maxes: list[float] = []
     for rep in range(repeats):
-        # GC between repeats: accumulated window/aggregation buffers
-        # from EARLIER executions otherwise bleed old-gen pauses into
-        # this run's task times (observed 3x repeat variance and a
-        # phantom 100 s "straggler" that a fresh session reruns in
-        # 3 s — session-state contamination, not plan shape)
-        sc._jvm.System.gc()
         group = f"probe:{name}:{rep}"
         sc.setJobGroup(group, name)
         t0 = time.monotonic()
