@@ -1,22 +1,40 @@
-"""Skew-stress probe for the round-7 re-rendered event-window queries
-(VERDICT r7 item 5): run ``trailing_1h_distinct_users`` and
-``session_path_trigrams`` over a 10x events relation under (a) the
-natural uniform event_type mix and (b) a skewed mix where ONE type
-carries >= 90% of traffic, recording wall-clock AND the max single
-task duration per run (straggler detector — the number a bucketing
-claim must hold down). The bucketing claims under test:
+"""Skew-stress probe: hot-key scenarios replayed against the
+operators whose scale story depends on a bucketing claim, recording
+wall-clock AND per-repeat max single-task durations (the straggler
+detector — the number each bucketing claim must hold down).
 
-* trailing_1h windows per (event_type, day): a 90%-type's work still
-  splits across ~30 day buckets, so its max task is bounded by one
-  (type, day), not the type's full history;
-* session_path_trigrams partitions by user — event_type skew must not
-  move its max task at all (the skewed column is not the shuffle key).
+Three probe families (select via the third CLI arg):
+
+* ``events`` (VERDICT r7 item 5): ``trailing_1h_distinct_users``
+  (windows per (event_type, day) — a 92%-hot type must split across
+  its ~30 day buckets) and ``session_path_trigrams`` (user-keyed —
+  type skew must not move it) over replicated events with one type
+  remapped to 92% of traffic.
+* ``minhash`` (VERDICT r8 item 6): ``minhash_lsh_dedup`` against a
+  planted 1,000-document identical-text clique — the bounded stand-in
+  for boilerplate mass-duplication (a 92%-of-corpus clique is
+  degenerate: the TRUE pair output is itself quadratic; the 100 TB
+  remedy is the exact-dedup pre-pass, not a candidate trick).
+* ``semdedup`` (VERDICT r8 item 6): ``semantic_dedup_cells`` with 92%
+  of vectors collapsing into ONE quantizer cell (auto-broadcast off,
+  as at scale), uncapped vs the ``max_cell_rows`` block grid.
+
+Measurement discipline, learned the hard way in r9 (each clause
+guards against an artifact that produced wrong committed numbers):
+execution is a NOOP-format write, never ``.count()`` (Catalyst prunes
+unreferenced columns — it deleted a pair search and a window from the
+"measured" plans); each family gets a FRESH session (old-gen buildup
+from co-resident phases manufactured a 100 s phantom straggler); one
+GC after warm-up, never immediately before a timed repeat (the
+full-heap pause overlapped the repeat and became its own 150 s
+phantom straggler).
 
 Max task time comes from Spark's REST status API (the probe session
 enables the UI), taking the max over all stages of the query's job
-group. Run solo (bench discipline applies).
+group, reported PER REPEAT (ADVICE r8: min-of-max hides intermittent
+stragglers). Run solo (bench discipline applies).
 
-Usage: python tools/skew_probe.py [sf_dir] [replication]
+Usage: python tools/skew_probe.py [sf_dir] [replication] [family]
 """
 
 from __future__ import annotations
