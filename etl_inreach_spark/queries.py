@@ -47,105 +47,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window as long as the tail stays >= (total - 50) names.
 #
 # Verdict history (rN = CORRECTNESS_r0N):
-#   Round-9 rotation — executes the ROUND-9 ROTATION PLAN written at
-#   r8 verbatim (CORRECTNESS_r08 was 50/50 green, so every name in
-#   the r8 window has a fresh verdict and rotates out with one round
-#   of headroom). _FRONT groups, in order:
-#   (1) all 3 former _PENDING names (r8 additions) — never
-#       driver-verified (local oracle_check PASS at three SFs +
-#       green rows in ORACLE_FULL_r8.json; judge re-ran all 3);
-#   (2) the 12 post-cap r7 tail additions — never driver-verified
-#       (judge re-ran the family at r7 and r8: PASS, but the
+#   Round-10 rotation — executes the ROUND-10 ROTATION PLAN written
+#   at r9 close verbatim (CORRECTNESS_r09 was 48 value-green + the 2
+#   by-design rows-only sketches, zero red — every r9-window name has
+#   a fresh verdict and rotates out with one round of headroom).
+#   _FRONT groups, in order:
+#   (1) both former _PENDING names (r9 additions) — never
+#       driver-verified (judge re-ran both at r9 HEAD: PASS, but the
 #       driver's signature is the contract);
-#   (3) the 24-name r5-window remainder — out r6+r7+r8: PAST the
+#   (2) the 39-name r6-window remainder — out r7+r8+r9: PAST the
 #       staleness bound, must re-enter now;
-#   (4) the head of the r6-window block (greens out r7+r8 — AT the
-#       staleness bound), 11 names to fill 50 exactly
-#       (cms_user_event_counts .. tpch_q14_promo_revenue).
-#   3 + 12 + 24 + 11 = 50 exactly.
+#   (3) the head of the r7-window block (greens out r8+r9 — AT the
+#       staleness bound), 9 names to fill 50 exactly
+#       (priority_sample_documents .. tpch_q17_small_qty_revenue).
+#   2 + 39 + 9 = 50 exactly.
 _FRONT: tuple[str, ...] = (
-    # (1) former _PENDING (r8 additions) — never driver-verified
-    "ivf_pq_adc_topk",
-    "kmeans_lloyd_round_update",
-    "nb_quality_train_score",
-    # (2) post-cap r7 tail additions — never driver-verified
-    "grouped_quantile_rankselect",
-    "phrase_match_positional",
-    "revenue_weighted_quantile",
-    "ks_drift_orders",
-    "ohlc_user_hourly",
-    "session_path_trigrams",
-    "source_centroid_similarity",
-    "auc_price_status",
-    "benford_first_digit_orders",
-    "farthest_point_seeds",
-    "source_concentration_hhi",
-    "gini_order_values",
-    # (3) r5-window remainder — out r6+r7+r8, PAST the staleness
-    # bound
-    "distinct_users_per_type",
-    "sessionize_events",
-    "session_window_native",
-    "salted_skew_join",
-    "sliding_1h_user_activity",
-    "seq_pack_bins",
-    "repetition_profile",
-    "contamination_check",
-    "upsert_merge_roundtrip",
-    "streaming_tumbling_counts",
-    "streaming_groupstate_latest",
-    "approx_distinct_users",
-    "approx_order_percentiles",
-    "global_top10_orders",
-    "shipping_priority_top10",
-    "pivot_event_counts",
-    "skew_safe_event_counts",
-    "order_stats_summary",
-    "full_outer_nation_activity",
-    "unpivot_order_flags",
-    "sql_revenue_by_nation",
-    "mode_ship_month",
-    "order_value_percentiles",
-    "ann_ivf_topk",
-    # (4) r6-window head — out r7+r8, at the staleness bound
-    "cms_user_event_counts",
-    "fuzzy_name_pairs_edit1",
-    "semantic_dedup_embeddings",
-    "data_quality_checks",
-    "snapshot_diff_orders",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "cms_incremental_merge",
-    "groupwise_split_documents",
-    "compress_consecutive_events",
-    "tpch_q14_promo_revenue",
-)
-# ROUND-10 ROTATION PLAN (write this into _FRONT at r10 start):
-#   1.  any _PENDING names below (r9 additions — never
-#       driver-verified) — MUST enter first;
-#   2.  the 39-name r6-window remainder at the _TAIL head
-#       (token_budget_select .. udtf_token_runs) — out r7+r8+r9:
-#       PAST the staleness bound, MUST re-enter r10;
-#   3.  fill the remaining window with the head of the r7-window
-#       block (priority_sample_documents ..) — out r8+r9, at the
-#       bound.
-#   Structural debt (tracked, not hidden): the registry (189+)
-#   exceeds 3.7x the 50-name window, so blocks cannot fully re-enter
-#   the round after they age out; the r7-block remainder and the
-#   r8-window greens (out r9 only, one round of headroom) lead r11.
-#
-# _PENDING: oracle-gated queries added AFTER the r9 window froze (the
-# 50-name _FRONT above is the frozen window). Names here MUST move to
-# _FRONT in r10 (group 1 of the plan above). Cap 12 (test-enforced).
-_PENDING: tuple[str, ...] = (
-    # r9 additions (VERDICT r8 items 4-5) — enter _FRONT in r10
+    # (1) former _PENDING (r9 additions) — never driver-verified
     "kmeans_lloyd_round2_update",
     "curation_gate_composed",
-)
-_TAIL: tuple[str, ...] = (
-    # r6-window remainder (green in CORRECTNESS_r06) — out r7+r8+r9
-    # after this rotation, PAST the staleness bound; group 2 of the
-    # ROUND-10 plan, kept at the tail head so they re-enter first
+    # (2) r6-window remainder — out r7+r8+r9, PAST the
+    # staleness bound
     "token_budget_select",
     "ann_lsh_topk",
     "corr_price_quantity",
@@ -185,8 +106,7 @@ _TAIL: tuple[str, ...] = (
     "reservoir_sample_per_source",
     "domain_mix_weights",
     "udtf_token_runs",
-    # r7 window (all green in CORRECTNESS_r07) — out r8+r9; group 3
-    # (window fill) of the ROUND-10 plan
+    # (3) r7-window head — out r8+r9, at the staleness bound
     "priority_sample_documents",
     "global_row_index_orders",
     "negative_sample_contrastive",
@@ -196,6 +116,29 @@ _TAIL: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
+)
+# ROUND-11 ROTATION PLAN (write this into _FRONT at r11 start):
+#   1.  any _PENDING names below (r10 additions — never
+#       driver-verified) — MUST enter first;
+#   2.  the 41-name r7-window remainder at the _TAIL head
+#       (tpch_q19_disjunctive_filter .. recursive_nation_chain) —
+#       out r8+r9+r10: PAST the staleness bound, MUST re-enter r11;
+#   3.  fill the remaining window with the head of the r8-window
+#       block (incremental_dedup_convergence ..) — out r9+r10, at
+#       the bound.
+#   Structural debt (tracked, not hidden): the registry (191+)
+#   exceeds 3.8x the 50-name window, so blocks cannot fully re-enter
+#   the round after they age out; the r8-block remainder and the
+#   r9-window greens (out r10 only, one round of headroom) lead r12.
+#
+# _PENDING: oracle-gated queries added AFTER the r10 window froze (the
+# 50-name _FRONT above is the frozen window). Names here MUST move to
+# _FRONT in r11 (group 1 of the plan above). Cap 12 (test-enforced).
+_PENDING: tuple[str, ...] = ()
+_TAIL: tuple[str, ...] = (
+    # r7-window remainder (green in CORRECTNESS_r07) — out r8+r9+r10
+    # after this rotation, PAST the staleness bound; group 2 of the
+    # ROUND-11 plan, kept at the tail head so they re-enter first
     "tpch_q19_disjunctive_filter",
     "tpch_q22_sales_opportunity",
     "zorder_locality_orders",
@@ -237,8 +180,8 @@ _TAIL: tuple[str, ...] = (
     "rrf_hybrid_retrieval",
     "dup_span_maximal",
     "recursive_nation_chain",
-    # r8 window (all green in CORRECTNESS_r08) — out r9 only, one
-    # round of headroom; re-enter r11
+    # r8 window (all green in CORRECTNESS_r08) — out r9+r10; group 3
+    # (window fill) of the ROUND-11 plan
     "incremental_dedup_convergence",
     "bucketed_join_revenue",
     "compaction_roundtrip_orders",
@@ -289,6 +232,58 @@ _TAIL: tuple[str, ...] = (
     "set_ops_churned_customers",
     "window_running_stats",
     "tumbling_15min_counts",
+    # r9 window (all green in CORRECTNESS_r09) — out r10 only, one
+    # round of headroom; re-enter r12
+    "ivf_pq_adc_topk",
+    "kmeans_lloyd_round_update",
+    "nb_quality_train_score",
+    "grouped_quantile_rankselect",
+    "phrase_match_positional",
+    "revenue_weighted_quantile",
+    "ks_drift_orders",
+    "ohlc_user_hourly",
+    "session_path_trigrams",
+    "source_centroid_similarity",
+    "auc_price_status",
+    "benford_first_digit_orders",
+    "farthest_point_seeds",
+    "source_concentration_hhi",
+    "gini_order_values",
+    "distinct_users_per_type",
+    "sessionize_events",
+    "session_window_native",
+    "salted_skew_join",
+    "sliding_1h_user_activity",
+    "seq_pack_bins",
+    "repetition_profile",
+    "contamination_check",
+    "upsert_merge_roundtrip",
+    "streaming_tumbling_counts",
+    "streaming_groupstate_latest",
+    "approx_distinct_users",
+    "approx_order_percentiles",
+    "global_top10_orders",
+    "shipping_priority_top10",
+    "pivot_event_counts",
+    "skew_safe_event_counts",
+    "order_stats_summary",
+    "full_outer_nation_activity",
+    "unpivot_order_flags",
+    "sql_revenue_by_nation",
+    "mode_ship_month",
+    "order_value_percentiles",
+    "ann_ivf_topk",
+    "cms_user_event_counts",
+    "fuzzy_name_pairs_edit1",
+    "semantic_dedup_embeddings",
+    "data_quality_checks",
+    "snapshot_diff_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "cms_incremental_merge",
+    "groupwise_split_documents",
+    "compress_consecutive_events",
+    "tpch_q14_promo_revenue",
 )
 
 

@@ -60,37 +60,37 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(os_) == rows_only
 
 
-def test_round9_window_matches_the_written_plan():
-    """The r9 _FRONT must be exactly the ROUND-9 ROTATION PLAN written
-    at r8 close: 3 former _PENDING + 12 post-cap r7 additions + the
-    24-name r5-window remainder + 11 r6-window head names = 50."""
+def test_round10_window_matches_the_written_plan():
+    """The r10 _FRONT must be exactly the ROUND-10 ROTATION PLAN
+    written at r9 close: 2 former _PENDING + the 39-name r6-window
+    remainder + 9 r7-window head names = 50."""
     order = list(Q.all_queries())
-    assert order[:3] == [
-        "ivf_pq_adc_topk",
-        "kmeans_lloyd_round_update",
-        "nb_quality_train_score",
+    assert order[:2] == [
+        "kmeans_lloyd_round2_update",
+        "curation_gate_composed",
     ]
-    assert order[3] == "grouped_quantile_rankselect"
-    assert order[14] == "gini_order_values"
-    assert order[15] == "distinct_users_per_type"
-    assert order[38] == "ann_ivf_topk"
-    assert order[39] == "cms_user_event_counts"
-    assert order[49] == "tpch_q14_promo_revenue"
+    assert order[2] == "token_budget_select"
+    assert order[40] == "udtf_token_runs"
+    assert order[41] == "priority_sample_documents"
+    assert order[49] == "tpch_q17_small_qty_revenue"
     assert len(Q._FRONT) == DRIVER_WINDOW
 
 
-def test_round10_rotation_groups_are_intact():
-    """The ROUND-10 ROTATION PLAN (comment in queries.py) is executable
-    only if the tail still leads with its priority group: the 39-name
-    r6-window remainder (out r7+r8+r9 — past the staleness bound),
-    then the r7-window block (out r8+r9, at the bound) as window fill.
-    Pinning the group boundaries makes executing the plan at r10 start
+def test_round11_rotation_groups_are_intact():
+    """The ROUND-11 ROTATION PLAN (comment in queries.py) is executable
+    only if the tail still leads with its priority group: the 41-name
+    r7-window remainder (out r8+r9+r10 — past the staleness bound),
+    then the r8-window block (out r9+r10, at the bound) as window fill.
+    Pinning the group boundaries makes executing the plan at r11 start
     a mechanical copy, and any tail edit that would silently demote a
     stale query fails here instead."""
-    assert Q._TAIL[0] == "token_budget_select"
-    assert Q._TAIL[38] == "udtf_token_runs"
-    # r7-window block begins immediately after and runs 50 names deep
-    assert Q._TAIL[39] == "priority_sample_documents"
-    assert Q._TAIL[88] == "recursive_nation_chain"
-    # everything in _PENDING enters r10 group 1 ahead of these
-    assert len(Q._PENDING) + 39 + 11 <= 2 * DRIVER_WINDOW
+    assert Q._TAIL[0] == "tpch_q19_disjunctive_filter"
+    assert Q._TAIL[40] == "recursive_nation_chain"
+    # r8-window block begins immediately after and runs 50 names deep
+    assert Q._TAIL[41] == "incremental_dedup_convergence"
+    assert Q._TAIL[90] == "tumbling_15min_counts"
+    # r9 window follows (out r10 only — one round of headroom)
+    assert Q._TAIL[91] == "ivf_pq_adc_topk"
+    assert Q._TAIL[140] == "tpch_q14_promo_revenue"
+    # everything in _PENDING enters r11 group 1 ahead of these
+    assert len(Q._PENDING) + 41 + 9 <= 2 * DRIVER_WINDOW
