@@ -88,7 +88,18 @@ def with_ilog2_fp(
     g = 1 << frac_bits
     # pin the input to BIGINT up front: on an INT column the first
     # shiftleft would stay int32 and the chain would silently rely on
-    # later div-by-bigint promotion (ADVICE r8) — cast once, here
+    # later div-by-bigint promotion (ADVICE r8) — cast once, here.
+    # Integral inputs ONLY (ADVICE r9): a double/decimal column would
+    # be silently truncated toward zero by the cast and yield a
+    # plausible-but-wrong ilog2 — the spec's domain is integers, so
+    # refuse anything else loudly at plan-build time.
+    in_type = df.schema[x_col].dataType.simpleString()
+    if in_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"with_ilog2_fp: column {x_col!r} has non-integral type "
+            f"{in_type}; ilog2_fp is defined on integers >= 1 — cast "
+            "explicitly (and deliberately) before calling"
+        )
     df = df.withColumn(x_col, F.col(x_col).cast("bigint"))
     df = (
         df.withColumn("_il_m", F.expr(f"length(bin({x_col})) - 1"))

@@ -632,10 +632,17 @@ def semantic_dedup_cells(
     appears exactly once, so the output is IDENTICAL to the uncapped
     path (pinned in tests/test_skew_cap.py); per-task pairs drop from
     |cell|^2 to max_cell_rows^2 at a replication cost of ~n_blocks/2
-    copies of the hot cell's rows. Block counts come from one bounded
-    nlist-row driver collect; a balanced corpus (every cell under the
-    cap) then runs the plain cell join UNCHANGED — the cap costs one
-    small counting job and nothing else until a hot cell exists."""
+    copies of the hot cell's rows. The sizing pass collects only
+    nlist ROWS, but computing them is a FULL assignment pass over the
+    corpus (centroid pick + argmax cosine — ADVICE r9), so enabling
+    the cap eagerly materializes the assignment via localCheckpoint
+    and the sizing job and the pair search SHARE that one pass
+    instead of running it twice; the grid/plain decision is frozen at
+    call time (not at execution of the returned DataFrame) — callers
+    that mutate the corpus between build and execute must rebuild. A
+    balanced corpus (every cell under the cap) then runs the plain
+    cell join over the checkpointed assignment — the cap costs the
+    one sizing reduction and nothing else until a hot cell exists."""
     cent = portable_centroids(corpus, nlist, id_col, vec_col)
     asg = _nearest_cells(corpus, cent, 1, id_col, vec_col)
     # Precompute each vector's norm ONCE: cosine(a,b) recomputes both
@@ -656,9 +663,13 @@ def semantic_dedup_cells(
     # one small counting job and then runs the EXACT uncapped plan
     # (bench: an always-on broadcast-join rendering of the cap cost
     # ~2x on the inert path), and the grid machinery only
-    # materializes when a hot cell actually exists.
+    # materializes when a hot cell actually exists. The nlist-row
+    # collect's LINEAGE is the full corpus assignment (ADVICE r9), so
+    # checkpoint it first: the sizing job and the pair search below
+    # then share one assignment pass instead of computing it twice.
     grid_sizes = None
     if max_cell_rows is not None:
+        withn = withn.localCheckpoint(eager=True)
         sizes = {
             r["cell"]: -(-r["_n"] // max_cell_rows)
             for r in withn.groupBy("cell")
@@ -708,9 +719,18 @@ def semantic_dedup_cells(
         # the whole grid back into one task and resurrects the
         # straggler the grid exists to remove (measured: max task
         # 33-84 s coalesced vs ~3 s pinned, same data).
-        n_shuffle = int(
-            withn.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        # 'auto' is a legal value for this conf under some AQE setups
+        # (ADVICE r9): fall back to the cluster's default parallelism
+        # rather than crashing the grid path only when a hot cell
+        # exists
+        try:
+            n_shuffle = int(
+                withn.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+            )
+        except ValueError:
+            n_shuffle = withn.sparkSession.sparkContext.defaultParallelism
         a = wb.select(
             F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
             F.col("_nrm").alias("_na"), "cell",
@@ -745,7 +765,12 @@ def semantic_dedup_cells(
             .select(F.greatest("_ida", "_idb").alias(id_col))
             .distinct()
         )
-    return asg.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left").select(
+    # verdict base is withn, not asg: under the cap withn is the
+    # checkpointed assignment, so this join reuses it rather than
+    # re-deriving the assignment from asg's lineage a second time
+    return withn.join(
+        dropped.withColumn("_drop", F.lit(True)), id_col, "left"
+    ).select(
         id_col, "cell", F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")
     )
 

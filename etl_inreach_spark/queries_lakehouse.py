@@ -69,8 +69,11 @@ def _scratch(name: str) -> str:
     gen = _SCRATCH_GEN.get(name, 0) + 1
     _SCRATCH_GEN[name] = gen
     slot = os.path.join(_SCRATCH_ROOT, name)
-    for g in range(1, gen - 1):
-        shutil.rmtree(os.path.join(slot, f"g{g}"), ignore_errors=True)
+    # keep-last-1 means only generation gen-2 can still exist — delete
+    # exactly it instead of rescanning 1..gen-2 every call (the O(gen^2)
+    # rmtree-syscall tail over a long sweep, ADVICE r9)
+    if gen >= 3:
+        shutil.rmtree(os.path.join(slot, f"g{gen - 2}"), ignore_errors=True)
     d = os.path.join(slot, f"g{gen}")
     os.makedirs(d)
     return d

@@ -255,7 +255,6 @@ def _probe_minhash(spark, sf_dir: str, repl: int) -> dict:
         "source",
         "_k",
     )
-    base = base.withColumn("n_chars", F.length("text"))
     boiler = (
         "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
         "eiusmod tempor incididunt ut labore et dolore magna aliqua ut "
@@ -279,6 +278,10 @@ def _probe_minhash(spark, sf_dir: str, repl: int) -> dict:
         ),
     ):
         d = os.path.join(root, label)
+        # n_chars AFTER any hot-text remap (ADVICE r9): the fixture
+        # must stay internally consistent if a probed query starts
+        # consulting n_chars
+        df = df.withColumn("n_chars", F.length("text"))
         df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
         variants[label] = d
 
