@@ -134,7 +134,11 @@ _FRONT: tuple[str, ...] = (
 # _PENDING: oracle-gated queries added AFTER the r10 window froze (the
 # 50-name _FRONT above is the frozen window). Names here MUST move to
 # _FRONT in r11 (group 1 of the plan above). Cap 12 (test-enforced).
-_PENDING: tuple[str, ...] = ()
+_PENDING: tuple[str, ...] = (
+    # r10 additions (VERDICT r9 items 4-5) — enter _FRONT in r11
+    "minhash_after_exact_dedup",
+    "nb_quality_capped_vocab",
+)
 _TAIL: tuple[str, ...] = (
     # r7-window remainder (green in CORRECTNESS_r07) — out r8+r9+r10
     # after this rotation, PAST the staleness bound; group 2 of the

@@ -233,6 +233,60 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_after_exact_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    ), surv AS (
+        SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp
+    ), docs AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+    ), s AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM docs
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    """,
+)
+def minhash_after_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB MinHash recipe PINNED as one value-oracled query
+    (VERDICT r9 item 4): exact dedup first, LSH second. The r9 skew
+    probe showed minhash_lsh_dedup on an identical-text clique is
+    quadratic in its own true-pair OUTPUT — C(m,2) dist-0 pairs is
+    what "find all near-dup pairs" MEANS on that input, so no
+    candidate strategy can beat it; the remedy is to make the input
+    sane: exact_dedup_documents' hash-groupBy collapses every
+    identical-text clique to its min-id survivor (one shuffle row per
+    distinct fingerprint), and LSH then runs on survivors where
+    bucket sizes are back to the healthy near-dup regime. Same
+    composition discipline as curation_gate_composed — each stage's
+    relation shrinks to the previous stage's survivor set. The oracle
+    replays fingerprint -> min-id survivors -> unblocked exact
+    Jaccard (lossless vs LSH at this threshold, the
+    minhash_lsh_dedup argument). The skew probe runs this composition
+    against the planted 1,000-doc clique: pair output collapses from
+    ~500k to the cross-stem residue (tools/skew_probe.py)."""
+    tune(spark)
+    from etl_inreach_spark.functions.text import fingerprint_md5
+    from etl_inreach_spark.operators.text_dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+    surv = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    docs = d.select("doc_id", "text").join(surv.select("doc_id"), "doc_id")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", 0.8, num_hashes=64, bands=16, shingle_k=9
+    )
+
+
 def _simhash_oracle() -> str:
     """Brute-force DuckDB rendering of the 60-bit portable SimHash:
     same 9-gram polynomial+affine hash (poly_gram_hash60_sql —
@@ -1379,12 +1433,17 @@ def fuzzy_name_pairs_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the naive cross-join filter — O(n^2) levenshtein calls,
     fine at sf0.01, exactly what the blocking avoids at scale: Spark
     pays sum of per-variant-bucket |b|^2, buckets being names that
-    agree everywhere but one position."""
+    agree everywhere but one position. max_bucket_rows salts a HOT
+    bucket (a mass-duplicated name — r10 skew probe) into a
+    triangular block grid so no task sees more than cap^2 candidate
+    pairs — output identical by construction
+    (tests/test_skew_cap.py), inert at test SFs (natural-name buckets
+    are tiny)."""
     tune(spark)
     from etl_inreach_spark.operators.fuzzy import edit1_pairs
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    pairs = edit1_pairs(cust, "c_custkey", "c_name")
+    pairs = edit1_pairs(cust, "c_custkey", "c_name", max_bucket_rows=256)
     return pairs.select(
         F.col("id_a").alias("custkey_a"),
         F.col("id_b").alias("custkey_b"),

@@ -425,14 +425,17 @@ def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_quality_oracle() -> str:
+def _nb_quality_oracle(max_vocab: int | None = None) -> str:
     """DuckDB replay of the Naive-Bayes quality classifier: identical
     tokenization, identical Laplace-smoothed counts, and the SAME
     fixed-point integer log2 (ilog2_sql_cte_chain unrolls the
     repeated-squaring algorithm as chained projections — see its
     docstring for why a list_reduce fold is NOT safe here), so
     weights, prior, and every per-document score reproduce
-    bit-for-bit."""
+    bit-for-bit. ``max_vocab`` replays nb_train's top-V frequency cut
+    (ORDER BY c1+c0 DESC, term — the deterministic tie-break) before
+    the smoothing totals, which are defined over the TRAINING
+    vocabulary and therefore recomputed over the capped set."""
     from etl_inreach_spark.operators.nb_quality import ilog2_sql_cte_chain
 
     w_chain, w_fin = ilog2_sql_cte_chain(
@@ -440,6 +443,25 @@ def _nb_quality_oracle() -> str:
     )
     p_chain, p_fin = ilog2_sql_cte_chain(
         "psrc", {"p1": "d1", "p0": "d0"}, "pl"
+    )
+    cap_cte = (
+        ""
+        if max_vocab is None
+        else f""" cnt0 AS (
+        SELECT term, CAST(sum(y) AS BIGINT) AS c1,
+               CAST(sum(1 - y) AS BIGINT) AS c0
+        FROM tr GROUP BY term
+    ),"""
+    )
+    cnt_body = (
+        """
+        SELECT term, CAST(sum(y) AS BIGINT) AS c1,
+               CAST(sum(1 - y) AS BIGINT) AS c0
+        FROM tr GROUP BY term"""
+        if max_vocab is None
+        else f"""
+        SELECT term, c1, c0 FROM cnt0
+        ORDER BY c1 + c0 DESC, term LIMIT {max_vocab}"""
     )
     return f"""
     WITH toks AS (
@@ -451,10 +473,7 @@ def _nb_quality_oracle() -> str:
         SELECT * FROM toks WHERE doc_id % 3 != 0
     ), te AS (
         SELECT * FROM toks WHERE doc_id % 3 = 0
-    ), cnt AS (
-        SELECT term, CAST(sum(y) AS BIGINT) AS c1,
-               CAST(sum(1 - y) AS BIGINT) AS c0
-        FROM tr GROUP BY term
+    ),{cap_cte} cnt AS ({cnt_body}
     ), tot AS (
         SELECT CAST(sum(c1) AS BIGINT) AS n1,
                CAST(sum(c0) AS BIGINT) AS n0,
@@ -514,6 +533,12 @@ def nb_quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (top-V TakeOrdered, as vocab_top_terms) so the model relation
     stays broadcastable; int64 holds to ~3e9 training tokens per
     class (DECIMAL(38,0) beyond)."""
+    return _nb_quality(spark, sf_dir, max_vocab=None)
+
+
+def _nb_quality(
+    spark: SparkSession, sf_dir: str, max_vocab: int | None
+) -> DataFrame:
     tune(spark)
     from etl_inreach_spark.functions.text import tokens
     from etl_inreach_spark.operators.nb_quality import nb_score, nb_train
@@ -532,7 +557,9 @@ def nb_quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # priors and output labels come from the DOC-level relation (one
     # row per doc), never from explode-sized token aggregations
     weights, priors = nb_train(
-        train, doc_labels=lab.filter(F.col("doc_id") % 3 != 0)
+        train,
+        doc_labels=lab.filter(F.col("doc_id") % 3 != 0),
+        max_vocab=max_vocab,
     )
     scored = nb_score(test, weights, priors)
     labels = lab.filter(F.col("doc_id") % 3 == 0).select(
@@ -541,3 +568,20 @@ def nb_quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(labels, "doc_id").select(
         "doc_id", "n_toks", "y_true", "score_fp", "pred"
     )
+
+
+@query("nb_quality_capped_vocab", oracle=_nb_quality_oracle(max_vocab=16))
+def nb_quality_capped_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPPED-vocabulary NB path under a cross-engine value oracle
+    (VERDICT r9 item 5): same trainer/scorer as nb_quality_train_score
+    but with ``max_vocab=16`` — a cap that BINDS at every test SF (the
+    corpus vocabulary is 31 terms at all three), so the driver
+    signature covers the 100 TB knob itself: the top-V TakeOrdered
+    frequency cut with its deterministic (count DESC, term ASC)
+    tie-break, the smoothing totals recomputed over the capped
+    vocabulary, and the scoring join dropping now-OOV tokens. The
+    DuckDB oracle replays the cut with ORDER BY c1+c0 DESC, term
+    LIMIT 16 — any tie-break or totals drift between engines
+    hash-fails. (tests/test_nb_quality.py additionally pins the capped
+    path against the pure-Python replica.)"""
+    return _nb_quality(spark, sf_dir, max_vocab=16)

@@ -1,15 +1,18 @@
-"""Hot-cell cap for semantic dedup (VERDICT r8 item 6): the
-triangular block grid behind ``max_cell_rows`` must be OUTPUT-
-invariant — every unordered in-cell pair meets in exactly one grid
-cell — while bounding per-task pair work. The r9 skew probe
-(tools/skew_probe.py) measures the straggler it removes; this test
-pins the semantics the probe relies on."""
+"""Hot-bucket caps for the quadratic-in-bucket dedup family: the
+triangular block grid behind semantic dedup's ``max_cell_rows``
+(VERDICT r8 item 6) and fuzzy edit-distance's ``max_bucket_rows``
+(VERDICT r9 item 3) must be OUTPUT-invariant — every unordered
+in-bucket pair meets in exactly one grid cell — while bounding
+per-task pair work. The skew probe (tools/skew_probe.py) measures the
+stragglers they remove; these tests pin the semantics the probe
+relies on."""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 
 from etl_inreach_spark.catalog import load_table
+from etl_inreach_spark.operators.fuzzy import edit1_pairs
 from etl_inreach_spark.operators.similarity import semantic_dedup_cells
 
 
@@ -63,3 +66,46 @@ def test_capped_dedup_all_duplicates_one_cell(spark):
         emb, 0.99, nlist=4, max_cell_rows=16
     ).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, base))
+
+
+def _pair_rows(df):
+    return sorted(
+        (r["id_a"], r["id_b"], r["s_a"], r["s_b"], r["dist"])
+        for r in df.collect()
+    )
+
+
+def test_capped_edit1_pairs_equals_uncapped(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    base = _pair_rows(edit1_pairs(cust, "c_custkey", "c_name"))
+    # natural-name buckets are ~1-3 rows; cap 2 forces multi-block
+    # grids wherever a bucket exceeds it, exercising off-diagonal and
+    # diagonal grid cells on real data
+    capped = _pair_rows(
+        edit1_pairs(cust, "c_custkey", "c_name", max_bucket_rows=2)
+    )
+    assert capped == base
+    # and the inert production cap is a no-op too
+    inert = _pair_rows(
+        edit1_pairs(cust, "c_custkey", "c_name", max_bucket_rows=256)
+    )
+    assert inert == base
+
+
+def test_capped_edit1_mass_duplicate_name(spark):
+    """Degenerate hot bucket: one name duplicated en masse plus a few
+    near-misses — the exact shape of the r10 skew probe. Every
+    duplicate pair is a true dist-0 pair (output is quadratic in the
+    clique by definition); the cap must change nothing about WHAT
+    comes out, only bound per-task work."""
+    dup, n_dup = "aaron blake", 60
+    rows = [(i, dup) for i in range(n_dup)]
+    rows += [(100, "aaron blakes"), (101, "aron blake"), (102, "zz top")]
+    df = spark.createDataFrame(rows, "cid long, name string")
+    base = _pair_rows(edit1_pairs(df, "cid", "name"))
+    # clique pairs + (dup, near-miss) pairs must all be present
+    assert len(base) == n_dup * (n_dup - 1) // 2 + 2 * n_dup
+    capped = _pair_rows(edit1_pairs(df, "cid", "name", max_bucket_rows=8))
+    assert capped == base

@@ -14,10 +14,18 @@ Three probe families (select via the third CLI arg):
   planted 1,000-document identical-text clique — the bounded stand-in
   for boilerplate mass-duplication (a 92%-of-corpus clique is
   degenerate: the TRUE pair output is itself quadratic; the 100 TB
-  remedy is the exact-dedup pre-pass, not a candidate trick).
+  remedy is the exact-dedup pre-pass, not a candidate trick). Also
+  runs ``minhash_after_exact_dedup`` — the shipped composition of
+  that remedy — on the clique fixture to show the bounded pair
+  output (VERDICT r9 item 4).
 * ``semdedup`` (VERDICT r8 item 6): ``semantic_dedup_cells`` with 92%
   of vectors collapsing into ONE quantizer cell (auto-broadcast off,
   as at scale), uncapped vs the ``max_cell_rows`` block grid.
+* ``fuzzy`` (VERDICT r9 item 3): ``edit1_pairs`` against a planted
+  mass-duplicate customer name — every copy lands in the same |s|+1
+  deletion-variant buckets and each bucket's |b|^2 expansion is one
+  join task uncapped; ``max_bucket_rows`` grid vs uncapped
+  (auto-broadcast off, as at scale).
 
 Measurement discipline, learned the hard way in r9 (each clause
 guards against an artifact that produced wrong committed numbers):
@@ -86,18 +94,28 @@ def _rest(path: str):
         return json.load(r)
 
 
-def _max_task_ms(app_id: str, stage_ids: set[int]) -> float:
-    worst = 0.0
+def _max_task_ms(app_id: str, stage_ids: set[int]) -> tuple[float, float]:
+    """(max task ms, p50 task ms OF THE SAME STAGE). The pair is the
+    straggler detector this host actually needs: its CPU draws vary
+    up to 10-30x BETWEEN runs (r10 measured an identical 1-task scan
+    stage at 8.9 s and 405.9 s in consecutive executions), which
+    inflates every task of a stage TOGETHER — only a genuine skew
+    straggler inflates max far above the stage's own median, so
+    max/p50 survives the noise windows that absolute max-task values
+    do not."""
+    worst, worst_p50 = 0.0, 0.0
     for sid in stage_ids:
         try:
             summ = _rest(
                 f"/applications/{app_id}/stages/{sid}/0/taskSummary"
-                "?quantiles=1.0"
+                "?quantiles=0.5,1.0"
             )
-            worst = max(worst, float(summ["duration"][0]))
+            mx = float(summ["duration"][1])
+            if mx > worst:
+                worst, worst_p50 = mx, float(summ["duration"][0])
         except Exception:
             continue
-    return worst
+    return worst, worst_p50
 
 
 def _run(spark, name, fn, sf_dir, repeats: int = 3, warm: bool = True):
@@ -134,6 +152,7 @@ def _run(spark, name, fn, sf_dir, repeats: int = 3, warm: bool = True):
     time.sleep(2)
     best_wall = None
     task_maxes: list[float] = []
+    ratios: list[float] = []
     for rep in range(repeats):
         group = f"probe:{name}:{rep}"
         sc.setJobGroup(group, name)
@@ -148,13 +167,18 @@ def _run(spark, name, fn, sf_dir, repeats: int = 3, warm: bool = True):
                 stage_ids.update(ji.stageIds)
         sc.setLocalProperty("spark.jobGroup.id", None)
         sc.setLocalProperty("spark.job.description", None)
-        task_maxes.append(_max_task_ms(app_id, stage_ids) / 1000.0)
+        mx, p50 = _max_task_ms(app_id, stage_ids)
+        task_maxes.append(mx / 1000.0)
+        ratios.append(mx / p50 if p50 > 0 else 1.0)
         best_wall = wall if best_wall is None else min(best_wall, wall)
     return {
         "wall_sec": round(best_wall, 2),
         "rows": n,
         "max_task_sec": round(max(task_maxes), 2),
         "max_task_sec_per_repeat": [round(t, 2) for t in task_maxes],
+        # max/p50 of the worst stage, per repeat: the host-noise-proof
+        # straggler signature (see _max_task_ms)
+        "straggler_ratio_per_repeat": [round(r, 1) for r in ratios],
     }
 
 
@@ -239,7 +263,10 @@ def _probe_minhash(spark, sf_dir: str, repl: int) -> dict:
     Uniform baseline: each replica's text is prefixed with a replica
     tag, so replicas are genuine ~0.97-Jaccard near-dups of their
     source — buckets of ~repl items, the healthy LSH regime."""
-    from etl_inreach_spark.queries_extended import minhash_lsh_dedup
+    from etl_inreach_spark.queries_extended import (
+        minhash_after_exact_dedup,
+        minhash_lsh_dedup,
+    )
 
     d0 = load_table(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="spark_graft_skewprobe_")
@@ -295,6 +322,18 @@ def _probe_minhash(spark, sf_dir: str, repl: int) -> dict:
                 spark, f"minhash:{label}", minhash_lsh_dedup, d
             ),
         }
+        if label == "hot1k":
+            # the shipped 100 TB recipe (VERDICT r9 item 4): exact
+            # dedup collapses the clique to its min-id survivor
+            # BEFORE LSH, so the pair output drops from C(1000,2)
+            # true dist-0 pairs to the cross-stem residue — rows here
+            # is the bounded-pairs evidence
+            out[label]["minhash_after_exact_dedup"] = _run(
+                spark,
+                f"minhash_composed:{label}",
+                minhash_after_exact_dedup,
+                d,
+            )
     shutil.rmtree(root, ignore_errors=True)
     return out
 
@@ -439,6 +478,116 @@ def _probe_semdedup(spark, sf_dir: str, repl: int) -> dict:
     return out
 
 
+def _probe_fuzzy(spark, sf_dir: str, repl: int) -> dict:
+    """Hot-BUCKET skew for FastSS edit-distance pairs (VERDICT r9
+    item 3): mass NEAR-MISS duplicates (~1/30 of a ``repl``x customer
+    table remapped to 'duplicate ingest customer record nr D' for a
+    single digit D) — the counter-suffixed boilerplate shape of
+    record-linkage corpora. Deleting the final digit sends ALL the
+    remapped rows into ONE mega variant-bucket, and uncapped that
+    bucket's |b|^2 candidate expansion is ONE join task whose
+    cross-group pairs (different D) each pay the full levenshtein DP
+    (~|s|^2 char-ops). Three runs mirror the semdedup probe:
+
+    * uniform capped — natural name buckets, grid inert (nb=1);
+    * hot uncapped — the straggler (repeats=1, cold: each extra
+      repeat costs the full straggler);
+    * hot capped (max_bucket_rows=256) — same data, same output,
+      per-task candidates bounded by 256^2.
+
+    Why near-miss and not an identical clique: ``edit1_pairs`` now
+    short-circuits dist-0 pairs to a string EQUALITY (the r10 fast
+    path — measured on an identical 2,000-row clique it alone cut the
+    uncapped hot run from 150 s wall / 129 s max task to 30 s / 15 s,
+    healthy-host draws), so identical mass-duplicates no longer
+    straggle and exact-dedup-first remains their structural remedy.
+    What the grid cap defends is precisely the near-miss mass
+    duplicate that exact dedup CANNOT collapse and the fast path
+    CANNOT skip — this fixture.
+
+    The group structure keeps the true output quadratic-in-clique by
+    definition (every cross-group pair is a genuine dist-1 pair —
+    the minhash output-size argument); the grid's job is to SPREAD
+    that production across ceil(m/cap)^2/2 tasks instead of one.
+
+    Uniform baseline note: TPC-H names are 'Customer#000000001'-style,
+    so names differing in one digit are ALREADY true dist-1 pairs —
+    the uniform run carries a realistic nonzero pair load (replica
+    suffixes add cross-replica dist-1 pairs on the same stem)."""
+    from etl_inreach_spark.operators.fuzzy import edit1_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    root = tempfile.mkdtemp(prefix="spark_graft_skewprobe_")
+    reps = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in range(repl)])
+    ).alias("_k")
+    base = cust.select("*", reps).select(
+        (F.col("c_custkey") + F.col("_k") * F.lit(10**9)).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("_k")).alias("c_name"),
+    )
+    hot_name = F.concat(
+        F.lit("duplicate ingest customer record nr "),
+        F.pmod(F.xxhash64("c_custkey"), F.lit(10)),
+    )
+    variants = {
+        "uniform": base,
+        "hot": base.withColumn(
+            "c_name",
+            F.when(
+                F.pmod(F.xxhash64("c_custkey", "c_name"), F.lit(30)) < 1,
+                hot_name,
+            ).otherwise(F.col("c_name")),
+        ),
+    }
+    paths = {}
+    for label, df in variants.items():
+        d = os.path.join(root, label)
+        df.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        paths[label] = d
+
+    def capped(s, d):
+        c = load_table(s, d, "customer").select("c_custkey", "c_name")
+        return edit1_pairs(c, "c_custkey", "c_name", max_bucket_rows=256)
+
+    def uncapped(s, d):
+        c = load_table(s, d, "customer").select("c_custkey", "c_name")
+        return edit1_pairs(c, "c_custkey", "c_name")
+
+    # auto-broadcast off, as at scale: the variant relation of a
+    # 100 TB corpus cannot broadcast — the bucket self-join shuffles
+    # on vkey and a hot bucket lands in one task (the byte-small/
+    # compute-dense shape AQE's byte-based skew detector cannot see)
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    out = {}
+    try:
+        for k in prev:
+            spark.conf.set(k, "-1")
+        for label, d in paths.items():
+            n = spark.read.parquet(os.path.join(d, "customer.parquet")).count()
+            entry = {
+                "n_names": n,
+                "capped256": _run(spark, f"fuzzy:{label}:cap", capped, d),
+            }
+            if label == "hot":
+                entry["uncapped"] = _run(
+                    spark, f"fuzzy:{label}:uncap", uncapped, d, repeats=1,
+                    warm=False,
+                )
+            out[label] = entry
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _fresh_spark():
     """A FRESH session per probe family: co-resident heavy phases
     contaminate each other's task times through JVM state (old-gen
@@ -468,6 +617,8 @@ def main() -> int:
     if which in ("all", "semdedup"):
         # hot-cell size = 0.92 * repl * |embeddings|; see docstring
         out["semdedup"] = _probe_semdedup(_fresh_spark(), sf_dir, min(repl, 2))
+    if which in ("all", "fuzzy"):
+        out["fuzzy"] = _probe_fuzzy(_fresh_spark(), sf_dir, repl)
     print(json.dumps(out))
     return 0
 
