@@ -47,102 +47,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window as long as the tail stays >= (total - 50) names.
 #
 # Verdict history (rN = CORRECTNESS_r0N):
-#   Round-10 rotation — executes the ROUND-10 ROTATION PLAN written
-#   at r9 close verbatim (CORRECTNESS_r09 was 48 value-green + the 2
-#   by-design rows-only sketches, zero red — every r9-window name has
-#   a fresh verdict and rotates out with one round of headroom).
-#   _FRONT groups, in order:
-#   (1) both former _PENDING names (r9 additions) — never
-#       driver-verified (judge re-ran both at r9 HEAD: PASS, but the
-#       driver's signature is the contract);
-#   (2) the 39-name r6-window remainder — out r7+r8+r9: PAST the
+#   Round-11 rotation — executes the ROUND-11 ROTATION PLAN written
+#   at r10 close verbatim (CORRECTNESS_r10 was 50/50 green — every
+#   r10-window name has a fresh verdict and rotates out with one
+#   round of headroom). _FRONT groups, in order:
+#   (1) both former _PENDING names (r10 additions) — never
+#       driver-verified (judge re-ran both at r10 HEAD: PASS, but
+#       the driver's signature is the contract);
+#   (2) the 41-name r7-window remainder — out r8+r9+r10: PAST the
 #       staleness bound, must re-enter now;
-#   (3) the head of the r7-window block (greens out r8+r9 — AT the
-#       staleness bound), 9 names to fill 50 exactly
-#       (priority_sample_documents .. tpch_q17_small_qty_revenue).
-#   2 + 39 + 9 = 50 exactly.
+#   (3) the head of the r8-window block (greens out r9+r10 — AT the
+#       staleness bound), 7 names to fill 50 exactly
+#       (incremental_dedup_convergence .. embedding_project_jl).
+#   2 + 41 + 7 = 50 exactly.
 _FRONT: tuple[str, ...] = (
-    # (1) former _PENDING (r9 additions) — never driver-verified
-    "kmeans_lloyd_round2_update",
-    "curation_gate_composed",
-    # (2) r6-window remainder — out r7+r8+r9, PAST the
-    # staleness bound
-    "token_budget_select",
-    "ann_lsh_topk",
-    "corr_price_quantity",
-    "date_dim_generate",
-    "doc_fingerprints",
-    "eav_pivot",
-    "embedding_norms",
-    "embedding_topk",
-    "exact_dedup_documents",
-    "grouping_sets_pricing",
-    "hash_split_documents",
-    "kmv_distinct_users",
-    "lang_id_documents",
-    "multimodal_features",
-    "ntile_customer_value",
-    "pricing_summary",
-    "quality_filter_pipeline",
-    "simhash_near_dup",
-    "text_stats",
-    "unit_strip_cast",
-    "seq_pack_chunks",
-    "multimodal_resize",
-    "kml_pipeline_roundtrip",
-    "streaming_dedup_ids",
-    "near_dup_jaccard",
-    "minhash_lsh_dedup",
-    "dedup_clusters",
-    "streaming_stateful_latest",
-    "scd2_user_state",
-    "resample_gapfill_events",
-    "data_profile_orders",
-    "tpch_q5_local_supplier",
-    "orders_above_cust_avg",
-    "streaming_stream_stream_join",
-    "segment_dedup_rebuild",
-    "stratified_sample_documents",
-    "reservoir_sample_per_source",
-    "domain_mix_weights",
-    "udtf_token_runs",
-    # (3) r7-window head — out r8+r9, at the staleness bound
-    "priority_sample_documents",
-    "global_row_index_orders",
-    "negative_sample_contrastive",
-    "heavy_hitters_lang",
-    "kmv_corpus_overlap",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-)
-# ROUND-11 ROTATION PLAN (write this into _FRONT at r11 start):
-#   1.  any _PENDING names below (r10 additions — never
-#       driver-verified) — MUST enter first;
-#   2.  the 41-name r7-window remainder at the _TAIL head
-#       (tpch_q19_disjunctive_filter .. recursive_nation_chain) —
-#       out r8+r9+r10: PAST the staleness bound, MUST re-enter r11;
-#   3.  fill the remaining window with the head of the r8-window
-#       block (incremental_dedup_convergence ..) — out r9+r10, at
-#       the bound.
-#   Structural debt (tracked, not hidden): the registry (191+)
-#   exceeds 3.8x the 50-name window, so blocks cannot fully re-enter
-#   the round after they age out; the r8-block remainder and the
-#   r9-window greens (out r10 only, one round of headroom) lead r12.
-#
-# _PENDING: oracle-gated queries added AFTER the r10 window froze (the
-# 50-name _FRONT above is the frozen window). Names here MUST move to
-# _FRONT in r11 (group 1 of the plan above). Cap 12 (test-enforced).
-_PENDING: tuple[str, ...] = (
-    # r10 additions (VERDICT r9 items 4-5) — enter _FRONT in r11
+    # (1) former _PENDING (r10 additions) — never driver-verified
     "minhash_after_exact_dedup",
     "nb_quality_capped_vocab",
-)
-_TAIL: tuple[str, ...] = (
-    # r7-window remainder (green in CORRECTNESS_r07) — out r8+r9+r10
-    # after this rotation, PAST the staleness bound; group 2 of the
-    # ROUND-11 plan, kept at the tail head so they re-enter first
+    # (2) r7-window remainder — out r8+r9+r10, PAST the
+    # staleness bound
     "tpch_q19_disjunctive_filter",
     "tpch_q22_sales_opportunity",
     "zorder_locality_orders",
@@ -184,8 +107,7 @@ _TAIL: tuple[str, ...] = (
     "rrf_hybrid_retrieval",
     "dup_span_maximal",
     "recursive_nation_chain",
-    # r8 window (all green in CORRECTNESS_r08) — out r9+r10; group 3
-    # (window fill) of the ROUND-11 plan
+    # (3) r8-window head — out r9+r10, at the staleness bound
     "incremental_dedup_convergence",
     "bucketed_join_revenue",
     "compaction_roundtrip_orders",
@@ -193,6 +115,28 @@ _TAIL: tuple[str, ...] = (
     "bpe_merge_sequence",
     "bpe_segment_documents",
     "embedding_project_jl",
+)
+# ROUND-12 ROTATION PLAN (write this into _FRONT at r12 start):
+#   1.  any _PENDING names below (r11 additions — never
+#       driver-verified) — MUST enter first;
+#   2.  the 43-name r8-window remainder at the _TAIL head
+#       (schema_evolution_merge .. tumbling_15min_counts) —
+#       out r9+r10+r11: PAST the staleness bound, MUST re-enter r12;
+#   3.  fill the remaining window with the head of the r9-window
+#       block (ivf_pq_adc_topk ..) — out r10+r11, at the bound.
+#   Structural debt (tracked, not hidden): the registry (193+)
+#   exceeds 3.8x the 50-name window, so blocks cannot fully re-enter
+#   the round after they age out; the r9-block remainder and the
+#   r10-window greens (out r11 only, one round of headroom) lead r13.
+#
+# _PENDING: oracle-gated queries added AFTER the r11 window froze (the
+# 50-name _FRONT above is the frozen window). Names here MUST move to
+# _FRONT in r12 (group 1 of the plan above). Cap 12 (test-enforced).
+_PENDING: tuple[str, ...] = ()
+_TAIL: tuple[str, ...] = (
+    # r8-window remainder (green in CORRECTNESS_r08) — out r9+r10+r11
+    # after this rotation, PAST the staleness bound; group 2 of the
+    # ROUND-12 plan, kept at the tail head so they re-enter first
     "schema_evolution_merge",
     "ewma_user_daily",
     "exact_quantile_rankselect",
@@ -236,8 +180,8 @@ _TAIL: tuple[str, ...] = (
     "set_ops_churned_customers",
     "window_running_stats",
     "tumbling_15min_counts",
-    # r9 window (all green in CORRECTNESS_r09) — out r10 only, one
-    # round of headroom; re-enter r12
+    # r9 window (all green in CORRECTNESS_r09) — out r10+r11; group 3
+    # (window fill) of the ROUND-12 plan
     "ivf_pq_adc_topk",
     "kmeans_lloyd_round_update",
     "nb_quality_train_score",
@@ -288,6 +232,58 @@ _TAIL: tuple[str, ...] = (
     "groupwise_split_documents",
     "compress_consecutive_events",
     "tpch_q14_promo_revenue",
+    # r10 window (all 50 green in CORRECTNESS_r10) — out r11 only,
+    # one round of headroom; re-enter r13
+    "kmeans_lloyd_round2_update",
+    "curation_gate_composed",
+    "token_budget_select",
+    "ann_lsh_topk",
+    "corr_price_quantity",
+    "date_dim_generate",
+    "doc_fingerprints",
+    "eav_pivot",
+    "embedding_norms",
+    "embedding_topk",
+    "exact_dedup_documents",
+    "grouping_sets_pricing",
+    "hash_split_documents",
+    "kmv_distinct_users",
+    "lang_id_documents",
+    "multimodal_features",
+    "ntile_customer_value",
+    "pricing_summary",
+    "quality_filter_pipeline",
+    "simhash_near_dup",
+    "text_stats",
+    "unit_strip_cast",
+    "seq_pack_chunks",
+    "multimodal_resize",
+    "kml_pipeline_roundtrip",
+    "streaming_dedup_ids",
+    "near_dup_jaccard",
+    "minhash_lsh_dedup",
+    "dedup_clusters",
+    "streaming_stateful_latest",
+    "scd2_user_state",
+    "resample_gapfill_events",
+    "data_profile_orders",
+    "tpch_q5_local_supplier",
+    "orders_above_cust_avg",
+    "streaming_stream_stream_join",
+    "segment_dedup_rebuild",
+    "stratified_sample_documents",
+    "reservoir_sample_per_source",
+    "domain_mix_weights",
+    "udtf_token_runs",
+    "priority_sample_documents",
+    "global_row_index_orders",
+    "negative_sample_contrastive",
+    "heavy_hitters_lang",
+    "kmv_corpus_overlap",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
 )
 
 

@@ -60,37 +60,38 @@ def test_oracles_subset_of_queries():
     assert set(qs) - set(os_) == rows_only
 
 
-def test_round10_window_matches_the_written_plan():
-    """The r10 _FRONT must be exactly the ROUND-10 ROTATION PLAN
-    written at r9 close: 2 former _PENDING + the 39-name r6-window
-    remainder + 9 r7-window head names = 50."""
+def test_round11_window_matches_the_written_plan():
+    """The r11 _FRONT must be exactly the ROUND-11 ROTATION PLAN
+    written at r10 close: 2 former _PENDING + the 41-name r7-window
+    remainder + 7 r8-window head names = 50."""
     order = list(Q.all_queries())
     assert order[:2] == [
-        "kmeans_lloyd_round2_update",
-        "curation_gate_composed",
+        "minhash_after_exact_dedup",
+        "nb_quality_capped_vocab",
     ]
-    assert order[2] == "token_budget_select"
-    assert order[40] == "udtf_token_runs"
-    assert order[41] == "priority_sample_documents"
-    assert order[49] == "tpch_q17_small_qty_revenue"
+    assert order[2] == "tpch_q19_disjunctive_filter"
+    assert order[42] == "recursive_nation_chain"
+    assert order[43] == "incremental_dedup_convergence"
+    assert order[49] == "embedding_project_jl"
     assert len(Q._FRONT) == DRIVER_WINDOW
 
 
-def test_round11_rotation_groups_are_intact():
-    """The ROUND-11 ROTATION PLAN (comment in queries.py) is executable
-    only if the tail still leads with its priority group: the 41-name
-    r7-window remainder (out r8+r9+r10 — past the staleness bound),
-    then the r8-window block (out r9+r10, at the bound) as window fill.
-    Pinning the group boundaries makes executing the plan at r11 start
-    a mechanical copy, and any tail edit that would silently demote a
+def test_round12_rotation_groups_are_intact():
+    """The ROUND-12 ROTATION PLAN (comment in queries.py) is executable
+    only if the tail still leads with its priority group: the 43-name
+    r8-window remainder (out r9+r10+r11 — past the staleness bound),
+    then the r9-window block (out r10+r11, at the bound) as window
+    fill, then the r10-window greens (one round of headroom). Pinning
+    the group boundaries makes executing the plan at r12 start a
+    mechanical copy, and any tail edit that would silently demote a
     stale query fails here instead."""
-    assert Q._TAIL[0] == "tpch_q19_disjunctive_filter"
-    assert Q._TAIL[40] == "recursive_nation_chain"
-    # r8-window block begins immediately after and runs 50 names deep
-    assert Q._TAIL[41] == "incremental_dedup_convergence"
-    assert Q._TAIL[90] == "tumbling_15min_counts"
-    # r9 window follows (out r10 only — one round of headroom)
-    assert Q._TAIL[91] == "ivf_pq_adc_topk"
-    assert Q._TAIL[140] == "tpch_q14_promo_revenue"
-    # everything in _PENDING enters r11 group 1 ahead of these
-    assert len(Q._PENDING) + 41 + 9 <= 2 * DRIVER_WINDOW
+    assert Q._TAIL[0] == "schema_evolution_merge"
+    assert Q._TAIL[42] == "tumbling_15min_counts"
+    # r9-window block begins immediately after and runs 50 names deep
+    assert Q._TAIL[43] == "ivf_pq_adc_topk"
+    assert Q._TAIL[92] == "tpch_q14_promo_revenue"
+    # r10 window follows (out r11 only — one round of headroom)
+    assert Q._TAIL[93] == "kmeans_lloyd_round2_update"
+    assert Q._TAIL[142] == "tpch_q17_small_qty_revenue"
+    # everything in _PENDING enters r12 group 1 ahead of these
+    assert len(Q._PENDING) + 43 + 7 <= 2 * DRIVER_WINDOW
