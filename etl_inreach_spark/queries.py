@@ -132,7 +132,10 @@ _FRONT: tuple[str, ...] = (
 # _PENDING: oracle-gated queries added AFTER the r11 window froze (the
 # 50-name _FRONT above is the frozen window). Names here MUST move to
 # _FRONT in r12 (group 1 of the plan above). Cap 12 (test-enforced).
-_PENDING: tuple[str, ...] = ()
+_PENDING: tuple[str, ...] = (
+    # r11 additions (VERDICT r10 items 4-5) — enter _FRONT in r12
+    "fuzzy_name_pairs_edit2",
+)
 _TAIL: tuple[str, ...] = (
     # r8-window remainder (green in CORRECTNESS_r08) — out r9+r10+r11
     # after this rotation, PAST the staleness bound; group 2 of the

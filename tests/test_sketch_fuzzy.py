@@ -300,3 +300,107 @@ def test_kmeans_lloyd_round2_matches_python_fold_replica(spark, sf_dir):
         for r in kmeans_lloyd_round2_update(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def _naive_editk_pairs(rows, k):
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    return {
+        (i1, i2, lev(s1, s2))
+        for (i1, s1) in rows
+        for (i2, s2) in rows
+        if i1 < i2 and lev(s1, s2) <= k
+    }
+
+
+def test_edit2_pairs_matches_naive(spark):
+    """Depth-2 deletion-neighborhood blocking finds EXACTLY the
+    levenshtein<=2 pairs: double substitutions, sub+del, double
+    insert, transposition-as-2-subs — and none of the distance-3
+    decoys."""
+    rows = [
+        (1, "kitten"),
+        (2, "sitten"),      # 1 sub
+        (3, "bitten"),      # 1 sub (2 from sitten at pos 1... also 1)
+        (4, "sittin"),      # 2 subs from kitten
+        (5, "kitte"),       # 1 del
+        (6, "kitt"),        # 2 del
+        (7, "kittens"),     # 1 ins
+        (8, "skittens"),    # 2 ins
+        (9, "sitting"),     # 3 from kitten
+        (10, "iktten"),     # transposition = 2 subs
+        (11, ""),           # dist 2 to any 2-char string
+        (12, "ab"),
+        (13, "ba"),
+        (14, "abc"),
+    ]
+    from etl_inreach_spark.operators.fuzzy import edit2_pairs
+
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit2_pairs(df, "id", "s").collect()
+    }
+    assert got == _naive_editk_pairs(rows, 2)
+
+
+def test_edit2_pairs_random_property(spark):
+    """Random double-mutation corpus: blocked == naive, including the
+    reported dist values (the banded threshold levenshtein must not
+    distort in-band distances)."""
+    rng = random.Random(29)
+    alphabet = "abcd"
+    base = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(3, 8)))
+        for _ in range(25)
+    ]
+    mutated = []
+    for i, s in enumerate(base):
+        mutated.append((3 * i, s))
+        for rep in (1, 2):
+            t = list(s)
+            for _ in range(rep):
+                op = rng.randrange(3)
+                p = rng.randrange(max(len(t), 1))
+                if op == 0 and t:
+                    t[p] = rng.choice(alphabet)
+                elif op == 1 and t:
+                    del t[p]
+                else:
+                    t.insert(p, rng.choice(alphabet))
+            mutated.append((3 * i + rep, "".join(t)))
+    from etl_inreach_spark.operators.fuzzy import edit2_pairs
+
+    df = spark.createDataFrame(mutated, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit2_pairs(df, "id", "s").collect()
+    }
+    assert got == _naive_editk_pairs(mutated, 2)
+
+
+def test_edit2_max_len_guard_raises(spark):
+    """The k=2 neighborhood is quadratic in |s| — the max_len guard
+    must RAISE on overlong strings, not silently explode."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_inreach_spark.operators.fuzzy import edit2_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y")], "id long, s string"
+    )
+    with pytest.raises(Exception) as ei:
+        edit2_pairs(df, "id", "s", max_len=64).collect()
+    assert "max_len" in str(ei.value)

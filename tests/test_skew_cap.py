@@ -109,3 +109,28 @@ def test_capped_edit1_mass_duplicate_name(spark):
     assert len(base) == n_dup * (n_dup - 1) // 2 + 2 * n_dup
     capped = _pair_rows(edit1_pairs(df, "cid", "name", max_bucket_rows=8))
     assert capped == base
+
+
+def test_capped_edit2_pairs_equals_uncapped(spark):
+    """k=2 grid cap: a mass-duplicated name's depth-2 neighborhoods
+    collide in FULL (every variant bucket of the clique is hot), so
+    the triangular grid must cover every unordered pair exactly once
+    across ~|s|^2/2 buckets simultaneously — plus near-misses at
+    dist 1 AND 2 crossing block boundaries."""
+    from etl_inreach_spark.operators.fuzzy import edit2_pairs
+
+    dup, n_dup = "aaron blake", 40
+    rows = [(i, dup) for i in range(n_dup)]
+    rows += [
+        (100, "aaron blakes"),   # dist 1 (1 ins)
+        (101, "arron blake"),    # dist 1 (1 sub)
+        (102, "aaron blk"),      # dist 2 (2 dels)
+        (103, "zz top"),         # far
+    ]
+    df = spark.createDataFrame(rows, "cid long, name string")
+    base = _pair_rows(edit2_pairs(df, "cid", "name"))
+    # clique pairs + (dup, near-miss) pairs + the one cross near-miss
+    # pair within distance 2 of each other (100, 101)
+    assert len(base) == n_dup * (n_dup - 1) // 2 + 3 * n_dup + 1
+    capped = _pair_rows(edit2_pairs(df, "cid", "name", max_bucket_rows=8))
+    assert capped == base
