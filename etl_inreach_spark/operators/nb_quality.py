@@ -40,8 +40,14 @@ corpus, except the one explode+partial-agg scoring pass):
 int64 bounds: weights need (c+1)*(N+V) < 2^63 — N below ~3e9 total
 training tokens per class; past that, ``nb_train`` RAISES (a guard on
 the distinct count pairs) instead of letting non-ANSI Spark wrap
-silently while the oracle errors — widen to DECIMAL(38,0) or shard
-the class if you ever hit it. Scores
+silently while the oracle errors. The executable remedy is COUNT
+DOWNSCALING: floor-divide every count and total by 2^s before the
+log chain (log2((c>>s)+1) - log2((N>>s)+V) shifts both logs by ~s,
+so the DIFFERENCE w_fp moves by at most a few fixed-point ulps —
+counts that large carry no usable precision in the low bits anyway).
+A DECIMAL(38,0) widening is NOT a path here: with_ilog2_fp
+deliberately rejects non-integral types (ADVICE r9) because the
+bigint cast would truncate silently. Scores
 need n_toks_per_doc * max|w| < 2^63 with max|w| ~ 63*2^20 < 2^26,
 safe to ~2^37 tokens per document.
 
@@ -272,8 +278,9 @@ def nb_train(
         "CASE WHEN {c} + 1 <= 9223372036854775807L div ({n} + v)"
         " THEN ({c} + 1) * ({n} + v)"
         " ELSE raise_error('nb_train: ({c}+1)*({n}+v) overflows int64"
-        " (class exceeds ~3e9 training tokens); widen counts to"
-        " DECIMAL(38,0) or shard the class') END"
+        " (class exceeds ~3e9 training tokens); downscale counts"
+        " (floor-divide counts and totals by 2^s before training —"
+        " see module docstring int64 bounds)') END"
     )
     ab = pairs.crossJoin(F.broadcast(tot)).select(
         "c1",

@@ -471,9 +471,14 @@ def _probe_semdedup(spark, sf_dir: str, repl: int) -> dict:
                 )
             out[label] = entry
     finally:
+        # restore EXACTLY: keys that were unset must be unset again
+        # (ADVICE r10 — skipping them would leave the pin behind if
+        # this helper is ever reused inside a shared session)
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     shutil.rmtree(root, ignore_errors=True)
     return out
 
@@ -581,9 +586,14 @@ def _probe_fuzzy(spark, sf_dir: str, repl: int) -> dict:
                 )
             out[label] = entry
     finally:
+        # restore EXACTLY: keys that were unset must be unset again
+        # (ADVICE r10 — skipping them would leave the pin behind if
+        # this helper is ever reused inside a shared session)
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     shutil.rmtree(root, ignore_errors=True)
     return out
 
