@@ -135,6 +135,7 @@ _FRONT: tuple[str, ...] = (
 _PENDING: tuple[str, ...] = (
     # r11 additions (VERDICT r10 items 4-5) — enter _FRONT in r12
     "fuzzy_name_pairs_edit2",
+    "incremental_semantic_dedup_convergence",
 )
 _TAIL: tuple[str, ...] = (
     # r8-window remainder (green in CORRECTNESS_r08) — out r9+r10+r11

@@ -8,6 +8,10 @@ satisfy — the same pattern that oracle-gated the CMS monoid via
 * ``incremental_dedup_convergence`` — the batched incremental MinHash
   dedup replayed exactly in DuckDB (portable Carter-Wegman signature
   arithmetic + sequential 3-batch survivor-state recursion);
+* ``incremental_semantic_dedup_convergence`` — the batched semantic
+  dedup pinned EQUAL to the one-shot SemDeDup verdict (min-id-wins
+  over id-monotone batches — the convergence theorem in
+  operators/incremental_semantic.py);
 * ``bucketed_join_revenue`` — the zero-Exchange co-bucketed join must
   equal the plain shuffled join (oracle = the plain join);
 * ``compaction_roundtrip_orders`` — OPTIMIZE-style compaction must be
@@ -224,6 +228,120 @@ def incremental_dedup_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("doc_id", "batch", "keep", "dup_of")
+
+
+def _incremental_semantic_oracle() -> str:
+    """The ONE-SHOT SemDeDup oracle (same quantizer CTEs as
+    semantic_dedup_embeddings — nlist=16, tau=0.3), extended with the
+    min-matching-id dup_of and the id-range batch label. That the
+    one-shot SQL oracles a 3-BATCH incremental Spark run IS the
+    convergence theorem being pinned: min-id-wins over id-monotone
+    batches equals the one-shot verdict
+    (operators/incremental_semantic.py, module contract)."""
+    from etl_inreach_spark.operators.similarity import (
+        PORTABLE_A,
+        PORTABLE_B,
+        PORTABLE_M,
+    )
+
+    return f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY _h, _cid) AS cell, cvec FROM (
+            SELECT ({PORTABLE_A} * vec_id + {PORTABLE_B}) % {PORTABLE_M} AS _h,
+                   vec_id AS _cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings ORDER BY 1, 2 LIMIT 16
+        )
+    ),
+    asg AS (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), cvec) DESC,
+                            cell ASC
+               ) AS crn
+        FROM embeddings, cent
+    ),
+    casg AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, cell
+             FROM asg WHERE crn = 1),
+    dropped AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM casg a JOIN casg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= CAST(0.3 AS DOUBLE)
+        GROUP BY b.vec_id
+    ),
+    bounds AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings)
+    SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept, d.dup_of,
+           CAST(CASE WHEN c.vec_id < mn + (mx - mn + 1) // 3 THEN 0
+                     WHEN c.vec_id < mn + (2 * (mx - mn + 1)) // 3 THEN 1
+                     ELSE 2 END AS INT) AS batch
+    FROM casg c LEFT JOIN dropped d ON c.vec_id = d.vec_id, bounds
+    """
+
+
+@query(
+    "incremental_semantic_dedup_convergence",
+    oracle=_incremental_semantic_oracle(),
+)
+def incremental_semantic_dedup_convergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental semantic dedup
+    (operators/incremental_semantic.py), value-oracled: ingest the
+    embeddings table as 3 sequential ID-RANGE batches (thirds of
+    [min, max] — id-monotone, the append-only-pipeline shape) against
+    a fresh persisted per-cell state under a FROZEN portable
+    quantizer, and return every vector's (cell, kept, dup_of, batch).
+    The oracle is the ONE-SHOT SemDeDup SQL (the exact
+    semantic_dedup_embeddings rule plus dup_of), so a green row IS
+    the convergence theorem: 3 increments of one-cell-equi-join each
+    reproduce the whole-corpus verdict bit for bit (VERDICT r10 item
+    5). Each increment's work is O(batch x cell density) — the probe
+    join against state — plus O(batch^2 / nlist) batch-internal
+    pairs; nothing rescans previously ingested vectors' pairings.
+    The quantizer is trained once on the full corpus here because
+    the pin needs the one-shot's exact cells; production trains on
+    the initial sample and freezes, which is the same contract.
+    State lives in a fresh local temp dir per call (production
+    points state_path at shared storage;
+    tests/test_incremental_semantic.py covers replay idempotence and
+    non-monotone divergence)."""
+    tune(spark)
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import portable_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = portable_centroids(emb, 16).localCheckpoint(eager=True)
+    r = emb.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    ).collect()[0]  # 1-row bounds decision (the library's bounded-collect class)
+    span = int(r["mx"]) - int(r["mn"]) + 1
+    b1 = int(r["mn"]) + span // 3
+    b2 = int(r["mn"]) + (2 * span) // 3
+    state = os.path.join(_scratch("incsem"), "state")
+    parts = []
+    for k, (lo, hi) in enumerate(
+        [(None, b1), (b1, b2), (b2, None)]
+    ):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("vec_id") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("vec_id") < hi)
+        lab = incremental_semantic_dedup(
+            spark,
+            emb.filter(cond),
+            cent,
+            state,
+            batch_id=f"b{k}",
+            tau=0.3,
+        )
+        parts.append(lab.withColumn("batch", F.lit(k)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("vec_id", "cell", "kept", "dup_of", "batch")
 
 
 @query(

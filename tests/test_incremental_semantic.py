@@ -1,0 +1,130 @@
+"""Incremental semantic dedup (operators/incremental_semantic.py):
+min-id-wins convergence to the one-shot SemDeDup verdict over
+id-monotone batches, replay idempotence, full-state appends, and the
+documented non-monotone divergence."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _unit(theta):
+    return [math.cos(theta), math.sin(theta)]
+
+
+# Two tight direction clusters (near-dups within each) plus a loner.
+# With nlist=2 centroids the clusters split cleanly and tau=0.95
+# marks within-cluster pairs only.
+ROWS = [
+    (0, _unit(0.00)),
+    (1, _unit(0.02)),   # dup of 0
+    (2, _unit(1.50)),
+    (3, _unit(0.03)),   # dup of 0 (and of 1)
+    (4, _unit(1.52)),   # dup of 2
+    (5, _unit(1.49)),   # dup of 2
+]
+
+
+def _run_batches(spark, state, batches, tau=0.95, nlist=2):
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import portable_centroids
+
+    corpus = _vecs(spark, ROWS)
+    cent = portable_centroids(corpus, nlist).localCheckpoint(eager=True)
+    out = {}
+    for k, ids in enumerate(batches):
+        batch = _vecs(spark, [r for r in ROWS if r[0] in ids])
+        lab = incremental_semantic_dedup(
+            spark, batch, cent, state, batch_id=f"b{k}", tau=tau
+        )
+        for r in lab.collect():
+            out[r["vec_id"]] = (r["kept"], r["dup_of"])
+    return out
+
+
+def _one_shot(spark, tau=0.95, nlist=2):
+    from etl_inreach_spark.operators.similarity import semantic_dedup_cells
+
+    corpus = _vecs(spark, ROWS)
+    return {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup_cells(corpus, tau, nlist=nlist).collect()
+    }
+
+
+def test_monotone_batches_equal_one_shot(spark, tmp_path):
+    got = _run_batches(
+        spark, str(tmp_path / "s"), [{0, 1}, {2, 3}, {4, 5}]
+    )
+    want = _one_shot(spark)
+    assert {k: v[0] for k, v in got.items()} == want
+    # dup_of is the MIN matching smaller id, across batches
+    assert got[1] == (False, 0)
+    assert got[3] == (False, 0)   # history min, not batch-mate 1... 0 < 1
+    assert got[4] == (False, 2)
+    assert got[5] == (False, 2)
+    assert got[0][0] and got[2][0]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import portable_centroids
+
+    state = str(tmp_path / "s")
+    corpus = _vecs(spark, ROWS)
+    cent = portable_centroids(corpus, 2).localCheckpoint(eager=True)
+    b0 = _vecs(spark, ROWS[:4])
+    first = {
+        r["vec_id"]: (r["kept"], r["dup_of"])
+        for r in incremental_semantic_dedup(
+            spark, b0, cent, state, "b0", tau=0.95
+        ).collect()
+    }
+    n_state = spark.read.parquet(state).count()
+    # replay the SAME batch id: labels identical, state not doubled
+    again = {
+        r["vec_id"]: (r["kept"], r["dup_of"])
+        for r in incremental_semantic_dedup(
+            spark, b0, cent, state, "b0", tau=0.95
+        ).collect()
+    }
+    assert again == first
+    assert spark.read.parquet(state).count() == n_state
+
+
+def test_state_stores_dropped_rows_too(spark, tmp_path):
+    """Min-id-wins needs DROPPED rows in state: 1 is dropped for 0 in
+    batch 0, and 3 (arriving later, similar to both) must report
+    dup_of = 0 via state even though 1 would also match."""
+    state = str(tmp_path / "s")
+    got = _run_batches(spark, state, [{0, 1}, {3}, {2, 4, 5}])
+    assert got[3] == (False, 0)
+    ids = {
+        r["_id"] for r in spark.read.parquet(state).select("_id").collect()
+    }
+    assert ids == {0, 1, 2, 3, 4, 5}
+
+
+def test_non_monotone_ingestion_documented_divergence(spark, tmp_path):
+    """Ingesting the larger ids first: vector 1 (kept in batch 0 —
+    nothing smaller seen yet... actually 0 arrives later) keeps its
+    label; the one-shot verdict would drop it. The operator is
+    well-defined, just order-dependent — pinned so the contract in
+    the module docstring stays honest."""
+    got = _run_batches(spark, str(tmp_path / "s"), [{1, 3}, {0}, {2, 4, 5}])
+    # batch 0: ids {1, 3} — 3 drops for 1 (min-id within batch)
+    assert got[3] == (False, 1)
+    # 1 was labeled keep before 0 arrived; 0 also keeps (no smaller id)
+    assert got[1][0] and got[0][0]
+    want = _one_shot(spark)
+    assert want[1] is False  # one-shot drops 1 — the divergence
