@@ -26,6 +26,19 @@ Three probe families (select via the third CLI arg):
   deletion-variant buckets and each bucket's |b|^2 expansion is one
   join task uncapped; ``max_bucket_rows`` grid vs uncapped
   (auto-broadcast off, as at scale).
+* ``graph`` (VERDICT r10 item 2): the iterative-shuffle family under
+  a HOT-DEGREE vertex. (a) One part forced into 30% of all orders
+  (one lineitem per hot order remapped), then
+  ``triangle_count_copurchase`` — degree-oriented intersection is
+  the classic hot-vertex victim; orientation should leave the hub's
+  out-list empty and spread its triangles over the low-degree
+  endpoints — and ``pagerank3_copurchase``, whose per-iteration
+  join keys on the hub for deg(hub) rows. (b) A planted STAR
+  component (one center adjacent to 30% of all nodes, matched-pair
+  background) for ``connected_components`` (min-label propagation)
+  vs ``connected_components_star`` (large/small-star contraction) —
+  the hot-degree complement of the long-chain story those two
+  already tell.
 
 Measurement discipline, learned the hard way in r9 (each clause
 guards against an artifact that produced wrong committed numbers):
@@ -598,6 +611,157 @@ def _probe_fuzzy(spark, sf_dir: str, repl: int) -> dict:
     return out
 
 
+def _probe_graph(spark, sf_dir: str, repl: int) -> dict:
+    """Hot-degree-vertex probe for the operators with ITERATIVE
+    shuffles (the one family the r10 probe matrix did not cover).
+
+    Co-purchase side: replicate orders ``repl``x with part ids FIXED
+    (the co-purchase graph densifies as data grows — the 100 TB
+    shape), then remap ONE lineitem of 30% of orders to a single hub
+    part. The hub's degree approaches the whole part domain;
+    triangle counting must stay balanced because degree orientation
+    leaves the hub's out-adjacency empty (every neighbor has lower
+    degree, so hub edges all point INTO it and its triangles close
+    on the low-degree endpoints' short lists), and PageRank must
+    stay balanced because contributions INTO the hub are a map-side-
+    combined partial agg, not a single-task reduction.
+
+    Components side: a planted star (center adjacent to 30% of all
+    nodes; the rest matched pairs) — diameter 2, so this is the
+    hot-DEGREE complement of the long-chain diameter story that
+    picks between min-label propagation and star contraction."""
+    from etl_inreach_spark.queries_extended import (
+        pagerank3_copurchase,
+        triangle_count_copurchase,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="spark_graft_skewprobe_")
+    reps = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in range(repl)])
+    ).alias("_k")
+    base = li.select("*", reps).select(
+        (F.col("l_orderkey") + F.col("_k") * F.lit(10**12)).alias(
+            "l_orderkey"
+        ),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    hub = 1
+    variants = {}
+    for label, df in (
+        ("uniform", base),
+        (
+            # hub part lands in ~30% of ALL orders: inside the 30%
+            # hot-order slice, remap every line whose part hashes
+            # even (l_linenumber is NOT sequential in this data —
+            # only 44% of orders have a line 1 — so a per-part coin
+            # at ~4.1 lines/order reaches P(>=1 remap) ~ 0.94 while
+            # keeping most of the order's other parts in place)
+            "hot30",
+            base.withColumn(
+                "l_partkey",
+                F.when(
+                    (F.pmod(F.xxhash64("l_orderkey"), F.lit(10)) < 3)
+                    & (F.pmod(F.xxhash64("l_partkey"), F.lit(2)) == 0),
+                    F.lit(hub).cast("bigint"),
+                ).otherwise(F.col("l_partkey")),
+            ),
+        ),
+    ):
+        d = os.path.join(root, label)
+        # spread the fixture across files: the explode-replicated frame
+        # otherwise lands in ONE parquet file whose single row group is
+        # unsplittable, and the scan stage's lone loaded task
+        # masquerades as an operator straggler (ratio 80 with ZERO
+        # shuffle records — diagnosed r11)
+        df.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        variants[label] = d
+
+    out = {"sf_dir": sf_dir, "replication": repl}
+    for label, d in variants.items():
+        m = spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+        n_orders = m.select("l_orderkey").distinct().count()
+        hub_orders = (
+            m.filter(F.col("l_partkey") == hub)
+            .select("l_orderkey")
+            .distinct()
+            .count()
+        )
+        hub_degree = (
+            m.alias("a")
+            .join(m.alias("b"), "l_orderkey")
+            .filter(F.col("a.l_partkey") == hub)
+            .filter(F.col("b.l_partkey") != hub)
+            .select("b.l_partkey")
+            .distinct()
+            .count()
+        )
+        out[label] = {
+            "n_orders": n_orders,
+            "hub_order_share": round(hub_orders / n_orders, 3),
+            "hub_degree": hub_degree,
+            "triangle_count_copurchase": _run(
+                spark, f"tri:{label}", triangle_count_copurchase, d
+            ),
+            "pagerank3_copurchase": _run(
+                spark, f"pr3:{label}", pagerank3_copurchase, d
+            ),
+        }
+
+    # ---- planted star component: operator-level ---------------------
+    from etl_inreach_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n_nodes = 20_000 * repl
+    n_star = (3 * n_nodes) // 10
+
+    def _star_edges(s):
+        center = s.range(1, n_star + 1).select(
+            F.lit(0).cast("bigint").alias("id_a"), F.col("id").alias("id_b")
+        )
+        rest = (
+            s.range(n_star + 1, n_nodes - 1, 2)
+            .select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+            )
+        )
+        return center.unionByName(rest)
+
+    def _pairs_only(s):
+        return s.range(0, n_nodes - 1, 2).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+
+    for label, mk in (("star30", _star_edges), ("uniform_pairs", _pairs_only)):
+        cc = {
+            "n_nodes": n_nodes,
+            "n_star": n_star if label == "star30" else 0,
+            "connected_components": _run(
+                spark,
+                f"cc:{label}",
+                lambda s, _d, mk=mk: connected_components(
+                    mk(s), "id_a", "id_b"
+                ),
+                sf_dir,
+            ),
+            "connected_components_star": _run(
+                spark,
+                f"ccstar:{label}",
+                lambda s, _d, mk=mk: connected_components_star(
+                    mk(s), "id_a", "id_b"
+                ),
+                sf_dir,
+            ),
+        }
+        out[f"components_{label}"] = cc
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _fresh_spark():
     """A FRESH session per probe family: co-resident heavy phases
     contaminate each other's task times through JVM state (old-gen
@@ -629,6 +793,10 @@ def main() -> int:
         out["semdedup"] = _probe_semdedup(_fresh_spark(), sf_dir, min(repl, 2))
     if which in ("all", "fuzzy"):
         out["fuzzy"] = _probe_fuzzy(_fresh_spark(), sf_dir, repl)
+    if which in ("all", "graph"):
+        # co-purchase edge count grows ~repl x with fixed parts; 4x
+        # already densifies the graph well past the sf's natural shape
+        out["graph"] = _probe_graph(_fresh_spark(), sf_dir, min(repl, 4))
     print(json.dumps(out))
     return 0
 
