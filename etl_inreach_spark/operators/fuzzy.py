@@ -132,7 +132,11 @@ def editk_pairs(
     ``max_bucket_rows`` bounds per-TASK candidate work when a variant
     bucket goes hot (mass-duplicated strings — see module docstring):
     the bucket self-join becomes a triangular block grid over id-hash
-    blocks, per-task pairs <= cap^2, output unchanged. Size the cap so
+    blocks, per-task pairs <= cap^2, output unchanged. A BALANCED
+    corpus (no bucket over the cap) runs the plain bucket join over
+    the checkpointed variants — the cap then costs one counting
+    reduction and nothing else (ADVICE r10); the grid/plain decision
+    is frozen at call time. Size the cap so
     a hot bucket yields grid cells >> shuffle partitions — cells land
     on partitions by HASH, so balance is law-of-large-numbers (the r10
     probe measured cap=512 leaving ~10-cell birthday pileups on one
@@ -161,20 +165,8 @@ def editk_pairs(
             ),
         )
     v = deletion_variants(df, id_col, s_col, k)
-    if max_bucket_rows is None:
-        a = v.select(
-            F.col(id_col).alias("id_a"), F.col(s_col).alias("s_a"), "vkey"
-        )
-        b = v.select(
-            F.col(id_col).alias("id_b"), F.col(s_col).alias("s_b"), "vkey"
-        )
-        cand = (
-            a.join(b, "vkey")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "s_a", "s_b")
-            .distinct()
-        )
-    else:
+    hot = None
+    if max_bucket_rows is not None:
         # the capped plan references v on THREE branches (hot count,
         # grid side a, grid side b): checkpoint the explode once so
         # all of them read materialized partitions instead of each
@@ -201,6 +193,33 @@ def editk_pairs(
                 ).alias("_nb_blk"),
             )
         )
+        # balanced-corpus gate (ADVICE r10): with no hot bucket the
+        # grid machinery would still pay TWO pinned full-relation
+        # repartitions plus the block columns — a fixed inert-path
+        # cost that matters at 100 TB. Checkpoint the (tiny, rare-by-
+        # construction) hot relation so the gate probe and the grid
+        # join share ONE counting pass, then mirror
+        # semantic_dedup_cells: no hot bucket -> run the PLAIN bucket
+        # join over the checkpointed variants. Same caveat as there:
+        # the grid/plain decision is frozen at call time, not at
+        # execution of the returned DataFrame.
+        hot = hot.localCheckpoint(eager=True)
+        if hot.isEmpty():
+            hot = None  # plain join below, over the checkpoint
+    if hot is None:
+        a = v.select(
+            F.col(id_col).alias("id_a"), F.col(s_col).alias("s_a"), "vkey"
+        )
+        b = v.select(
+            F.col(id_col).alias("id_b"), F.col(s_col).alias("s_b"), "vkey"
+        )
+        cand = (
+            a.join(b, "vkey")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "s_a", "s_b")
+            .distinct()
+        )
+    else:
         wb = (
             v.join(hot, "vkey", "left")
             .withColumn("_nb_blk", F.coalesce("_nb_blk", F.lit(1)))
