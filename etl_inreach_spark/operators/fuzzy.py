@@ -150,9 +150,16 @@ def editk_pairs(
     if k not in (1, 2):
         raise ValueError(f"editk_pairs: k must be 1 or 2, got {k}")
     if max_len is not None:
+        # NULL strings pass the guard (the explode drops them later —
+        # identical to the k=1/uncapped NULL behavior); without the
+        # isNull arm the 3VL NULL condition would fall into the
+        # otherwise-branch and raise with a NULL message
         df = df.withColumn(
             s_col,
-            F.when(F.length(s_col) <= max_len, F.col(s_col)).otherwise(
+            F.when(
+                F.col(s_col).isNull() | (F.length(s_col) <= max_len),
+                F.col(s_col),
+            ).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(

@@ -115,7 +115,16 @@ def incremental_semantic_dedup(
             .select("_idb", "_ida")
         )
     else:
-        hist_hits = spark.createDataFrame([], "_idb bigint, _ida bigint")
+        # derive the empty relation's id type from the batch: a
+        # hardcoded bigint would break string/decimal id columns on
+        # the FIRST batch only (later batches inherit the real type
+        # from the parquet state) — the worst kind of works-later bug
+        from pyspark.sql.types import StructField, StructType
+
+        idt = batch.schema[id_col].dataType
+        hist_hits = spark.createDataFrame(
+            [], StructType([StructField("_idb", idt), StructField("_ida", idt)])
+        )
 
     # --- within batch ------------------------------------------------
     batch_side_a = withn.select(

@@ -128,3 +128,34 @@ def test_non_monotone_ingestion_documented_divergence(spark, tmp_path):
     assert got[1][0] and got[0][0]
     want = _one_shot(spark)
     assert want[1] is False  # one-shot drops 1 — the divergence
+
+
+def test_first_batch_with_string_ids(spark, tmp_path):
+    """The no-state-yet empty hits relation must inherit the BATCH's
+    id type — a hardcoded bigint would break string ids on batch 0
+    only (later batches read the real type from parquet)."""
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import portable_centroids
+
+    rows = [(f"d{i:02d}", v) for i, v in
+            [(0, _unit(0.0)), (1, _unit(0.02)), (2, _unit(1.5))]]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    # portable_centroids hashes the id column arithmetically — string
+    # ids need a bounded bigint surrogate for centroid picking (full
+    # xxhash64 would overflow the affine hash under ANSI); the dedup
+    # itself then runs on the string ids
+    keyed = df.withColumn(
+        "_sk", F.pmod(F.xxhash64("vec_id"), F.lit(10**9))
+    )
+    cent = portable_centroids(keyed.select(
+        keyed["_sk"].alias("vec_id"), "embedding"), 2)
+    cent = cent.localCheckpoint(eager=True)
+    lab = incremental_semantic_dedup(
+        spark, df, cent, str(tmp_path / "s"), "b0", tau=0.95
+    )
+    got = {r["vec_id"]: (r["kept"], r["dup_of"]) for r in lab.collect()}
+    assert got["d00"] == (True, None)
+    assert got["d01"] == (False, "d00")   # min STRING id wins
+    assert got["d02"] == (True, None)

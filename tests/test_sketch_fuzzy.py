@@ -394,7 +394,6 @@ def test_edit2_max_len_guard_raises(spark):
     """The k=2 neighborhood is quadratic in |s| — the max_len guard
     must RAISE on overlong strings, not silently explode."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     from etl_inreach_spark.operators.fuzzy import edit2_pairs
 
@@ -404,3 +403,31 @@ def test_edit2_max_len_guard_raises(spark):
     with pytest.raises(Exception) as ei:
         edit2_pairs(df, "id", "s", max_len=64).collect()
     assert "max_len" in str(ei.value)
+
+
+def test_edit2_null_strings_dropped_not_raised(spark):
+    """NULL strings must pass the max_len guard and simply drop out of
+    the pair relation (the k=1/uncapped behavior) — the 3VL NULL
+    condition must not fall into the raise_error branch."""
+    from etl_inreach_spark.operators.fuzzy import edit1_pairs, edit2_pairs
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, None), (3, "kitte"), (4, "kitt")],
+        "id long, s string",
+    )
+    got2 = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit2_pairs(df, "id", "s").collect()
+    }
+    assert got2 == {(1, 3, 1), (1, 4, 2), (3, 4, 1)}
+    # capped path too (the guard + checkpoint branch)
+    got2c = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit2_pairs(df, "id", "s", max_bucket_rows=2).collect()
+    }
+    assert got2c == got2
+    got1 = {
+        (r["id_a"], r["id_b"])
+        for r in edit1_pairs(df, "id", "s").collect()
+    }
+    assert got1 == {(1, 3), (3, 4)}

@@ -718,6 +718,11 @@ def _probe_graph(spark, sf_dir: str, repl: int) -> dict:
 
     n_nodes = 20_000 * repl
     n_star = (3 * n_nodes) // 10
+    if (n_nodes - n_star - 1) % 2:
+        # keep the non-star residual EVEN so the matched-pair fill
+        # covers every node — otherwise the last node is isolated and
+        # star30 silently runs over one fewer node than uniform_pairs
+        n_star += 1
 
     def _star_edges(s):
         center = s.range(1, n_star + 1).select(
