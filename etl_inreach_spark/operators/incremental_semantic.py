@@ -47,10 +47,28 @@ like MinHash band keys without changing the verdict itself (the
 cosine needs the vector). It is parquet partitioned by ``cell`` with
 the norm precomputed per row, so an increment's probe join reads each
 touched cell's directory once and never recomputes history norms.
-Hot-cell skew in the probe join is the semantic_dedup_cells story;
-increments are small by construction, and a mass-duplicate batch
-should be capped by the one-shot operator's triangular grid applied
-to the batch BEFORE ingest.
+
+Hot-cell skew: the probe join is BIPARTITE (batch x history), so the
+one-shot operator's triangular grid does not apply — and "increments
+are small" does not save it, because a hot HISTORY cell (mass
+near-duplicates accumulated over many increments) concentrates
+|hist_cell| x |batch_cell| pair work in the ONE task that owns that
+cell key, on every future increment that touches the cell.
+``max_cell_rows`` is the bipartite remedy: salt the history side of
+the hot cells into ``ceil(|hist_cell| / max_cell_rows)`` hash blocks
+and replicate the (small) batch side's rows of that cell once per
+block, turning the probe into an equi-join on (cell, block) whose
+per-task pair count is bounded by max_cell_rows x |batch_cell|.
+Every (history, batch) pair still meets exactly once — the history
+row sits in one block and the batch row visits every block — so the
+output is IDENTICAL to the uncapped join (pinned in
+tests/test_incremental_semantic.py). Block counts come from a
+per-cell count over the state (<= nlist rows collected — the frozen
+quantizer bounds the cell domain; the scan prunes to the partition
+column), and a balanced state runs the plain equi-join unchanged.
+A mass-duplicate BATCH is still the one-shot operator's job: cap it
+with the triangular grid before ingest (the in-batch join here is
+|batch|^2 / nlist and small by the same construction).
 """
 
 from __future__ import annotations
@@ -76,6 +94,7 @@ def incremental_semantic_dedup(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Label ``batch`` against the persisted corpus state under the
     frozen ``centroids`` (cell, _cvec) and append the batch's rows.
@@ -87,7 +106,10 @@ def incremental_semantic_dedup(
 
     One assignment pass for the batch (checkpointed — consumed by the
     history probe, the in-batch pair join, and the state append), one
-    equi-join against state, one batch-internal cell join."""
+    equi-join against state, one batch-internal cell join.
+    ``max_cell_rows`` bounds the per-task pair work of the history
+    probe when a state cell has gone hot — bipartite salting, output
+    identical; see the module docstring."""
     asg = _nearest_cells(batch, centroids, 1, id_col, vec_col)
     withn = asg.select(
         F.col(id_col).alias("_id"),
@@ -108,12 +130,83 @@ def incremental_semantic_dedup(
             F.col("_id").alias("_ida"), F.col("_vec").alias("_va"),
             F.col("_nrm").alias("_na"), "cell",
         )
-        hist_hits = (
-            new_side.join(hist, "cell")
-            .filter(F.col("_ida") < F.col("_idb"))
-            .filter(pair_cos >= F.lit(tau))
-            .select("_idb", "_ida")
-        )
+        blk_sizes = None
+        if max_cell_rows is not None:
+            # per-cell state counts: the cell domain is nlist-bounded
+            # (frozen quantizer), so this collect is <= nlist rows —
+            # the library's bounded-collect class — and the scan
+            # prunes to the partition column (footer row counts, no
+            # data pages)
+            sizes = {
+                r["cell"]: -(-r["_n"] // max_cell_rows)
+                for r in hist.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            }
+            if any(v > 1 for v in sizes.values()):
+                blk_sizes = sizes
+        if blk_sizes is None:
+            hist_hits = (
+                new_side.join(hist, "cell")
+                .filter(F.col("_ida") < F.col("_idb"))
+                .filter(pair_cos >= F.lit(tau))
+                .select("_idb", "_ida")
+            )
+        else:
+            # bipartite salt: history row -> ONE block by id hash;
+            # batch row -> EVERY block of its cell (cells absent from
+            # state get nb=1 via coalesce and then join nothing), so
+            # each (history, batch) pair meets exactly once and the
+            # output equals the plain join's. Per-task pairs drop
+            # from |hist_cell| x |batch_cell| to max_cell_rows x
+            # |batch_cell|; replication touches only the SMALL batch
+            # side (nb copies of its hot-cell rows).
+            nb_map = F.create_map(
+                *[F.lit(x) for cell, nb in blk_sizes.items() for x in (cell, nb)]
+            )
+            h = hist.withColumn(
+                "_blk",
+                F.pmod(
+                    F.xxhash64(F.col("_ida")),
+                    nb_map[F.col("cell")].cast("bigint"),
+                ).cast("int"),
+            )
+            nbt = new_side.withColumn(
+                "_nb_blk", F.coalesce(nb_map[F.col("cell")].cast("int"), F.lit(1))
+            ).withColumn(
+                "_blk",
+                F.explode(F.sequence(F.lit(0), F.col("_nb_blk") - 1)),
+            ).drop("_nb_blk")
+            # pin the shuffle: salted blocks of the hot cell are
+            # byte-modest but compute-dense (pair-cosines ride on the
+            # vectors ONCE per row, work is quadratic in row count) —
+            # AQE's byte-based coalescing would re-merge them into
+            # the straggler the salt exists to remove (the
+            # semantic_dedup_cells grid learned this in r9, measured).
+            # What the pin controls is the ORIGIN, not the count:
+            # Spark's join planning re-targets even REPARTITION_BY_NUM
+            # exchanges under an equi-join to spark.sql.shuffle.
+            # partitions (verified on 4.1: repartition(7) under an SMJ
+            # plans as hashpartitioning(..., conf)), but the
+            # REPARTITION_BY_NUM origin survives and is what exempts
+            # the exchange from AQE coalescing — so the operative
+            # sizing lever is the conf, as everywhere else in Spark,
+            # and the explicit number here only needs to be a sane
+            # default for sessions where the conf is unreadable
+            try:
+                n_shuffle = int(
+                    spark.conf.get("spark.sql.shuffle.partitions", "200")
+                )
+            except ValueError:
+                n_shuffle = spark.sparkContext.defaultParallelism
+            h = h.repartition(n_shuffle, "cell", "_blk")
+            nbt = nbt.repartition(n_shuffle, "cell", "_blk")
+            hist_hits = (
+                nbt.join(h, ["cell", "_blk"])
+                .filter(F.col("_ida") < F.col("_idb"))
+                .filter(pair_cos >= F.lit(tau))
+                .select("_idb", "_ida")
+            )
     else:
         # derive the empty relation's id type from the batch: a
         # hardcoded bigint would break string/decimal id columns on

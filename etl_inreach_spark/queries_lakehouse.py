@@ -336,6 +336,11 @@ def incremental_semantic_dedup_convergence(
             state,
             batch_id=f"b{k}",
             tau=0.3,
+            # same inert-at-this-SF cap as the one-shot registered
+            # query: exercises the per-cell sizing gate every
+            # increment; a hot state cell at scale flips the probe
+            # join to the bipartite salt with identical output
+            max_cell_rows=4096,
         )
         parts.append(lab.withColumn("batch", F.lit(k)))
     out = parts[0]

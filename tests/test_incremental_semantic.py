@@ -130,6 +130,87 @@ def test_non_monotone_ingestion_documented_divergence(spark, tmp_path):
     assert want[1] is False  # one-shot drops 1 — the divergence
 
 
+def test_hot_history_cap_output_identity(spark, tmp_path):
+    """A hot HISTORY cell under ``max_cell_rows``: labels must equal
+    the uncapped run's exactly (bipartite salt is a physical rewrite
+    only). 40 near-duplicates of one direction seed the state as
+    batch 0 (one hot cell), then a mixed batch probes it capped at 4
+    rows/block (10 blocks) vs uncapped."""
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import portable_centroids
+
+    hot = [(i, _unit(0.0 + 1e-4 * i)) for i in range(40)]
+    probe = [(100, _unit(0.001)), (101, _unit(1.5)), (102, _unit(0.002))]
+    corpus = _vecs(spark, hot + probe)
+    cent = portable_centroids(corpus, 2).localCheckpoint(eager=True)
+
+    def run(state, cap):
+        incremental_semantic_dedup(
+            spark, _vecs(spark, hot), cent, state, "b0", tau=0.95,
+            max_cell_rows=cap,
+        ).collect()
+        return {
+            r["vec_id"]: (r["kept"], r["dup_of"])
+            for r in incremental_semantic_dedup(
+                spark, _vecs(spark, probe), cent, state, "b1", tau=0.95,
+                max_cell_rows=cap,
+            ).collect()
+        }
+
+    capped = run(str(tmp_path / "cap"), 4)
+    plain = run(str(tmp_path / "plain"), None)
+    assert capped == plain
+    # the hot-cell probes must have matched HISTORY (dup_of below the
+    # probe-id range; the exact min depends on how the hash-sampled
+    # 2-centroid quantizer splits the tight cluster across cells —
+    # near-identical sampled centroids can split it, which is fine:
+    # identity capped == plain is the property under test)
+    assert capped[100][0] is False and capped[100][1] < 100
+    assert capped[102][0] is False and capped[102][1] < 100
+    assert capped[101][0] is True
+
+
+def test_hot_history_cap_with_string_ids(spark, tmp_path):
+    """The salt hashes the HISTORY id column (xxhash64) — must work
+    for string ids, and a batch cell absent from state must coalesce
+    to one block instead of null-crashing the sequence explode."""
+    from pyspark.sql.types import StringType
+
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import portable_centroids
+
+    hot = [(f"h{i:02d}", _unit(0.0 + 1e-4 * i)) for i in range(12)]
+    # probe includes a vector in the OTHER cell, which batch 0 never
+    # ingested — its cell is absent from the state count map
+    probe = [("p00", _unit(0.001)), ("p01", _unit(1.5))]
+    schema = "vec_id string, embedding array<double>"
+    corpus = spark.createDataFrame(hot + probe, schema)
+    keyed = corpus.withColumn(
+        "_sk", F.pmod(F.xxhash64("vec_id"), F.lit(10**9))
+    )
+    cent = portable_centroids(
+        keyed.select(keyed["_sk"].alias("vec_id"), "embedding"), 2
+    ).localCheckpoint(eager=True)
+    state = str(tmp_path / "s")
+    incremental_semantic_dedup(
+        spark, spark.createDataFrame(hot, schema), cent, state, "b0",
+        tau=0.95, max_cell_rows=4,
+    ).collect()
+    got = {
+        r["vec_id"]: (r["kept"], r["dup_of"])
+        for r in incremental_semantic_dedup(
+            spark, spark.createDataFrame(probe, schema), cent, state,
+            "b1", tau=0.95, max_cell_rows=4,
+        ).collect()
+    }
+    assert got["p00"] == (False, "h00")   # min STRING id via salted probe
+    assert got["p01"] == (True, None)     # state-absent cell, kept
+
+
 def test_first_batch_with_string_ids(spark, tmp_path):
     """The no-state-yet empty hits relation must inherit the BATCH's
     id type — a hardcoded bigint would break string ids on batch 0

@@ -26,6 +26,17 @@ Three probe families (select via the third CLI arg):
   deletion-variant buckets and each bucket's |b|^2 expansion is one
   join task uncapped; ``max_bucket_rows`` grid vs uncapped
   (auto-broadcast off, as at scale).
+* ``incsem`` (round 11): the incremental semantic dedup PROBE join
+  (operators/incremental_semantic.py) under a hot HISTORY cell — the
+  bipartite complement of ``semdedup``'s one-shot story. State is
+  seeded as prior increments would have left it (92% of a ``repl``x
+  corpus collapsed into one cell under a frozen DIVERSE quantizer),
+  then a small mixed batch probes it: uncapped, the hot cell's
+  |hist_cell| x |batch_cell| pair work is ONE join task every future
+  increment; ``max_cell_rows`` salts the history side into blocks
+  and replicates only the small batch side (auto-broadcast off — at
+  scale a million-row increment does not broadcast, and the join
+  shuffles on cell).
 * ``graph`` (VERDICT r10 item 2): the iterative-shuffle family under
   a HOT-DEGREE vertex. (a) One part forced into 30% of all orders
   (one lineitem per hot order remapped), then
@@ -89,6 +100,14 @@ def _get_spark_with_ui():
         .appName("skew-probe")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4050")
+        # mirror get_spark's cores-sized shuffle partitions: every
+        # real session (bench, oracle, driver) runs with this, and
+        # Spark's join planning re-targets even user REPARTITION_BY_NUM
+        # exchanges to this conf — probing under the 200 default
+        # measured a different physical layout (150+ empty tasks in
+        # pinned grid joins crushed the worst-stage p50 and made the
+        # max/p50 ratio unreadable at probe scale)
+        .config("spark.sql.shuffle.partitions", str(cpus))
         # mirror get_spark's sizing: the default 1g driver heap OOMs
         # on the 10x-documents shingle checkpoint
         .config(
@@ -611,6 +630,149 @@ def _probe_fuzzy(spark, sf_dir: str, repl: int) -> dict:
     return out
 
 
+def _probe_incsem(spark, sf_dir: str, repl: int) -> dict:
+    """Hot HISTORY cell for the incremental semantic probe join: the
+    state holds ``repl`` x embeddings with 92% remapped to jittered
+    copies of ONE base vector (one hot cell under a frozen quantizer
+    trained on the ORIGINAL diverse corpus — production's shape:
+    train first, mass-duplicates arrive later), and a new increment
+    of ~300 rows (2/3 landing in the hot cell, ids above all state
+    ids) probes it. Uncapped, the hot cell is |hist_cell| x
+    |batch_cell| pair-cosines in one task; max_cell_rows=512 salts
+    history into ceil(|cell|/512) blocks, bounding per-task pairs at
+    512 x |batch_cell| with only the 300-row batch side replicated.
+    Both variants share one state (the batch marker makes the second
+    variant's append a no-op; replay labels are pinned identical by
+    tests), so capped and uncapped time the SAME join inputs.
+    The probe join is LINEAR in state size (bipartite, fixed batch)
+    so repl scales the straggler linearly — repl=10 at sf0.1 is a
+    ~18k-row hot cell, ~3.7M single-task pairs uncapped."""
+    from etl_inreach_spark.functions.vectors import l2_norm
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import (
+        _nearest_cells,
+        portable_centroids,
+    )
+    from etl_inreach_spark.sinks.upsert import _mark_batch_applied
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="spark_graft_incsem_")
+    cent = portable_centroids(emb, 16).localCheckpoint(eager=True)
+
+    reps = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in range(repl)])
+    ).alias("_k")
+    base = emb.select("*", reps).select(
+        (F.col("vec_id") + F.col("_k") * F.lit(10**9)).alias("vec_id"),
+        "embedding",
+    )
+    base_vec = emb.select("embedding").first()["embedding"]
+    hot_vec = F.array(*[F.lit(float(v)) for v in base_vec])
+    jitter = lambda: F.transform(  # noqa: E731
+        hot_vec,
+        lambda x, i: (
+            x
+            * (1.0 + (F.pmod(F.col("vec_id") + i, F.lit(97)) - 48) * F.lit(1e-5))
+        ).cast("float"),
+    )
+    hot = F.pmod(F.xxhash64("vec_id"), F.lit(25)) < 23  # ~92%
+    skew = base.withColumn(
+        "embedding", F.when(hot, jitter()).otherwise(F.col("embedding"))
+    )
+    # seed the state EXACTLY as the operator's append leaves it
+    # (assignment under the frozen quantizer, precomputed norm,
+    # partitioned by cell, one file per cell per increment) — prior
+    # increments' result without paying their in-batch joins, which
+    # are the ONE-SHOT probe's story. Seed as FOUR id-range appends:
+    # real state accrues one file per cell per increment, and a
+    # single-write seed leaves the hot cell as ONE unsplittable
+    # 15 MB row group whose lone scan task reads as a phantom
+    # straggler (the graph probe's single-file fixture artifact)
+    state = os.path.join(root, "state")
+    seeded = _nearest_cells(skew, cent, 1, "vec_id", "embedding").select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_vec"),
+        "cell",
+        l2_norm(F.col("embedding")).alias("_nrm"),
+    )
+    for q in range(4):
+        (
+            seeded.filter(F.pmod(F.xxhash64("_id"), F.lit(4)) == q)
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(state)
+        )
+    _mark_batch_applied(spark, state, "seed")
+    hot_cell_rows = max(
+        r["_n"]
+        for r in spark.read.parquet(state)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+
+    def _batch(s, d):
+        e = load_table(s, d, "embeddings")
+        sel = F.pmod(F.xxhash64("vec_id"), F.lit(20))
+        b_hot = (
+            e.filter(sel < 2)
+            .select(
+                (F.col("vec_id") + F.lit(10**13)).alias("vec_id"),
+                "embedding",
+            )
+            .withColumn("embedding", jitter())
+        )
+        b_bg = e.filter((sel >= 2) & (sel < 3)).select(
+            (F.col("vec_id") + F.lit(10**13)).alias("vec_id"), "embedding"
+        )
+        return b_hot.unionByName(b_bg)
+
+    def capped(s, d):
+        return incremental_semantic_dedup(
+            s, _batch(s, d), cent, state, "probe", tau=0.3,
+            max_cell_rows=512,
+        )
+
+    def uncapped(s, d):
+        return incremental_semantic_dedup(
+            s, _batch(s, d), cent, state, "probe", tau=0.3
+        )
+
+    # same rationale as _probe_semdedup: at probe scale Spark would
+    # broadcast the 300-row batch side and spread the pair work by
+    # the state's input partitioning — at 100 TB an increment is
+    # millions of rows and the probe join shuffles on cell, so the
+    # hot cell IS one task; AQE skew-join won't split it either
+    # (byte-based detector, compute-quadratic blowup)
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    out = {"state_rows": spark.read.parquet(state).count(),
+           "hot_cell_rows": hot_cell_rows}
+    try:
+        for k in prev:
+            spark.conf.set(k, "-1")
+        out["uncapped"] = _run(
+            spark, "incsem:uncap", uncapped, sf_dir, repeats=2, warm=False
+        )
+        out["capped512"] = _run(spark, "incsem:cap", capped, sf_dir)
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _probe_graph(spark, sf_dir: str, repl: int) -> dict:
     """Hot-degree-vertex probe for the operators with ITERATIVE
     shuffles (the one family the r10 probe matrix did not cover).
@@ -798,6 +960,11 @@ def main() -> int:
         out["semdedup"] = _probe_semdedup(_fresh_spark(), sf_dir, min(repl, 2))
     if which in ("all", "fuzzy"):
         out["fuzzy"] = _probe_fuzzy(_fresh_spark(), sf_dir, repl)
+    if which in ("all", "incsem"):
+        # probe-join cost is LINEAR in state size (bipartite, fixed
+        # batch) — repl=10 is a meaningful hot cell without the
+        # quadratic guard the one-shot families need
+        out["incsem"] = _probe_incsem(_fresh_spark(), sf_dir, repl)
     if which in ("all", "graph"):
         # co-purchase edge count grows ~repl x with fixed parts; 4x
         # already densifies the graph well past the sf's natural shape
