@@ -260,7 +260,11 @@ def editk_pairs(
         # keys): grid partitions are compute-dense but byte-small, so
         # AQE's byte-based coalescing would merge them back into one
         # task and resurrect the straggler (the semantic-dedup r9
-        # lesson, measured there)
+        # lesson, measured there). The pin's effect is the
+        # REPARTITION_BY_NUM origin (AQE-coalesce exemption); Spark 4
+        # re-targets the COUNT under the equi-join to
+        # spark.sql.shuffle.partitions, so the conf is the sizing
+        # lever — see incremental_semantic.py
         try:
             n_shuffle = int(
                 v.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")

@@ -713,7 +713,12 @@ def semantic_dedup_cells(
         # The grid join's shuffle must be PINNED (explicit-N
         # repartition on the join keys -> REPARTITION_BY_NUM, which
         # AQE never coalesces; the SMJ reuses the partitioning, no
-        # second exchange): grid partitions are compute-dense but
+        # second exchange — note the ORIGIN is the pin: under an
+        # equi-join Spark 4 re-targets the exchange's COUNT to
+        # spark.sql.shuffle.partitions, so n_shuffle below matters
+        # only where the conf is unreadable; the conf is the sizing
+        # lever, as everywhere — see incremental_semantic.py):
+        # grid partitions are compute-dense but
         # byte-SMALL (a hot cell's 6.8M pair-cosines ride on ~1 MB of
         # shuffle), so AQE's byte-based coalescing otherwise merges
         # the whole grid back into one task and resurrects the
