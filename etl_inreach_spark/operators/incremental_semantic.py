@@ -161,14 +161,27 @@ def incremental_semantic_dedup(
             # from |hist_cell| x |batch_cell| to max_cell_rows x
             # |batch_cell|; replication touches only the SMALL batch
             # side (nb copies of its hot-cell rows).
+            # the map literal carries ONLY the hot cells (nb > 1) —
+            # Spark evaluates map literals by linear scan per row, so
+            # an all-cells map would cost O(nlist) per row at scale
+            # (nlist ~ 1e5 for a 100 TB SemDeDup corpus) while hot
+            # cells are few by nature; everything else defaults to
+            # one block via coalesce
             nb_map = F.create_map(
-                *[F.lit(x) for cell, nb in blk_sizes.items() for x in (cell, nb)]
+                *[
+                    F.lit(x)
+                    for cell, nb in blk_sizes.items()
+                    if nb > 1
+                    for x in (cell, nb)
+                ]
             )
             h = hist.withColumn(
                 "_blk",
                 F.pmod(
                     F.xxhash64(F.col("_ida")),
-                    nb_map[F.col("cell")].cast("bigint"),
+                    F.coalesce(
+                        nb_map[F.col("cell")].cast("bigint"), F.lit(1)
+                    ),
                 ).cast("int"),
             )
             nbt = new_side.withColumn(

@@ -702,11 +702,22 @@ def semantic_dedup_cells(
         # the _ida < _idb filter de-duplicates the two orientations —
         # so no pair dedup is needed and the output equals the plain
         # cell join's exactly
+        # only hot cells (nb > 1) ride in the map literal: Spark
+        # scans map literals linearly per row, so an all-cells map is
+        # an O(nlist) per-row tax at scale while hot cells are few;
+        # balanced cells default to one block via coalesce (nb = 1
+        # puts every row of the cell in block 0 and the grid
+        # degenerates to the (0, 0) diagonal cell — the plain join)
         nb_map = F.create_map(
-            *[F.lit(x) for cell, nb in grid_sizes.items() for x in (cell, nb)]
+            *[
+                F.lit(x)
+                for cell, nb in grid_sizes.items()
+                if nb > 1
+                for x in (cell, nb)
+            ]
         )
         wb = withn.withColumn(
-            "_nb_blk", nb_map[F.col("cell")].cast("int")
+            "_nb_blk", F.coalesce(nb_map[F.col("cell")].cast("int"), F.lit(1))
         ).withColumn(
             "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb_blk")).cast("int")
         )
