@@ -36,6 +36,15 @@ signatures). Band-bucket skew (a degenerate band_hash shared by
 thousands of docs — empty texts, boilerplate) is the known hot spot;
 AQE skew-join splitting handles the probe side, and pathological
 buckets should be capped upstream by a boilerplate gate.
+
+Why SURVIVOR-only state also bounds state-side skew structurally,
+unlike operators/incremental_semantic.py: two survivors sharing a
+band bucket are by definition documents that collided and were NOT
+judged duplicates, so a state bucket can only accumulate
+near-threshold non-duplicates — a mass-duplicate clique contributes
+ONE survivor row per band. The semantic operator cannot use this
+trick (min-id-wins needs dropped rows in state, so hot state cells
+are real there and carry their own bipartite ``max_cell_rows`` cap).
 """
 
 from __future__ import annotations
