@@ -211,6 +211,123 @@ def test_hot_history_cap_with_string_ids(spark, tmp_path):
     assert got["p01"] == (True, None)     # state-absent cell, kept
 
 
+def test_capped_identity_random_corpora(spark, tmp_path):
+    """Seed-parametrized broadening of the bipartite-salt identity
+    pin: random corpora (a hot direction cluster + uniform spread),
+    random 2-way batch splits, caps {2, 7} vs plain — labels must be
+    identical in every configuration, and (monotone split) equal to
+    the one-shot verdict."""
+    import random
+
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import (
+        portable_centroids,
+        semantic_dedup_cells,
+    )
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(48):
+            if i % 3 != 2:  # 2/3 hot: tight fan around angle 0
+                rows.append((i, _unit(rng.uniform(0.0, 0.004))))
+            else:
+                rows.append((i, _unit(rng.uniform(0.5, 2.8))))
+        corpus = _vecs(spark, rows)
+        cent = portable_centroids(corpus, 2).localCheckpoint(eager=True)
+        cut = rng.randrange(10, 38)
+        batches = [rows[:cut], rows[cut:]]  # id-monotone split
+
+        def run(tag, cap):
+            state = str(tmp_path / f"s{seed}-{tag}")
+            out = {}
+            for k, b in enumerate(batches):
+                lab = incremental_semantic_dedup(
+                    spark, _vecs(spark, b), cent, state, f"b{k}",
+                    tau=0.95, max_cell_rows=cap,
+                )
+                for r in lab.collect():
+                    out[r["vec_id"]] = (r["kept"], r["dup_of"])
+            return out
+
+        plain = run("plain", None)
+        for cap in (2, 7):
+            assert run(f"cap{cap}", cap) == plain, (seed, cap)
+        one_shot = {
+            r["vec_id"]: r["kept"]
+            for r in semantic_dedup_cells(corpus, 0.95, nlist=2).collect()
+        }
+        assert {k: v[0] for k, v in plain.items()} == one_shot, seed
+
+
+def test_streaming_foreachbatch_deployment(spark, tmp_path):
+    """Deployment mode, mirroring the MinHash twin's test: a file
+    stream of embedding batches dripped through
+    foreachBatch(incremental_semantic_dedup) with a FROZEN quantizer.
+    The engine supplies batch_id, so a replayed micro-batch cannot
+    double-append state; a later batch's near-copy of an earlier
+    batch's vector is dropped with dup_of pointing at history."""
+    import json
+
+    from etl_inreach_spark.operators.incremental_semantic import (
+        incremental_semantic_dedup,
+    )
+    from etl_inreach_spark.operators.similarity import portable_centroids
+
+    cent = portable_centroids(_vecs(spark, ROWS), 2).localCheckpoint(
+        eager=True
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    state = str(tmp_path / "state")
+    labels_dir = str(tmp_path / "labels")
+
+    def drop(name, ids):
+        with open(feed / f"{name}.json", "w") as fh:
+            for r in ROWS:
+                if r[0] in ids:
+                    fh.write(
+                        json.dumps({"vec_id": r[0], "embedding": r[1]}) + "\n"
+                    )
+
+    def handle(batch_df, batch_id):
+        out = incremental_semantic_dedup(
+            spark, batch_df, cent, state, f"stream-{batch_id}", tau=0.95,
+            max_cell_rows=4,
+        )
+        out.write.mode("append").parquet(labels_dir)
+
+    def run_stream():
+        s = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        s.awaitTermination(120)
+
+    drop("b1", {0, 1})        # 1 is a near-dup of 0
+    run_stream()
+    drop("b2", {2, 3})        # 3 is a near-dup of 0 (history)
+    run_stream()
+
+    lab = {
+        r["vec_id"]: r for r in spark.read.parquet(labels_dir).collect()
+    }
+    assert lab[0]["kept"] and lab[2]["kept"]
+    assert not lab[1]["kept"] and lab[1]["dup_of"] == 0
+    assert not lab[3]["kept"] and lab[3]["dup_of"] == 0
+    ids = {
+        r["_id"] for r in spark.read.parquet(state).select("_id").collect()
+    }
+    assert ids == {0, 1, 2, 3}
+
+
 def test_first_batch_with_string_ids(spark, tmp_path):
     """The no-state-yet empty hits relation must inherit the BATCH's
     id type — a hardcoded bigint would break string ids on batch 0
