@@ -109,11 +109,21 @@ def rolling_hash(text: Column, max_chars: int = 200, base: int = 31) -> Column:
     """Polynomial rolling-hash fingerprint over the first
     ``max_chars`` characters: fold (acc*base + codepoint) % MOD_P.
     Mirrors DuckDB list_reduce exactly (sequential, no overflow:
-    acc < 1e9 so acc*31+c < 2^63)."""
+    acc < 1e9 so acc*31+c < 2^63).
+
+    Char extraction is split-on-empty-pattern (one O(len) pass), NOT
+    substring-per-index over a position sequence: substring(text, i,
+    1) re-scans the prefix from the start for every i (UTF-8 offsets),
+    making the per-row cost O(max_chars^2) inside an interpreted HOF
+    — measured 2.1 -> 0.9 s on doc_fingerprints at sf0.1 (r11).
+    Value-identical incl. edge cases: split('', '') yields [''] whose
+    ascii() is 0, matching the old greatest(len, 1) guard's
+    ascii(substring('', 1, 1)) = 0 fold step; multibyte code points
+    hash via ascii() = first-codepoint either way."""
     prefix = F.substring(text, 1, max_chars)
     codes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(prefix), F.lit(1))),
-        lambda i: F.ascii(F.substring(prefix, i, F.lit(1))).cast("bigint"),
+        F.split(prefix, ""),
+        lambda ch: F.ascii(ch).cast("bigint"),
     )
     return F.aggregate(
         codes,

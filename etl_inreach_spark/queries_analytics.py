@@ -221,16 +221,30 @@ def _profile_oracle() -> str:
 def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profiling: per-column null count, exact
     distinct count, and portable min/max renderings for the orders
-    table, unpivoted to one row per column. Spark computes ALL columns
-    in a single aggregation pass (one scan; count_distinct expands to
-    one expand-node aggregation) and stack()s the 6x4 metrics into
-    rows — vs the oracle's 6 separate scans. At 100 TB the expand
-    multiplies shuffle volume by the column count: swap the exact
-    count_distinct for approx_count_distinct there (the value gate
-    needs exactness, a profiler does not)."""
+    table, unpivoted to one row per column.
+
+    TWO single-row aggregation passes, crossJoin'd, then stack()ed —
+    deliberately NOT one combined agg (r11 optimization): mixing the
+    multi-count_distinct rewrite (Expand x7 + re-aggregation GROUPED
+    BY every profiled column) with min/max over string/timestamp
+    columns puts immutable-typed agg buffers under a GROUPED
+    aggregation, which disqualifies HashAggregate — Spark planned
+    SortAggregate and paid two full sorts of the 7x-expanded,
+    26-column-wide relation (the r11-before plan; 4.1 s at sf0.1).
+    Split, the distinct-count pass keeps only long buffers (counts)
+    so the Expand path stays HashAggregate end to end, and the
+    min/max/null pass is a plain scan-wide agg with no Expand and no
+    grouping (global agg needs no sort regardless of buffer type).
+    Both passes produce ONE row, so the crossJoin is a 1x1 product.
+    At 100 TB the same split holds: the Expand multiplies shuffle
+    volume by the column count (swap exact count_distinct for
+    approx_count_distinct there — a profiler does not need the value
+    gate's exactness), and hash vs sort aggregation over that 7x
+    relation is exactly the difference measured here."""
     tune(spark)
     o = load_table(spark, sf_dir, "orders")
     aggs = []
+    dist_aggs = []
     for c, t in _PROFILE_COLS:
         col = F.col(c)
         if t == "double":
@@ -242,13 +256,13 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             mn = F.min(col).cast("string")
             mx = F.max(col).cast("string")
+        dist_aggs.append(F.count_distinct(col).alias(f"dist_{c}"))
         aggs += [
             (F.count(F.lit(1)) - F.count(col)).alias(f"null_{c}"),
-            F.count_distinct(col).alias(f"dist_{c}"),
             mn.alias(f"min_{c}"),
             mx.alias(f"max_{c}"),
         ]
-    wide = o.agg(*aggs)
+    wide = o.agg(*aggs).crossJoin(o.agg(*dist_aggs))
     stack_args = ", ".join(
         f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c, _ in _PROFILE_COLS
     )
