@@ -59,7 +59,7 @@ and bigram_lm_quality's perplexity gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ILOG2_FRAC_BITS = 20
@@ -122,36 +122,46 @@ def with_ilog2_fp(
                 f" greatest(_il_m - {frac_bits}, 0))"
             ),
         )
-        .withColumn("_il_a", F.lit(0).cast("bigint"))
     )
-    for _ in range(frac_bits):
-        df = (
-            df.withColumn("_il_y2", F.expr(f"(_il_y * _il_y) div {g}"))
-            .withColumn(
-                "_il_a",
-                F.expr(
-                    f"CASE WHEN _il_y2 >= {2 * g} THEN _il_a * 2 + 1"
-                    " ELSE _il_a * 2 END"
-                ),
-            )
-            .withColumn(
-                "_il_y",
-                F.expr(
-                    f"CASE WHEN _il_y2 >= {2 * g} THEN _il_y2 div 2"
-                    " ELSE _il_y2 END"
-                ),
-            )
+
+    # The frac_bits squaring steps run as ONE aggregate-fold
+    # expression over sequence(1, frac_bits), not as 3*frac_bits
+    # chained withColumn projections (r11 optimization): the unrolled
+    # chain cost ~1.5-2 s of DRIVER time per trained model — each
+    # withColumn re-analyzes the growing plan, and the ~80-node
+    # projection tower then taxes every Catalyst optimization pass of
+    # every action that embeds the model subtree (nb_quality_* spent
+    # 0.7-0.9 s per action in the optimizer; curation_gate_composed
+    # embeds three such models). The fold is CodegenFallback
+    # (interpreted), which is irrelevant here: it projects
+    # VOCAB-bounded relations (distinct count pairs / one prior row),
+    # never the corpus. Arithmetic is step-identical to the unrolled
+    # chain — shiftright(v, k) == v div 2^k for the always-nonnegative
+    # mantissa/square values, so the emitted bits cannot differ.
+    def _step(acc: Column, _i: Column) -> Column:
+        y2 = F.shiftright(acc["y"] * acc["y"], frac_bits)
+        hi = y2 >= F.lit(2 * g)
+        return F.struct(
+            F.when(hi, F.shiftright(y2, 1)).otherwise(y2).alias("y"),
+            F.when(hi, acc["a"] * 2 + 1).otherwise(acc["a"] * 2).alias("a"),
         )
+
+    frac = F.aggregate(
+        F.sequence(F.lit(1), F.lit(frac_bits)),
+        F.struct(
+            F.col("_il_y").alias("y"), F.lit(0).cast("bigint").alias("a")
+        ),
+        _step,
+        lambda acc: acc["a"],
+    )
     return df.withColumn(
         # x < 1 is outside the domain (the Python spec raises): yield
         # NULL so an impossible input — e.g. a zero-document class
         # feeding the prior — propagates as NULL scores that fail a
         # value gate LOUDLY instead of a silently-finite log of 0
         out_col,
-        F.expr(
-            f"CASE WHEN {x_col} >= 1 THEN _il_m * {g} + _il_a END"
-        ),
-    ).drop("_il_m", "_il_y", "_il_y2", "_il_a")
+        F.when(F.col(x_col) >= 1, F.col("_il_m") * g + frac),
+    ).drop("_il_m", "_il_y")
 
 
 def ilog2_sql_cte_chain(
