@@ -371,9 +371,27 @@ def _nearest_cells(
 ) -> DataFrame:
     """Rank the broadcast centroids by cosine per vector, keep the top
     ``n`` cells (ties broken by cell asc — exact double comparison,
-    identical on both engines)."""
-    scored = df.crossJoin(F.broadcast(cent)).select(
-        id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("_cvec")).alias("_cc")
+    identical on both engines).
+
+    The norms are computed ONCE per vector and once per centroid
+    before the cross join, not inside it (r11): cosine() per pair
+    runs three interpreted 1-per-element folds (dot + both norms);
+    factored out, each of the n x nlist pairs pays one fold and the
+    norms are n + nlist folds total. Same doubles divided in the same
+    order — bit-identical to cosine(), just not recomputed nlist
+    times per vector."""
+    from etl_inreach_spark.functions.vectors import dot
+
+    dfn = df.withColumn("_vnrm", l2_norm(F.col(vec_col)))
+    centn = cent.withColumn("_cnrm", l2_norm(F.col("_cvec")))
+    scored = dfn.crossJoin(F.broadcast(centn)).select(
+        id_col,
+        vec_col,
+        "cell",
+        (
+            dot(F.col(vec_col), F.col("_cvec"))
+            / (F.col("_vnrm") * F.col("_cnrm"))
+        ).alias("_cc"),
     )
     return topk_by_key(
         scored, [id_col], [F.col("_cc").desc(), F.col("cell").asc()], n, rank_col="_crn"
