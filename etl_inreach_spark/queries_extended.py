@@ -989,7 +989,18 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     m = li.select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(m, "l_partkey", ("l_orderkey",))
+    # materialize the co-purchase edge build ONCE (r11): the triangle
+    # pipeline references the edge subtree four times (degree seed's
+    # two-sided union, the orientation join, the per-edge adjacency
+    # probe), and an unmaterialized plan replays the distinct
+    # self-join over lineitem for each — measured 4.9-5.3 -> 4.2 s
+    # min-of-3 at sf0.1. Same discipline as connected_components /
+    # pagerank_integer; the earlier "checkpoint measured slower" note
+    # in operators/graph.py applies to the ORIENTED relation (cheap to
+    # recompute from edges), not to the edge build itself.
+    edges = cooccurrence_edges(m, "l_partkey", ("l_orderkey",)).localCheckpoint(
+        eager=True
+    )
     return triangle_counts(edges, node_alias="part_id", orient_by_degree=True)
 
 
