@@ -107,8 +107,17 @@ def bpe_train(
             break
         a, b, c = best[0]["pa"], best[0]["pb"], int(best[0]["c"])
         merges.append((rank, a, b, c))
+        # LAZY checkpoint: the next round's best-pair collect is the
+        # first action over the merged vocab and its pair-count groupBy
+        # scans every partition, so that one job both computes the
+        # round's decision AND materializes/truncates the checkpoint —
+        # an eager checkpoint here was a second job per round doing the
+        # same scan (2 jobs/round -> 1; the FINAL round's vocab is
+        # materialized by whoever consumes it, or never, if discarded).
+        # The merged relation is referenced exactly once per round, so
+        # laziness cannot multiply upstream work.
         vocab = vocab.withColumn("syms", _merge_expr(F.col("syms"), a, b)).localCheckpoint(
-            eager=True
+            eager=False
         )
     return merges, vocab
 

@@ -168,6 +168,11 @@ def connected_components(
             sym.join(labels, sym["_m"] == labels["id"])
             .select(F.col("_n").alias("id"), F.col("component"))
         )
+        # Checkpoint stays EAGER: a lazy checkpoint materialized by the
+        # witness below was measured job-count NEUTRAL here (r11) — at
+        # this label cardinality the witness broadcasts ln/lm, and the
+        # broadcast-build job simply replaces the checkpoint job while
+        # adding fill-in ambiguity. Same total passes either way.
         new_labels = (
             labels.unionByName(nb)
             .groupBy("id")
@@ -291,6 +296,11 @@ def connected_components_star(
             small.filter(F.col("_v") != F.col("_root"))
             .select(F.col("_root").alias("_a"), F.col("_v").alias("_b"))
             .distinct()
+            # EAGER on purpose: a lazy checkpoint riding the combined
+            # witness job was measured r11 to ADD a job at this scale
+            # (local-checkpoint fill-in after the witness's broadcast
+            # builds) — the barrier here is the cheaper, unambiguous
+            # form.
             .localCheckpoint(eager=True)
         )
         # Direct fixed-point test — saves the whole confirm-round the
@@ -306,7 +316,15 @@ def connected_components_star(
         # bounded LIMIT-1 witness scans over the just-checkpointed
         # relation.
         leaf_stats = cur.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
-        bad = (
+        # ONE action per round: the star-forest witness AND the
+        # xor-fold no-progress fingerprint (order-insensitive,
+        # overflow-free — a SUM of xxhash64 can overflow bigint under
+        # ANSI) ride the same job as a cross join of two 1-row
+        # aggregates. The fingerprint branch used to be a second
+        # collect on non-converged rounds — i.e. every round but the
+        # last; on the converged round it is a few extra cached-scan
+        # tasks inside the same job.
+        chk = (
             leaf_stats.filter(F.col("_c") > 1)
             .select("_b")
             .unionByName(
@@ -317,21 +335,20 @@ def connected_components_star(
                 ).select("_b")
             )
             .limit(1)
-            .count()
+            .agg(F.count(F.lit(1)).alias("bad"))
+            .crossJoin(
+                cur.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(_a, _b))").alias("h"),
+                )
+            )
+            .collect()[0]
         )
-        if bad == 0:
+        if chk["bad"] == 0:
             break
-        # xor-fold fingerprint as the no-progress backstop (stuck
-        # before reaching a star forest would otherwise loop to
-        # max_iter): order-insensitive and overflow-free (a SUM of
-        # xxhash64 values can overflow bigint under ANSI)
-        fp = cur.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(_a, _b))").alias("h"),
-        ).collect()[0]
-        if prev_fp == (fp["n"], fp["h"]):
+        if prev_fp == (chk["n"], chk["h"]):
             break
-        prev_fp = (fp["n"], fp["h"])
+        prev_fp = (chk["n"], chk["h"])
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "

@@ -687,7 +687,12 @@ def semantic_dedup_cells(
     # then share one assignment pass instead of computing it twice.
     grid_sizes = None
     if max_cell_rows is not None:
-        withn = withn.localCheckpoint(eager=True)
+        # LAZY checkpoint: the sizing collect right below is the first
+        # action and its per-cell count scans every partition, so the
+        # one sizing job also materializes/truncates the assignment
+        # checkpoint — the eager form paid a separate checkpoint job
+        # for the same full pass (2 jobs -> 1).
+        withn = withn.localCheckpoint(eager=False)
         sizes = {
             r["cell"]: -(-r["_n"] // max_cell_rows)
             for r in withn.groupBy("cell")
