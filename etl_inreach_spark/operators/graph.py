@@ -156,8 +156,11 @@ def walk_counts(edges: DataFrame, length: int, node_alias: str = "node") -> Data
     co-purchase distinct self-join — once per round plus once for the
     degree seed (measured ~2x end-to-end on walk3_centrality).
     """
+    # Inner checkpoint LAZY (r11): sym's eager materialization job
+    # computes the edge build and persists it en route (2 jobs -> 1).
+    # sym stays eager — every round references it.
     sym = symmetrize(
-        edges.localCheckpoint(eager=True)
+        edges.localCheckpoint(eager=False)
     ).localCheckpoint(eager=True)
     w = sym.groupBy(F.col("u").alias(node_alias)).agg(
         F.count(F.lit(1)).alias("walks")
@@ -212,11 +215,18 @@ def pagerank_integer(
     degree >= 1, so the floor division never sees zero and no node
     drops from the sums (every node has an in-edge).
     """
-    sym = symmetrize(edges.localCheckpoint(eager=True))
+    # Only the LAST checkpoint in the chain is eager (r11): sym_deg's
+    # materialization job computes edges -> sym -> deg in one pass,
+    # persisting each lazy link as it goes (3 jobs -> 1-2; the deg
+    # broadcast build, when the planner picks it, is the only extra).
+    # sym_deg itself must be materialized before the loop — every
+    # iteration references it, and an unmaterialized sym_deg would
+    # re-run the upstream edge build once per round.
+    sym = symmetrize(edges.localCheckpoint(eager=False))
     deg = (
         sym.groupBy("u")
         .agg(F.count(F.lit(1)).alias("_deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sym_deg = sym.join(deg, "u").localCheckpoint(eager=True)
     ntot = deg.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))

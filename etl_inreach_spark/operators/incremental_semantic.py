@@ -111,12 +111,18 @@ def incremental_semantic_dedup(
     probe when a state cell has gone hot — bipartite salting, output
     identical; see the module docstring."""
     asg = _nearest_cells(batch, centroids, 1, id_col, vec_col)
+    # LAZY checkpoint (r11): the state-append write below is the
+    # increment's first action over the assignment and scans every
+    # partition, so that one write job also materializes/truncates
+    # this checkpoint; the eager form paid a separate assignment job
+    # per increment for the same pass. The later consumers (history
+    # probe, in-batch join, label join) read the persisted partitions.
     withn = asg.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         "cell",
         l2_norm(F.col(vec_col)).alias("_nrm"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     pair_cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     new_side = withn.select(
@@ -251,20 +257,16 @@ def incremental_semantic_dedup(
         .groupBy("_idb")
         .agg(F.min("_ida").alias("dup_of"))
     )
-    labeled = (
-        withn.select("_id", "cell")
-        .join(dups, withn["_id"] == dups["_idb"], "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "cell",
-            F.col("dup_of").isNull().alias("kept"),
-            "dup_of",
-        )
-        .localCheckpoint(eager=True)
-    )
-
     # --- append the batch's rows (ALL of them — min-id-wins needs
-    # dropped rows too; idempotent via the marker protocol) ----------
+    # dropped rows too; idempotent via the marker protocol).
+    # The append runs BEFORE the label checkpoint (r11) so its write
+    # job is the action that materializes the lazy assignment
+    # checkpoint above. Label correctness is unaffected by the
+    # reorder: ``hist`` was loaded from the PRE-append file listing,
+    # and even if a listing refresh surfaced this batch's own rows,
+    # the ``_ida < _idb`` filter plus min-aggregation reproduce the
+    # identical labels — the same argument that makes replay
+    # idempotent (module docstring).
     if not _batch_applied(spark, state_path, batch_id):
         # repartition ON the partition column first: otherwise every
         # shuffle partition opens a writer per cell it touches and the
@@ -278,4 +280,21 @@ def incremental_semantic_dedup(
             .parquet(state_path)
         )
         _mark_batch_applied(spark, state_path, batch_id)
+
+    # EAGER on purpose: labels are part of the increment's contract
+    # ("judged against everything ingested up to and including its
+    # own batch") — deferring them to the caller's first action would
+    # let LATER increments' appends land first, which for non-monotone
+    # ingestion could change what this batch is judged against.
+    labeled = (
+        withn.select("_id", "cell")
+        .join(dups, withn["_id"] == dups["_idb"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .localCheckpoint(eager=True)
+    )
     return labeled

@@ -312,7 +312,12 @@ def incremental_semantic_dedup_convergence(
     from etl_inreach_spark.operators.similarity import portable_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = portable_centroids(emb, 16).localCheckpoint(eager=True)
+    # LAZY checkpoint (r11): the first increment's state-append write
+    # (via the broadcast build of the centroid side of its assignment
+    # cross join) materializes this; an eager checkpoint was a
+    # separate job for the same top-16 pass. Later increments read
+    # the persisted 16 rows.
+    cent = portable_centroids(emb, 16).localCheckpoint(eager=False)
     r = emb.agg(
         F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
     ).collect()[0]  # 1-row bounds decision (the library's bounded-collect class)
