@@ -8,6 +8,7 @@ partition sizing are Catalyst's job, not ours.
 from __future__ import annotations
 
 import os
+import weakref
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,22 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
     )
 
 
+# Per-session memo of the built table PLAN (r11, guide §1.2/§7.3):
+# spark.read.parquet pays a py4j roundtrip + JVM file listing + footer
+# schema inference on EVERY call (~110 ms measured at sf0.1), and a
+# bench pass makes ~1,000 such calls for the same ten immutable
+# directories. The memo holds only the analyzed DataFrame (a logical
+# plan — zero rows); every action on it still scans the parquet
+# inputs, so this is plan reuse, not result caching. Keyed weakly by
+# session so a stopped session's plans are collectable and a fresh
+# session re-lists the directory (same files — the catalog's tables
+# are immutable by contract; anything mutable goes through its own
+# reader, not load_table).
+_PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; normalize nanosecond timestamps to Spark micros.
 
@@ -97,6 +114,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    memo = _PLAN_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     path = table_path(sf_dir, name)
     ns_cols = _nanos_ts_cols(path)
     if ns_cols:
@@ -106,7 +128,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div` = integer division: nanos are ~1.8e18, beyond double's
         # 53-bit exactness, so float division would corrupt low digits.
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return _normalize_ntz(df)
+    df = _normalize_ntz(df)
+    memo[key] = df
+    return df
 
 
 def _normalize_ntz(df: DataFrame) -> DataFrame:

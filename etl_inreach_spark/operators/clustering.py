@@ -240,9 +240,12 @@ def kmeans_fit(
     assignment paths (``use_arrow``, see module header) train the
     bit-identical model — pinned by tests."""
     assign = _assign_arrow if use_arrow else _assign_expr
+    # LAZY (r11): the init-centroid collect right below is the
+    # first action and materializes the quantized relation in the
+    # same job (2 jobs -> 1)
     qdf = df.select(
         F.col(id_col), quantize_vectors(df, vec_col, scale_bits).alias("_qvec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cents = _init_centroids(qdf, k, id_col)
     n_iter = 0
     converged = False

@@ -134,7 +134,8 @@ def cms_estimate(
     # filtered broadcast would otherwise re-run the full build subtree
     # (scan + explode + groupBy) depth times. The sketch is <=
     # depth*width rows by construction, so the checkpoint is ~free.
-    sketch = sketch.localCheckpoint(eager=True)
+    # LAZY (r11): first probe materializes it inside the action
+    sketch = sketch.localCheckpoint(eager=False)
     out = queries
     ests = []
     for i in range(depth):

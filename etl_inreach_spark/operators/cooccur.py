@@ -69,7 +69,9 @@ def term_cooccurrence_lift(
         docs.select(F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("term"))
         .distinct()
     )
-    dt = dt.localCheckpoint(eager=True)  # consumed 3x below (df, join x2)
+    # consumed 3x below (df, join x2); LAZY (r11): the dfreq
+    # broadcast build materializes it inside the action
+    dt = dt.localCheckpoint(eager=False)
     n_docs = docs.select(id_col).distinct().count()
     dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") >= min_df

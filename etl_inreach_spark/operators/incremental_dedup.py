@@ -114,9 +114,11 @@ def incremental_dedup(
     equi-join against state, one batch-internal bucket join, one CC
     pass on the (tiny) batch-internal pair set.
     """
+    # LAZY (r11): materialized by the first consuming action of
+    # the increment (history-probe checkpoint or label checkpoint)
     sigs = batch_signatures(
         batch, id_col, text_col, num_hashes, bands, shingle_k
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # --- vs history -------------------------------------------------
     if _path_exists(spark, state_path):
@@ -140,7 +142,7 @@ def incremental_dedup(
         )
     else:
         hits = spark.createDataFrame([], "doc_id bigint, dup_of bigint")
-    hist_dups = hits.localCheckpoint(eager=True)
+    hist_dups = hits.localCheckpoint(eager=False)  # LAZY (r11): single consumer (label join)
 
     # --- within batch ----------------------------------------------
     from etl_inreach_spark.operators.dedup import connected_components

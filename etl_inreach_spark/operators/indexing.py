@@ -96,9 +96,17 @@ def negative_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     gcols = list(group_cols)
+    # LAZY checkpoint (r11): the indexed corpus is referenced THREE
+    # times below (the N count, the anchor side, the negative side) and
+    # unmaterialized each reference replays the whole two-level
+    # prefix-sum subtree (~8 Exchanges each, 48 in the full plan). The
+    # lazy checkpoint dedupes them at execution — whichever job touches
+    # a partition first computes and persists it, the others read it
+    # (BlockManager block locks) — without the extra build job an eager
+    # checkpoint would pay.
     indexed = global_row_index(
         corpus.select(id_col, *gcols), id_col, num_buckets=num_buckets
-    )
+    ).localCheckpoint(eager=False)
     n_rel = indexed.agg(F.count(F.lit(1)).alias("_n"))
 
     anchors = indexed.select(

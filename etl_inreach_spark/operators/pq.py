@@ -135,10 +135,16 @@ def pq_train(
             - F.lit(init_offset)
         ).alias("code"),
     ).filter(F.col("code") >= 1)
+    # LAZY chain (r11): pq_train runs no action of its own — the
+    # caller's first action (ivf_pq_build's index barrier, or a
+    # direct consumer) materializes each iteration's checkpoint in
+    # dependency order, one pass each, instead of one eager job per
+    # iteration at build time. Plans stay bounded either way (a
+    # checkpoint is a LogicalRDD leaf whether eager or lazy).
     cent = (
         subs.join(F.broadcast(coded), "_pid")
         .select("sub", "code", F.col("_sv").alias("_cvec"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         asg = _assign(subs, cent)
@@ -159,7 +165,7 @@ def pq_train(
             .select(
                 "sub", "code", F.coalesce(F.col("_new"), F.col("_cvec")).alias("_cvec")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cent
 
@@ -304,10 +310,13 @@ def ivf_pq_build(
         .orderBy("_h", "_cid")
         .limit(nlist)
     )
+    # cells/assigned LAZY (r11): the index barrier below is the
+    # single eager cut that materializes the whole build chain in one
+    # action; assigned's three consumers then read persisted blocks.
     cells = picked.select(
         F.row_number().over(Window.orderBy("_h", "_cid")).alias("cell"),
         F.transform(F.col("_cv"), lambda x: x.cast("double")).alias("_cellvec"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     assigned = (
         _l2_nearest_cells(corpus, cells, 1, id_col, vec_col)
@@ -316,7 +325,7 @@ def ivf_pq_build(
             "cell",
             _residual(F.col(vec_col), F.col("_cellvec")).alias("_res"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # init_offset=nlist: the first nlist hash picks ARE the cell
     # centroids, whose residuals are identically zero — seeding the

@@ -1700,9 +1700,11 @@ def curation_gate_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB this is where a pipeline would write each gate's
     # survivors to a table anyway — the checkpoint is that
     # materialization, minus the copy back to storage.
+    # LAZY (r11): the cut stays (multi-consumer dedupe), the
+    # compute rides the first consuming action
     g1 = d.select(
         "doc_id", "lang", "text", verdict1.alias("verdict1")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     surv1 = g1.filter(F.col("verdict1") == "ok").select(
         "doc_id", "lang", "text"
     )
@@ -1715,7 +1717,7 @@ def curation_gate_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "text", "lm_ppm",
             (F.col("lm_ppm") >= 33000).alias("keep2"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     surv2 = g2.filter(F.col("keep2")).select("doc_id", "lang", "text")
     ntoks = surv2.select(

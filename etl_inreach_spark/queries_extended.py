@@ -1212,7 +1212,8 @@ def bm25_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     if _materialize_enabled(True):
-        dl = dl.localCheckpoint(eager=True)
+        # LAZY (r11): the stats aggregate materializes it in-action
+        dl = dl.localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -2365,7 +2366,8 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     if _materialize_enabled(True):
-        dl = dl.localCheckpoint(eager=True)
+        # LAZY (r11): the stats aggregate materializes it in-action
+        dl = dl.localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -2793,7 +2795,15 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"),
         )
     )
-    sv = el.groupBy("source", "dim").agg(F.sum("q").alias("s"))
+    # LAZY checkpoint (r11): sv is |sources| x |dims| (tiny) but its
+    # build is the corpus-sized join+explode+agg, and it is referenced
+    # three times below (norms, side a, side b) — unmaterialized, the
+    # plan replays that corpus pass per reference (30-Exchange tree).
+    # The lazy checkpoint computes it once at execution without an
+    # extra build job.
+    sv = el.groupBy("source", "dim").agg(F.sum("q").alias("s")).localCheckpoint(
+        eager=False
+    )
     norms = sv.groupBy("source").agg(
         F.sum(F.col("s") * F.col("s")).alias("ss")
     )
