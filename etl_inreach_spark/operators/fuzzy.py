@@ -182,7 +182,11 @@ def editk_pairs(
         # as semantic_dedup_cells: deterministic one-job build, and
         # the raise_error max_len guard fires HERE, at build, rather
         # than mid-join.
-        v = v.localCheckpoint(eager=True)
+        # LAZY (r11): the balanced-corpus gate probe below (isEmpty
+        # over the hot relation) is the first action and materializes
+        # the explode in the same job — the max_len raise_error guard
+        # still fires at build, inside that probe.
+        v = v.localCheckpoint(eager=False)
         # block counts stay DISTRIBUTED (no nlist-style bound on the
         # variant-key domain): count each bucket once, keep only the
         # hot ones (rare by construction — AQE broadcast-joins the
@@ -210,7 +214,7 @@ def editk_pairs(
         # join over the checkpointed variants. Same caveat as there:
         # the grid/plain decision is frozen at call time, not at
         # execution of the returned DataFrame.
-        hot = hot.localCheckpoint(eager=True)
+        hot = hot.localCheckpoint(eager=False)  # LAZY (r11): isEmpty materializes it
         if hot.isEmpty():
             hot = None  # plain join below, over the checkpoint
     if hot is None:

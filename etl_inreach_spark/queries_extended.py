@@ -2573,19 +2573,30 @@ def embedding_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         ),
     )
-    cols = [
-        F.aggregate(
-            F.zip_with(
-                F.col("_q"),
-                F.array(*[F.lit(signs[d][j]) for d in range(_JL_D)]),
-                lambda a, b: a * b.cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias(f"p{j}")
-        for j in range(_JL_K)
-    ]
-    return x.select("vec_id", *cols)
+    # Arrow matmul for the projection (r11, guide §4.2): the 16
+    # per-row folds are interpreted HOFs (~2M lambda evals at sf0.1,
+    # the whole second of this query); the values are pure int64
+    # arithmetic (|q| <= 127, 64 terms -> |p| <= 8128), EXACT under
+    # any summation order, so one numpy int64 matmul per batch is
+    # value-identical by construction — no IEEE-order replay needed,
+    # unlike the float assignment paths in operators/similarity.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    smat = np.asarray(signs, dtype=np.int64)  # (_JL_D, _JL_K)
+    out_schema = ", ".join(f"p{j} bigint" for j in range(_JL_K))
+
+    @pandas_udf(out_schema, PandasUDFType.SCALAR)
+    def _project(q):
+        if q.empty:
+            return pd.DataFrame({f"p{j}": pd.Series([], dtype="int64") for j in range(_JL_K)})
+        p = np.vstack(q.to_numpy()).astype(np.int64, copy=False) @ smat
+        return pd.DataFrame({f"p{j}": p[:, j] for j in range(_JL_K)})
+
+    return x.select("vec_id", _project(F.col("_q")).alias("_p")).select(
+        "vec_id", *[F.col(f"_p.p{j}").alias(f"p{j}") for j in range(_JL_K)]
+    )
 
 
 @query(
