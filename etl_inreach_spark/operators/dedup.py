@@ -137,9 +137,18 @@ def connected_components(
     round is one shuffle (join on node id + groupBy min) and the round
     count is bounded by the graph diameter — duplicate-cluster graphs
     are shallow (near-cliques), so convergence is fast. The iteration
-    is a driver LOOP over DataFrame ops with an eager localCheckpoint
-    per round: the checkpoint cuts the exponentially-growing lineage
-    and the convergence check is a bounded count(). For graphs with
+    is a driver LOOP over DataFrame ops with ONE action per round
+    (r12): the round's label aggregation also computes each node's
+    PREVIOUS label (a marker column through the union), the convergence
+    witness is ``max(component != _prev)`` over that same relation, and
+    the per-round lineage cut is a LAZY localCheckpoint that the
+    witness aggregation materializes (it scans every partition, so no
+    fill-in job is left behind). The r11 form ran 2 actions per round —
+    an eager checkpoint plus a separate 2-join edge-agreement count
+    whose broadcasts alone cost ~4 jobs; the label-change witness needs
+    one extra (quiet) round to observe the fixpoint but folds the
+    witness into the propagation aggregation for free, which measured
+    strictly fewer jobs (dedup_clusters 25 -> ~15). For graphs with
     genuinely long chains swap the propagation for large-star/
     small-star (alternating min to root), which contracts diameter
     logarithmically — same dataflow shape per round.
@@ -147,20 +156,33 @@ def connected_components(
     Returns (id, component) — every node that appears in ``edges``,
     labeled with the smallest id in its component.
     """
-    # materialize the (possibly expensive) edge relation ONCE, BEFORE
-    # symmetrizing: the union references the edge subtree twice, so an
+    # The (possibly expensive) edge relation is still computed ONCE —
+    # the union references the edge subtree twice, and an
     # uncheckpointed plan (e.g. the whole PPJoin pair generation) would
-    # execute twice inside the sym materialization — measured ~2x the
-    # dominant cost of dedup_clusters. Every round and every
-    # convergence count then reads the sym checkpoint.
+    # execute it twice — but the whole seed chain is LAZY except the
+    # last link (r12): the labels checkpoint's job runs
+    # edges -> sym -> seed groupBy in one pass, persisting each lazy
+    # link en route (BlockManager block locks dedupe the union's two
+    # concurrent scans of ``e``). Every round then reads the sym
+    # checkpoint. Was 3 eager jobs (e, sym, labels) for the same passes.
     e = edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m")).localCheckpoint(
-        eager=True
+        eager=False
     )
     sym = e.unionByName(
         e.select(F.col("_m").alias("_n"), F.col("_n").alias("_m"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # Seed = the state AFTER the FIRST propagation round (r12): with
+    # identity labels, round 0's neighbor-min is just min(_m) per _n —
+    # one groupBy over sym, NO join — so folding it into the seed costs
+    # the same shuffle the old distinct seed paid while saving an
+    # entire join round (near-clique duplicate graphs converge in 1-2
+    # rounds, so this is a third of the loop's actions). The loop below
+    # therefore runs rounds 1..; with its quiet confirmation round the
+    # accepted diameter stays exactly max_iter, as before.
     labels = (
-        sym.select("_n").distinct().select(F.col("_n").alias("id"), F.col("_n").alias("component"))
+        sym.groupBy("_n")
+        .agg(F.least(F.min("_m"), F.col("_n")).alias("component"))
+        .select(F.col("_n").alias("id"), "component")
     ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
@@ -168,33 +190,30 @@ def connected_components(
             sym.join(labels, sym["_m"] == labels["id"])
             .select(F.col("_n").alias("id"), F.col("component"))
         )
-        # Checkpoint stays EAGER: a lazy checkpoint materialized by the
-        # witness below was measured job-count NEUTRAL here (r11) — at
-        # this label cardinality the witness broadcasts ln/lm, and the
-        # broadcast-build job simply replaces the checkpoint job while
-        # adding fill-in ambiguity. Same total passes either way.
+        # One shuffle: labels ∪ neighbor-labels, min per id. The _old
+        # marker lets the SAME aggregation recover the previous label
+        # (every id has exactly one old row, so the conditional min is
+        # never null) — the convergence witness rides the round's one
+        # action instead of re-joining sym against the new labels.
         new_labels = (
-            labels.unionByName(nb)
+            labels.withColumn("_old", F.lit(True))
+            .unionByName(nb.withColumn("_old", F.lit(False)))
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_old"), F.col("component"))).alias("_prev"),
+            )
+            .localCheckpoint(eager=False)
         )
-        labels = new_labels
-        # Convergence = every EDGE has label-equal endpoints — knowable
-        # one round EARLIER than "no label changed" (which needs the
-        # fixpoint round to run once more just to observe no change):
-        # if all edges agree now, the next propagation is the identity.
-        # One LIMIT-1 witness count over the checkpointed labels.
-        ln = labels.select(F.col("id").alias("_n"), F.col("component").alias("_cn"))
-        lm = labels.select(F.col("id").alias("_m"), F.col("component").alias("_cm"))
-        bad = (
-            sym.join(ln, "_n")
-            .join(lm, "_m")
-            .filter(F.col("_cn") != F.col("_cm"))
-            .limit(1)
-            .count()
-        )
-        if bad == 0:
+        # The witness aggregation is the round's ONE action; it scans
+        # every partition of the lazy checkpoint, materializing it for
+        # the next round / the caller. NULL (empty graph) counts as
+        # converged.
+        chg = new_labels.agg(
+            F.max(F.col("component") != F.col("_prev")).alias("_chg")
+        ).collect()[0]["_chg"]
+        labels = new_labels.select("id", "component")
+        if not chg:
             converged = True
             break
     if not converged:
@@ -203,8 +222,8 @@ def connected_components(
         # chains) must fail loudly, not dedup against bogus canonicals.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(edges with label-unequal endpoints remain); the edge graph "
-            "has diameter > max_iter — raise max_iter or use "
+            "(labels were still changing); the edge graph has diameter "
+            "> max_iter — raise max_iter or use "
             "connected_components_star for log-diameter convergence"
         )
     return labels
@@ -230,25 +249,33 @@ def connected_components_star(
         itself: {(v, m(u)) : v ∈ N(u), v < u} ∪ {(u, m(u))}.
     Both preserve connectivity and strictly shrink tree height; the
     edge set converges to a star forest rooted at each component's
-    minimum id in O(log^2 n) rounds (O(log n) observed). Each round
-    is a groupBy-min plus a join — the same shuffle shape as one
-    propagation round — with an eager localCheckpoint as the lineage
-    cut, and convergence is an (count, xor-hash) fingerprint equality
-    check on the edge set, one cheap agg per round.
+    minimum id in O(log^2 n) rounds (O(log n) observed). Each
+    contraction is rendered as ONE window-min over the symmetrized
+    relation (r12) — min(_m) per _n attached in place — instead of a
+    groupBy-min joined back: the join-back form shuffles the partial
+    aggregate AND the symmetrized relation (or pays a broadcast build
+    per contraction), while the window form pays exactly one exchange
+    keyed the same way, so it is never more shuffled bytes and at
+    sf0.1 measured ~half the AQE stage-materialization jobs per round.
+    Convergence is a star-forest witness plus an (count, xor-hash)
+    no-progress fingerprint, both computed by ONE two-level
+    aggregation per round whose full scan also materializes the
+    round's LAZY localCheckpoint (the lineage cut).
 
     Returns (id, component) for every node in ``edges``, component =
     min id of the node's component — identical contract (and a pinned
     property-test equivalence) to ``connected_components``.
     """
-    # materialize the (possibly expensive) edge relation ONCE: both the
-    # canonicalized loop input below AND the final `nodes` union (which
-    # references the subtree twice) read this checkpoint — without it
-    # the full pair generation would execute three times (once here,
-    # twice inside the nodes-union job); measured 12.0 -> 4.9 s
-    # (min-of-4) on dedup_clusters_star at sf0.1.
+    # The (possibly expensive) edge relation is computed ONCE: the
+    # canonicalized loop input below AND the final `nodes` union read
+    # the e0 checkpoint — without it the full pair generation would
+    # execute three times (measured 12.0 -> 4.9 s min-of-4 on
+    # dedup_clusters_star at sf0.1 in r11). e0 itself is LAZY (r12):
+    # cur's eager seed job scans it fully and persists it en route,
+    # one job instead of two for the same pass.
     e0 = edges.select(
         F.col(src).alias("_a"), F.col(dst).alias("_b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cur = (
         e0.filter(F.col("_a") != F.col("_b"))
         .select(
@@ -259,92 +286,114 @@ def connected_components_star(
     )
     isolated = None  # star rounds drop nothing: every node keeps an edge
     prev_fp = None
+    wn = Window.partitionBy("_n")
     for _ in range(max_iter):
+        # large-star: rewire every strictly-larger neighbor to
+        # m(u) = least(min N(u), u), attached by a window min (one
+        # exchange, no join-back).
         sym = cur.select(F.col("_a").alias("_n"), F.col("_b").alias("_m")).unionByName(
             cur.select(F.col("_b").alias("_n"), F.col("_a").alias("_m"))
         )
-        mn = (
-            sym.groupBy("_n")
-            .agg(F.min("_m").alias("_minm"))
-            .select("_n", F.least("_minm", "_n").alias("_root"))
-        )
-        with_min = sym.join(mn, "_n")
-        large = with_min.filter(F.col("_m") > F.col("_n")).select(
+        large = sym.select(
+            "_n", "_m", F.least(F.min("_m").over(wn), F.col("_n")).alias("_root")
+        ).filter(F.col("_m") > F.col("_n")).select(
             F.col("_m").alias("_a"), F.col("_root").alias("_b")
         )
+        # LAZY intermediate (r12): the small-star's consumption below
+        # scans every partition (both union branches), so the round's
+        # single action materializes this checkpoint too — the eager
+        # form paid a separate job per round for the same pass.
         cur = (
             large.filter(F.col("_a") != F.col("_b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # small-star on the large-star output
+        # small-star on the large-star output, as ONE window pass:
+        # row_number tags one row per _n group so the (u, m(u)) self
+        # edge is emitted exactly once, through the same explode that
+        # emits the smaller-or-equal neighbors — the old two-branch
+        # union re-evaluated the joined subtree twice. The explode is
+        # over a 2-slot array whose inapplicable slots are NULL
+        # (node ids are non-null, so the null filter drops exactly the
+        # inapplicable slots) — type-generic and whole-stage-codegen.
         sym = cur.select(F.col("_a").alias("_n"), F.col("_b").alias("_m")).unionByName(
             cur.select(F.col("_b").alias("_n"), F.col("_a").alias("_m"))
         )
-        mn = (
-            sym.groupBy("_n")
-            .agg(F.min("_m").alias("_minm"))
-            .select("_n", F.least("_minm", "_n").alias("_root"))
-        )
-        with_min = sym.join(mn, "_n")
-        small = with_min.filter(F.col("_m") <= F.col("_n")).select(
-            F.col("_m").alias("_v"), F.col("_root")
-        ).unionByName(
-            with_min.select(F.col("_n").alias("_v"), F.col("_root")).distinct()
+        wmin = F.min("_m").over(wn)
+        wrn = F.row_number().over(wn.orderBy("_m"))
+        small = (
+            sym.select(
+                "_n", "_m",
+                F.least(wmin, F.col("_n")).alias("_root"),
+                wrn.alias("_rn"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.when(F.col("_m") <= F.col("_n"), F.col("_m")),
+                        F.when(F.col("_rn") == 1, F.col("_n")),
+                    )
+                ).alias("_v"),
+                "_root",
+            )
+            .filter(F.col("_v").isNotNull())
         )
         cur = (
             small.filter(F.col("_v") != F.col("_root"))
             .select(F.col("_root").alias("_a"), F.col("_v").alias("_b"))
             .distinct()
-            # EAGER on purpose: a lazy checkpoint riding the combined
-            # witness job was measured r11 to ADD a job at this scale
-            # (local-checkpoint fill-in after the witness's broadcast
-            # builds) — the barrier here is the cheaper, unambiguous
-            # form.
-            .localCheckpoint(eager=True)
+            # LAZY (r12): the witness aggregation below is the round's
+            # ONE action; its union scans every partition of this
+            # checkpoint, so materialization rides the witness job (the
+            # r11 fill-in caveat applied to the old LIMIT-1 witness,
+            # whose probe subtree did NOT scan all partitions).
+            .localCheckpoint(eager=False)
         )
-        # Direct fixed-point test — saves the whole confirm-round the
-        # fingerprint method needs: after small-star every edge is
+        # Star-forest witness — after small-star every edge is
         # (_root < _v) oriented, so the edge set is a DISJOINT star
         # forest with minimal roots iff (a) no node appears both as a
-        # root (_a) and a leaf (_b), AND (b) no leaf carries edges to
-        # TWO roots — small-star deliberately produces multi-rooted
-        # leaves as the glue that merges roots next round (caught by
-        # the union-find property test), so (a) alone is NOT enough.
-        # Under (a)+(b) components are exactly the stars, each rooted
-        # at its minimum, and both contractions are the identity. Two
-        # bounded LIMIT-1 witness scans over the just-checkpointed
-        # relation.
-        leaf_stats = cur.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
-        # ONE action per round: the star-forest witness AND the
-        # xor-fold no-progress fingerprint (order-insensitive,
-        # overflow-free — a SUM of xxhash64 can overflow bigint under
-        # ANSI) ride the same job as a cross join of two 1-row
-        # aggregates. The fingerprint branch used to be a second
-        # collect on non-converged rounds — i.e. every round but the
-        # last; on the converged round it is a few extra cached-scan
-        # tasks inside the same job.
-        chk = (
-            leaf_stats.filter(F.col("_c") > 1)
-            .select("_b")
-            .unionByName(
-                leaf_stats.join(
-                    cur.select(F.col("_a").alias("_b")).distinct(),
-                    "_b",
-                    "left_semi",
-                ).select("_b")
+        # root (_a) and a leaf (_b), AND (b) no leaf appears twice
+        # (small-star deliberately produces multi-rooted leaves as the
+        # glue that merges roots next round, caught by the union-find
+        # property test, so (a) alone is NOT enough). Rendered with the
+        # no-progress fingerprint as ONE two-level aggregation: tag
+        # each node occurrence with its side, per-node partial
+        # (root-seen, leaf-count, xor of the _a-side pair hashes), then
+        # a global fold. xor is order-insensitive and overflow-free (a
+        # SUM of xxhash64 can overflow bigint under ANSI); two-level
+        # bit_xor composes because xor is associative and the aggregate
+        # skips NULLs (the _b-side rows carry no hash).
+        per = cur.select(
+            F.col("_a").alias("_x"),
+            F.lit(1).alias("_isa"),
+            F.lit(0).alias("_isb"),
+            F.xxhash64("_a", "_b").alias("_ph"),
+        ).unionByName(
+            cur.select(
+                F.col("_b").alias("_x"),
+                F.lit(0).alias("_isa"),
+                F.lit(1).alias("_isb"),
+                F.lit(None).cast("bigint").alias("_ph"),
             )
-            .limit(1)
-            .agg(F.count(F.lit(1)).alias("bad"))
-            .crossJoin(
-                cur.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.expr("bit_xor(xxhash64(_a, _b))").alias("h"),
-                )
+        )
+        chk = (
+            per.groupBy("_x")
+            .agg(
+                F.max("_isa").alias("_a1"),
+                F.sum("_isb").alias("_bc"),
+                F.expr("bit_xor(_ph)").alias("_hx"),
+            )
+            .agg(
+                F.max(
+                    ((F.col("_a1") == 1) & (F.col("_bc") > 0))
+                    | (F.col("_bc") > 1)
+                ).alias("bad"),
+                F.expr("bit_xor(_hx)").alias("h"),
+                F.sum("_bc").alias("n"),
             )
             .collect()[0]
         )
-        if chk["bad"] == 0:
+        if not chk["bad"]:
             break
         if prev_fp == (chk["n"], chk["h"]):
             break
