@@ -105,8 +105,10 @@ def incremental_semantic_dedup(
     protocol) and recomputes identical labels.
 
     One assignment pass for the batch (checkpointed — consumed by the
-    history probe, the in-batch pair join, and the state append), one
-    equi-join against state, one batch-internal cell join.
+    history probe, the in-batch pair join, and the state append), and
+    ONE cell equi-join covering the state probe AND the batch-internal
+    pairs together (r12 — a join distributes over the history ∪ batch
+    union; the salted hot-cell path keeps its dedicated block join).
     ``max_cell_rows`` bounds the per-task pair work of the history
     probe when a state cell has gone hot — bipartite salting, output
     identical; see the module docstring."""
@@ -129,6 +131,21 @@ def incremental_semantic_dedup(
         F.col("_id").alias("_idb"), F.col("_vec").alias("_vb"),
         F.col("_nrm").alias("_nb"), "cell",
     )
+    # the batch's own rows in the smaller-id role — joined against
+    # new_side TOGETHER with the unsalted history below (r12): the
+    # in-batch pairs and the history probe share the same cell
+    # equi-join + (_ida < _idb, cos >= tau) filters, and a join
+    # distributes over a union, so ONE join of (hist ∪ batch) x batch
+    # produces exactly the union of the old two joins' outputs while
+    # paying one fewer join (and its AQE stage materializations) per
+    # increment. The SALTED hot-cell path keeps its dedicated join —
+    # the bipartite block replication applies to history only.
+    batch_side_a = withn.select(
+        F.col("_id").alias("_ida"), F.col("_vec").alias("_va"),
+        F.col("_nrm").alias("_na"), "cell",
+    )
+    smaller_side = batch_side_a
+    salted_hits = None
 
     # --- vs history (smaller-id rows only — see module contract) ----
     if _path_exists(spark, state_path):
@@ -152,12 +169,7 @@ def incremental_semantic_dedup(
             if any(v > 1 for v in sizes.values()):
                 blk_sizes = sizes
         if blk_sizes is None:
-            hist_hits = (
-                new_side.join(hist, "cell")
-                .filter(F.col("_ida") < F.col("_idb"))
-                .filter(pair_cos >= F.lit(tau))
-                .select("_idb", "_ida")
-            )
+            smaller_side = hist.unionByName(batch_side_a)
         else:
             # bipartite salt: history row -> ONE block by id hash;
             # batch row -> EVERY block of its cell (cells absent from
@@ -220,43 +232,32 @@ def incremental_semantic_dedup(
                 n_shuffle = spark.sparkContext.defaultParallelism
             h = h.repartition(n_shuffle, "cell", "_blk")
             nbt = nbt.repartition(n_shuffle, "cell", "_blk")
-            hist_hits = (
+            salted_hits = (
                 nbt.join(h, ["cell", "_blk"])
                 .filter(F.col("_ida") < F.col("_idb"))
                 .filter(pair_cos >= F.lit(tau))
                 .select("_idb", "_ida")
             )
-    else:
-        # derive the empty relation's id type from the batch: a
-        # hardcoded bigint would break string/decimal id columns on
-        # the FIRST batch only (later batches inherit the real type
-        # from the parquet state) — the worst kind of works-later bug
-        from pyspark.sql.types import StructField, StructType
 
-        idt = batch.schema[id_col].dataType
-        hist_hits = spark.createDataFrame(
-            [], StructType([StructField("_idb", idt), StructField("_ida", idt)])
-        )
-
-    # --- within batch ------------------------------------------------
-    batch_side_a = withn.select(
-        F.col("_id").alias("_ida"), F.col("_vec").alias("_va"),
-        F.col("_nrm").alias("_na"), "cell",
-    )
-    batch_hits = (
-        batch_side_a.join(new_side, "cell")
+    # --- history (unsalted) + within batch, ONE cell equi-join ------
+    # (r12 also measured an outer-keyed variant — LEFT join from the
+    # batch side with the pair predicate inside a conditional min, so
+    # the aggregate IS the labeled relation and the join-back below
+    # disappears. It cut 2 jobs/increment but ran ~1.9 s slower warm
+    # at sf0.1: the inner join's inline pair filters beat pushing
+    # every in-cell pair through the aggregate. Kept the inner form.)
+    hits = (
+        smaller_side.join(new_side, "cell")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(pair_cos >= F.lit(tau))
         .select("_idb", "_ida")
     )
+    if salted_hits is not None:
+        hits = salted_hits.unionByName(hits)
 
-    # one union + min-agg resolves dup_of across both sources without
+    # min-agg resolves dup_of across both sources without
     # engine-specific null handling in least()
-    dups = (
-        hist_hits.unionByName(batch_hits)
-        .groupBy("_idb")
-        .agg(F.min("_ida").alias("dup_of"))
-    )
+    dups = hits.groupBy("_idb").agg(F.min("_ida").alias("dup_of"))
     # --- append the batch's rows (ALL of them — min-id-wins needs
     # dropped rows too; idempotent via the marker protocol).
     # The append runs BEFORE the label checkpoint (r11) so its write

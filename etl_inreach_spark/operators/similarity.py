@@ -398,9 +398,23 @@ def _nearest_cells(
     from etl_inreach_spark.functions.vectors import dot
 
     if n == 1:
-        crows = sorted(
-            (r["cell"], list(r["_cvec"])) for r in cent.select("cell", "_cvec").collect()
-        )
+        # The collect FREEZES centroid values at DataFrame-build time
+        # (a hidden bounded action — ADVICE r11): callers that rebuild
+        # upstream data between build and execute get the values as of
+        # this call, which is exactly the frozen-quantizer contract
+        # every consumer (Lloyd rounds, SemDeDup, IVF build) relies
+        # on. Repeat calls with the SAME centroid DataFrame object
+        # (e.g. the incremental dedup's per-increment assignments
+        # against one frozen quantizer) reuse the first collect via an
+        # attribute memo on the object — one bounded job instead of
+        # one per call; distinct DataFrame objects (every Lloyd round)
+        # never share.
+        crows = getattr(cent, "_sg_cent_rows", None)
+        if crows is None:
+            crows = sorted(
+                (r["cell"], list(r["_cvec"])) for r in cent.select("cell", "_cvec").collect()
+            )
+            cent._sg_cent_rows = crows
         if crows:
             cell_type = dict(cent.dtypes)["cell"]
             np_cell = {"smallint": "int16", "int": "int32"}.get(cell_type, "int64")

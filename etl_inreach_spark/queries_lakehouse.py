@@ -316,7 +316,12 @@ def incremental_semantic_dedup_convergence(
     # (via the broadcast build of the centroid side of its assignment
     # cross join) materializes this; an eager checkpoint was a
     # separate job for the same top-16 pass. Later increments read
-    # the persisted 16 rows.
+    # the persisted 16 rows. (r12 measured the local-relation
+    # alternative — collect once, re-issue via createDataFrame so the
+    # per-increment centroid collects are driver-side — at +1 job and
+    # ~+1 s warm over this form: the TakeOrdered+window collect it
+    # re-runs per invocation costs more than the three cheap
+    # checkpoint-scan collects it saves. Kept the checkpoint.)
     cent = portable_centroids(emb, 16).localCheckpoint(eager=False)
     r = emb.agg(
         F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
