@@ -257,32 +257,53 @@ def _l2_nearest_cells(
     PQ distances are L2, so the coarse stage must rank in the same
     metric). Broadcast cells, bounded per-vector window.
 
-    n == 1 (the corpus-assignment shape of the index build) takes the
-    Arrow fast path, mirroring similarity._nearest_cells: an
-    nlist-bounded collect of the cells, a pandas_udf replaying the
-    _l2sq fold's exact IEEE op order in numpy — d = x - y;
-    acc = acc + d*d ascending dim — and np.argmin's first-occurrence
-    tie-break = the (_cd asc, cell asc) rule with cells sorted by
-    cell. ``_cellvec`` is re-attached by a broadcast join on the cell
-    id (the residual computation downstream needs it); the crossJoin
-    + per-vector window over nlist copies of every corpus row is
-    gone."""
-    if n == 1:
-        import numpy as np
-        import pandas as pd
+    Both n == 1 (the corpus-assignment shape of the index build) and
+    n > 1 (the query-side probe, r12) take the Arrow fast path,
+    mirroring similarity._nearest_cells: an nlist-bounded collect of
+    the cells (frozen at the DataFrame-build-time collect, memoized
+    per cells object), a pandas_udf replaying the _l2sq fold's exact
+    IEEE op order in numpy — d = x - y; acc = acc + d*d ascending dim.
+    np.argmin's first-occurrence tie-break (n == 1) and a stable
+    ascending argsort (n > 1, NaN naturally sorting last = Spark's
+    NaN-greatest ASC rule) both equal the (_cd asc, cell asc) window
+    order with cells sorted by cell. ``_cellvec`` is re-attached by a
+    broadcast join on the cell id (the residual computation downstream
+    needs it); the crossJoin + per-vector window over nlist copies of
+    every input row is gone. Returns (cell, id, vec, _cellvec); the
+    empty-cells edge falls through to the window path projected to the
+    same columns."""
+    import numpy as np
+    import pandas as pd
 
+    crows = getattr(cells, "_sg_l2_cell_rows", None)
+    if crows is None:
         crows = sorted(
             (r["cell"], list(r["_cellvec"]))
             for r in cells.select("cell", "_cellvec").collect()
         )
-        if crows:
-            cell_type = dict(cells.dtypes)["cell"]
-            np_cell = {"smallint": "int16", "int": "int32"}.get(cell_type, "int64")
-            cells_arr = np.asarray([c for c, _ in crows])
-            cmat = np.asarray([v for _, v in crows], dtype=np.float64)
+        cells._sg_l2_cell_rows = crows
+    if crows:
+        cell_type = dict(cells.dtypes)["cell"]
+        np_cell = {"smallint": "int16", "int": "int32"}.get(cell_type, "int64")
+        cells_arr = np.asarray([c for c, _ in crows])
+        cmat = np.asarray([v for _, v in crows], dtype=np.float64)
 
-            from pyspark.sql.functions import PandasUDFType, pandas_udf
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
 
+        def _dists(batch):
+            q = np.vstack(batch.to_numpy()).astype(np.float64, copy=False)
+            m = q.shape[0]
+            dists = np.empty((m, cmat.shape[0]), dtype=np.float64)
+            for i in range(cmat.shape[0]):
+                c = cmat[i]
+                acc = np.zeros(m, dtype=np.float64)
+                for dd in range(q.shape[1]):
+                    d = q[:, dd] - c[dd]
+                    acc = acc + d * d
+                dists[:, i] = acc
+            return dists
+
+        if n == 1:
             # explicit SCALAR: signature inference is unreliable under
             # `from __future__ import annotations` (stringized hints,
             # locally-imported pd) — the _assign_arrow precedent
@@ -290,23 +311,24 @@ def _l2_nearest_cells(
             def _argmin_cell(batch):
                 if batch.empty:
                     return pd.Series([], dtype=np_cell)
-                q = np.vstack(batch.to_numpy()).astype(np.float64, copy=False)
-                m = q.shape[0]
-                dists = np.empty((m, cmat.shape[0]), dtype=np.float64)
-                for i in range(cmat.shape[0]):
-                    c = cmat[i]
-                    acc = np.zeros(m, dtype=np.float64)
-                    for dd in range(q.shape[1]):
-                        d = q[:, dd] - c[dd]
-                        acc = acc + d * d
-                    dists[:, i] = acc
                 return pd.Series(
-                    cells_arr[np.argmin(dists, axis=1)].astype(np_cell)
+                    cells_arr[np.argmin(_dists(batch), axis=1)].astype(np_cell)
                 )
 
             return df.select(
                 id_col, vec_col, _argmin_cell(F.col(vec_col)).alias("cell")
             ).join(F.broadcast(cells), "cell")
+
+        @pandas_udf(f"array<{cell_type}>", PandasUDFType.SCALAR)
+        def _topn_cells(batch):
+            if batch.empty:
+                return pd.Series([], dtype=object)
+            idx = np.argsort(_dists(batch), axis=1, kind="stable")[:, :n]
+            return pd.Series([cells_arr[row].tolist() for row in idx])
+
+        return df.select(
+            id_col, vec_col, F.explode(_topn_cells(F.col(vec_col))).alias("cell")
+        ).join(F.broadcast(cells), "cell")
 
     scored = df.crossJoin(F.broadcast(cells)).select(
         id_col,
@@ -320,7 +342,7 @@ def _l2_nearest_cells(
     )
     return topk_by_key(
         scored, [id_col], [F.col("_cd").asc(), F.col("cell").asc()], n, rank_col="_crn"
-    )
+    ).select("cell", id_col, vec_col, "_cellvec")
 
 
 def _residual(vec_col: Column, cell_col: Column) -> Column:

@@ -381,77 +381,110 @@ def _nearest_cells(
     order — bit-identical to cosine(), just not recomputed nlist
     times per vector.
 
-    n == 1 (the corpus-assignment shape every Lloyd round / SemDeDup
-    pass runs) takes the ARROW fast path (guide §4.2, the
+    Both n == 1 (the corpus-assignment shape every Lloyd round /
+    SemDeDup pass runs) and n > 1 (the IVF query-side probe, r12)
+    take the ARROW fast path (guide §4.2, the
     clustering._assign_arrow discipline): centroids are an
-    nlist-bounded collect, and a pandas_udf computes the argmax
-    cosine per batch with numpy folds that replay the IDENTICAL
-    IEEE op sequence — acc = acc + u[d]*c[d] ascending d (separately
+    nlist-bounded collect (frozen at build — see the memo note
+    below), and a pandas_udf computes the cosine score matrix per
+    batch with numpy folds that replay the IDENTICAL IEEE op
+    sequence — acc = acc + u[d]*c[d] ascending d (separately
     rounded ufuncs, no FMA), norm = sqrt(fold), score = dot /
-    (vnrm * cnrm) — so every double equals the expression fold's and
-    np.argmax's first-occurrence tie-break IS the cell-asc rule
-    (centroid rows sorted by cell). Replaces the crossJoin + window
-    top-1 (a full shuffle of the corpus) with one narrow map —
-    measured ~4x on the Lloyd-round queries, bit-identical results
-    (the float-trainer numpy-parity test and the cross-engine
-    oracles both pin it)."""
+    (vnrm * cnrm) — so every double equals the expression fold's.
+    For n == 1 np.argmax's first-occurrence tie-break IS the
+    cell-asc rule (centroid rows sorted by cell); for n > 1 a stable
+    ascending argsort of (NaN -> -inf, -score) reproduces the
+    (_cc DESC, cell ASC) window order including Spark's
+    NaN-is-greatest rule. Replaces the crossJoin + window top-n (a
+    full shuffle of the input) with one narrow map — measured ~4x on
+    the Lloyd-round queries, bit-identical results (the float-trainer
+    numpy-parity test and the cross-engine oracles both pin it).
+    The bottom window path remains for the empty-centroid edge."""
     from etl_inreach_spark.functions.vectors import dot
 
-    if n == 1:
-        # The collect FREEZES centroid values at DataFrame-build time
-        # (a hidden bounded action — ADVICE r11): callers that rebuild
-        # upstream data between build and execute get the values as of
-        # this call, which is exactly the frozen-quantizer contract
-        # every consumer (Lloyd rounds, SemDeDup, IVF build) relies
-        # on. Repeat calls with the SAME centroid DataFrame object
-        # (e.g. the incremental dedup's per-increment assignments
-        # against one frozen quantizer) reuse the first collect via an
-        # attribute memo on the object — one bounded job instead of
-        # one per call; distinct DataFrame objects (every Lloyd round)
-        # never share.
-        crows = getattr(cent, "_sg_cent_rows", None)
-        if crows is None:
-            crows = sorted(
-                (r["cell"], list(r["_cvec"])) for r in cent.select("cell", "_cvec").collect()
-            )
-            cent._sg_cent_rows = crows
-        if crows:
-            cell_type = dict(cent.dtypes)["cell"]
-            np_cell = {"smallint": "int16", "int": "int32"}.get(cell_type, "int64")
-            cells_arr = np.asarray([c for c, _ in crows])
-            cmat = np.asarray([v for _, v in crows], dtype=np.float64)
-            cnrm = np.empty(len(crows), dtype=np.float64)
-            for i in range(len(crows)):
-                acc = np.float64(0.0)
-                for x in cmat[i]:
-                    acc = acc + x * x
-                cnrm[i] = np.sqrt(acc)
+    # The collect FREEZES centroid values at DataFrame-build time
+    # (a hidden bounded action — ADVICE r11): callers that rebuild
+    # upstream data between build and execute get the values as of
+    # this call, which is exactly the frozen-quantizer contract
+    # every consumer (Lloyd rounds, SemDeDup, IVF build) relies
+    # on. Repeat calls with the SAME centroid DataFrame object
+    # (e.g. the incremental dedup's per-increment assignments
+    # against one frozen quantizer) reuse the first collect via an
+    # attribute memo on the object — one bounded job instead of
+    # one per call; distinct DataFrame objects (every Lloyd round)
+    # never share.
+    crows = getattr(cent, "_sg_cos_cent_rows", None)
+    if crows is None:
+        crows = sorted(
+            (r["cell"], list(r["_cvec"])) for r in cent.select("cell", "_cvec").collect()
+        )
+        cent._sg_cos_cent_rows = crows
+    if crows:
+        cell_type = dict(cent.dtypes)["cell"]
+        np_cell = {"smallint": "int16", "int": "int32"}.get(cell_type, "int64")
+        cells_arr = np.asarray([c for c, _ in crows])
+        cmat = np.asarray([v for _, v in crows], dtype=np.float64)
+        cnrm = np.empty(len(crows), dtype=np.float64)
+        for i in range(len(crows)):
+            acc = np.float64(0.0)
+            for x in cmat[i]:
+                acc = acc + x * x
+            cnrm[i] = np.sqrt(acc)
+
+        def _scores(batch: pd.Series) -> "np.ndarray":
+            q = np.vstack(batch.to_numpy()).astype(np.float64, copy=False)
+            m = q.shape[0]
+            vnrm = np.zeros(m, dtype=np.float64)
+            for d in range(q.shape[1]):
+                col = q[:, d]
+                vnrm += col * col
+            np.sqrt(vnrm, out=vnrm)
+            scores = np.empty((m, cmat.shape[0]), dtype=np.float64)
+            for i in range(cmat.shape[0]):
+                dots = np.zeros(m, dtype=np.float64)
+                c = cmat[i]
+                for d in range(q.shape[1]):
+                    dots = dots + q[:, d] * c[d]
+                scores[:, i] = dots / (vnrm * cnrm[i])
+            return scores
+
+        if n == 1:
 
             @F.pandas_udf(cell_type)
             def _argmax_cell(batch: pd.Series) -> pd.Series:
                 if batch.empty:
                     return pd.Series([], dtype=np_cell)
-                q = np.vstack(batch.to_numpy()).astype(np.float64, copy=False)
-                m = q.shape[0]
-                vnrm = np.zeros(m, dtype=np.float64)
-                for d in range(q.shape[1]):
-                    col = q[:, d]
-                    vnrm += col * col
-                np.sqrt(vnrm, out=vnrm)
-                scores = np.empty((m, cmat.shape[0]), dtype=np.float64)
-                for i in range(cmat.shape[0]):
-                    dots = np.zeros(m, dtype=np.float64)
-                    c = cmat[i]
-                    for d in range(q.shape[1]):
-                        dots = dots + q[:, d] * c[d]
-                    scores[:, i] = dots / (vnrm * cnrm[i])
                 return pd.Series(
-                    cells_arr[np.argmax(scores, axis=1)].astype(np_cell)
+                    cells_arr[np.argmax(_scores(batch), axis=1)].astype(np_cell)
                 )
 
             return df.select(
                 F.col(id_col), F.col(vec_col), _argmax_cell(F.col(vec_col)).alias("cell")
             )
+
+        # n > 1 — the IVF query-side probe (r12): the same Arrow score
+        # matrix, top-n via a STABLE ascending argsort of the key
+        # (NaN -> -inf, then negated score): Spark's (_cc DESC, cell
+        # ASC) window ordering treats NaN as the GREATEST double (ranked
+        # first under DESC), which the -inf mapping reproduces, and the
+        # stable sort over cell-ascending columns IS the cell-asc
+        # tie-break. Replaces the crossJoin + per-id window top-n (a
+        # queries x nlist replication through a shuffle) with one
+        # narrow map + explode.
+        @F.pandas_udf(f"array<{cell_type}>")
+        def _topn_cells(batch: pd.Series) -> pd.Series:
+            if batch.empty:
+                return pd.Series([], dtype=object)
+            scores = _scores(batch)
+            key = np.where(np.isnan(scores), -np.inf, -scores)
+            idx = np.argsort(key, axis=1, kind="stable")[:, :n]
+            return pd.Series([cells_arr[row].tolist() for row in idx])
+
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(_topn_cells(F.col(vec_col))).alias("cell"),
+        )
 
     dfn = df.withColumn("_vnrm", l2_norm(F.col(vec_col)))
     centn = cent.withColumn("_cnrm", l2_norm(F.col("_cvec")))
