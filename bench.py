@@ -150,6 +150,17 @@ def main() -> None:
     # min-of-2/3 let that warmup noise pollute round-over-round
     # comparison (VERDICT r2; round-4 host-speed regression).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
+    # Opt-in INTERLEAVED repeats (r12, additive): the default loop
+    # runs a query's repeats back-to-back, so one of this host's
+    # multi-second stall windows can inflate ALL of a query's repeats
+    # at once and min-of-N never sees a clean draw (r11: dedup_clusters
+    # drew 9.55 s in the driver bench while interleaved min-of-4 on the
+    # same code measured 3.3 s). SPARK_GRAFT_BENCH_INTERLEAVE=1 runs
+    # round-major instead (every query once per round, the
+    # tools/retime_suspects.py discipline) so a stall inflates one
+    # ROUND of every query rather than every repeat of one query.
+    # Default (unset) keeps the byte-identical legacy order/output.
+    interleave = bool(os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE"))
 
     def _drop_leaked_blocks() -> None:
         # localCheckpoint(eager=True) blocks unpin only when Python's
@@ -195,29 +206,39 @@ def main() -> None:
     jobs: dict[str, int] = {}
     timings: dict[str, float] = {}
     sc = spark.sparkContext
-    for name in sorted(qs):
-        best = None
+
+    def _run_once(name: str, rep: int) -> None:
+        group = f"bench:{name}:{rep}"
+        sc.setJobGroup(group, name)
+        t0 = time.monotonic()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            prev = timings.get(name)
+            timings[name] = dt if prev is None or prev < 0 else min(prev, dt)
+            nj = len(sc.statusTracker().getJobIdsForGroup(group))
+            jobs[name] = min(jobs.get(name, nj), nj)
+        except Exception as e:  # keep the bench line parseable on failure
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            # a later transient failure must not discard a valid
+            # earlier timing; only an all-repeats failure is -1
+            timings.setdefault(name, -1.0)
+        finally:
+            # PySpark has no clearJobGroup; reset the local props
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+
+    if interleave:
         for rep in range(max(repeats, 1)):
-            group = f"bench:{name}:{rep}"
-            sc.setJobGroup(group, name)
-            t0 = time.monotonic()
-            try:
-                df = qs[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = round(time.monotonic() - t0, 3)
-                best = dt if best is None else min(best, dt)
-                nj = len(sc.statusTracker().getJobIdsForGroup(group))
-                jobs[name] = min(jobs.get(name, nj), nj)
-            except Exception as e:  # keep the bench line parseable on failure
-                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-                # a later transient failure must not discard a valid
-                # earlier timing; only an all-repeats failure is -1
-            finally:
-                # PySpark has no clearJobGroup; reset the local props
-                sc.setLocalProperty("spark.jobGroup.id", None)
-                sc.setLocalProperty("spark.job.description", None)
-        _drop_leaked_blocks()
-        timings[name] = best if best is not None else -1.0
+            for name in sorted(qs):
+                _run_once(name, rep)
+                _drop_leaked_blocks()
+    else:
+        for name in sorted(qs):
+            for rep in range(max(repeats, 1)):
+                _run_once(name, rep)
+            _drop_leaked_blocks()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {

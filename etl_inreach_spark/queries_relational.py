@@ -1136,6 +1136,13 @@ def interval_overlap_order_windows(spark: SparkSession, sf_dir: str) -> DataFram
 # oracle IS the query — the strongest possible parity pin for the
 # iterative-plan surface (Spark executes it as a driver-coordinated
 # UnionLoop; each step is a distributed hash join).
+_NATION_EDGES_SQL = """
+    SELECT n_regionkey, n_nationkey AS src,
+           LEAD(n_nationkey) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+    FROM nation
+"""
+
 _NATION_CHAIN_SQL = """
     WITH RECURSIVE edges AS (
         SELECT n_regionkey, n_nationkey AS src,
@@ -1178,10 +1185,34 @@ def recursive_nation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (data-dependent); for unbounded-depth graphs at 100 TB use
     the log-diameter star-contraction operator instead
     (operators/dedup.py) — linear chains are the recursive CTE's
-    worst case and the doc says so rather than hiding it."""
+    worst case and the doc says so rather than hiding it.
+
+    The Spark side materializes the ``edges`` CTE ONCE as a lazy
+    localCheckpoint behind a temp view (r12): UnionLoop re-evaluates
+    non-recursive CTEs referenced inside the loop on EVERY step, so
+    the uncheckpointed form re-ran the nation scan + LEAD window per
+    step — 41 driver jobs for a 25-row table. The recursion's anchor
+    (a full-scan GROUP BY) materializes the checkpoint; every step
+    then joins the frontier against the pinned 25 rows. The oracle
+    keeps the single-statement form (DuckDB evaluates the CTE once
+    anyway), and the edges relation is deterministic, so the results
+    are identical by construction."""
     tune(spark)
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    return spark.sql(_NATION_CHAIN_SQL)
+    edges = spark.sql(_NATION_EDGES_SQL).localCheckpoint(eager=False)
+    edges.createOrReplaceTempView("nation_chain_edges")
+    return spark.sql(
+        _NATION_CHAIN_SQL.replace(
+            """edges AS (
+        SELECT n_regionkey, n_nationkey AS src,
+               LEAD(n_nationkey) OVER (
+                   PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        FROM nation
+    ), chain AS (""",
+            "chain AS (",
+        ).replace("JOIN edges e", "JOIN nation_chain_edges e")
+        .replace("FROM edges GROUP BY", "FROM nation_chain_edges GROUP BY")
+    )
 
 
 _LATERAL_TOP2_SQL = """
