@@ -84,3 +84,37 @@ def test_bpe_segment_consistent_with_training_vocab(spark, sf_dir):
     for r in d.select("doc_id", "text").collect():
         expect = [s for w in r["text"].split() for s in final_syms[w]]
         assert got[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_bpe_batched_rounds_match_reference_on_adversarial_corpora(spark):
+    """r12 focused test: bpe_train proves several merges per top-K
+    collect; each safety condition (shared symbols, count ties,
+    self-adjacent pairs, re-created merge outputs) must end the batch
+    so the merge SEQUENCE still equals the one-at-a-time reference."""
+    corpora = [
+        # consecutive top pairs share symbols (th/he-style chaining)
+        "the the the there he he she then the he " * 3,
+        # exact count ties everywhere: lexicographic order must hold
+        # with recounts between every merge
+        "ab ab cd cd ef ef gh gh",
+        # self-adjacent pair (a,a) dominates, then chains into (aa,aa)
+        "aaaa aaaa aaaa bb bb aaab",
+        # merged symbol re-created by a later merge: 'ab' from (a,b)
+        # after ('a','b') was already produced via a different split
+        "xab xab xab aby aby ab ab ab ab",
+        # disjoint well-separated counts: the batch-friendly case
+        "er er er er in in in or or st " * 4,
+        # single word corpus, long run
+        "zzzzzzzz",
+    ]
+    for text in corpora:
+        df = spark.createDataFrame([(text,)], "text string")
+        wc = Counter()
+        for w in text.split():
+            wc[w] += 1
+        for n in (1, 3, 8):
+            ref_merges, ref_vocab = _py_bpe(dict(wc), n)
+            merges, vocab = bpe_train(df, "text", n)
+            assert merges == ref_merges, (text, n, merges, ref_merges)
+            got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+            assert got == ref_vocab, (text, n)
