@@ -118,7 +118,7 @@ def incremental_semantic_dedup(
     # partition, so that one write job also materializes/truncates
     # this checkpoint; the eager form paid a separate assignment job
     # per increment for the same pass. The later consumers (history
-    # probe, in-batch join, label join) read the persisted partitions.
+    # probe, in-batch join, label seed) read the persisted partitions.
     withn = asg.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
@@ -255,9 +255,8 @@ def incremental_semantic_dedup(
     if salted_hits is not None:
         hits = salted_hits.unionByName(hits)
 
-    # min-agg resolves dup_of across both sources without
-    # engine-specific null handling in least()
-    dups = hits.groupBy("_idb").agg(F.min("_ida").alias("dup_of"))
+    id_type = dict(withn.dtypes)["_id"]
+    cell_type = dict(withn.dtypes)["cell"]
     # --- append the batch's rows (ALL of them — min-id-wins needs
     # dropped rows too; idempotent via the marker protocol).
     # The append runs BEFORE the label checkpoint (r11) so its write
@@ -287,11 +286,26 @@ def incremental_semantic_dedup(
     # own batch") — deferring them to the caller's first action would
     # let LATER increments' appends land first, which for non-monotone
     # ingestion could change what this batch is judged against.
+    #
+    # ONE aggregation instead of min-agg + join-back (r12): union the
+    # batch's own (id, cell) rows — with a NULL smaller-id — under the
+    # hit pairs and take min(_ida) (ignores the NULL seed; NULL iff no
+    # hit) and max(cell) (the seed row is the only one carrying a
+    # cell) per id. Batch ids are unique (they are ids), so the group
+    # count equals the batch row count and every value matches the
+    # old left join bit for bit, one shuffle earlier.
+    seed = withn.select(
+        F.col("_id").alias("_idb"),
+        F.lit(None).cast(id_type).alias("_ida"),
+        "cell",
+    )
     labeled = (
-        withn.select("_id", "cell")
-        .join(dups, withn["_id"] == dups["_idb"], "left")
+        hits.select("_idb", "_ida", F.lit(None).cast(cell_type).alias("cell"))
+        .unionByName(seed)
+        .groupBy("_idb")
+        .agg(F.min("_ida").alias("dup_of"), F.max("cell").alias("cell"))
         .select(
-            F.col("_id").alias(id_col),
+            F.col("_idb").alias(id_col),
             "cell",
             F.col("dup_of").isNull().alias("kept"),
             "dup_of",
