@@ -89,20 +89,26 @@ def triangles(edges: DataFrame, orient_by_degree: bool = True) -> DataFrame:
     once. ``edges`` must be distinct undirected pairs with u < v.
 
     Edge-iterator rendering: build the oriented out-adjacency array
-    per node, join it onto both endpoints of every edge, and intersect
-    — each common out-neighbor w closes a triangle (u, v, w), emitted
-    as (x, y, z) = (u, v, w). Unlike the previous two-path +
-    closing-edge join formulation this never materializes the two-path
-    candidate stream (49M rows on the sf0.1 co-purchase graph for
-    1.8M actual triangles); the per-edge intersection happens inside
-    one codegen stage over JVM arrays. An eager localCheckpoint of the
-    oriented relation was measured SLOWER here (6.8 s vs 4.3 s
-    min-of-4) — the double-consumed subtree is cheap relative to the
-    checkpoint's serialization barrier."""
+    per node, recover each edge (u, v) by EXPLODING that adjacency
+    (collect_list then explode is the identity on the edge multiset,
+    and the exploded row already carries u's array — so the first of
+    the two former adjacency joins, and its shuffle of both sides,
+    disappears; r12), join the v-side adjacency on, and intersect —
+    each common out-neighbor w closes a triangle (u, v, w), emitted
+    as (x, y, z) = (u, v, w). The remaining join shuffles exactly
+    what the old second join shuffled: (u, v, _nu) by v. Unlike the
+    previous two-path + closing-edge join formulation this never
+    materializes the two-path candidate stream (49M rows on the
+    sf0.1 co-purchase graph for 1.8M actual triangles); the per-edge
+    intersection happens inside one codegen stage over JVM arrays.
+    An eager localCheckpoint of the oriented relation was measured
+    SLOWER here (6.8 s vs 4.3 s min-of-4) — the double-consumed
+    subtree is cheap relative to the checkpoint's serialization
+    barrier."""
     o = _orient(edges, orient_by_degree)
     adj = o.groupBy("u").agg(F.collect_list("v").alias("_nbrs"))
     return (
-        o.join(adj.select("u", F.col("_nbrs").alias("_nu")), "u")
+        adj.select("u", F.col("_nbrs").alias("_nu"), F.explode("_nbrs").alias("v"))
         .join(adj.select(F.col("u").alias("v"), F.col("_nbrs").alias("_nv")), "v")
         .select(
             F.col("u").alias("x"),
