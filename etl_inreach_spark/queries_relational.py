@@ -1187,21 +1187,56 @@ def recursive_nation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py) — linear chains are the recursive CTE's
     worst case and the doc says so rather than hiding it.
 
-    The Spark side materializes the ``edges`` CTE ONCE as a lazy
-    localCheckpoint behind a temp view (r12): UnionLoop re-evaluates
+    The Spark side materializes the ``edges`` CTE ONCE as a driver-
+    LOCAL relation behind a temp view (r12): UnionLoop re-evaluates
     non-recursive CTEs referenced inside the loop on EVERY step, so
     the uncheckpointed form re-ran the nation scan + LEAD window per
-    step — 41 driver jobs for a 25-row table. The recursion's anchor
-    (a full-scan GROUP BY) materializes the checkpoint; every step
-    then joins the frontier against the pinned 25 rows. The oracle
-    keeps the single-statement form (DuckDB evaluates the CTE once
-    anyway), and the edges relation is deterministic, so the results
-    are identical by construction."""
+    step — 41 driver jobs for a 25-row table — and even a
+    localCheckpoint still paid a broadcast-BUILD job per step to ship
+    the pinned 25 rows (32 jobs). Nation is a fixed 25-row dimension
+    at every TPC-H scale factor, so collecting the edge list once is
+    the library's bounded-collect class (same as the nlist-bounded
+    centroid collects); each step's BROADCAST side then comes off a
+    LocalRelation, which Spark builds driver-side with no job at all.
+    The oracle keeps the single-statement form (DuckDB evaluates the
+    CTE once anyway), and the edges relation is deterministic, so the
+    results are identical by construction.
+
+    The recursion runs on a CLONED session (same SparkContext, own
+    conf) with AQE off (r12): AQE re-plans and stage-materializes
+    INSIDE every UnionLoop step, so the 6-iteration walk paid ~4 jobs
+    per step of pure scheduling overhead for a plan whose only join
+    is a hinted broadcast against 25 local rows — runtime re-planning
+    has nothing to decide at ANY scale here, because the recursion's
+    per-step relation is the frontier (bounded by the chain width),
+    not the corpus. Driver job count 33 -> 25 measured; the clone
+    scopes the conf to this query's DataFrame without touching the
+    caller's session. Deep-recursion workloads over big frontiers
+    should keep AQE on — and per the module note should prefer the
+    log-diameter CC operator anyway."""
     tune(spark)
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    edges = spark.sql(_NATION_EDGES_SQL).localCheckpoint(eager=False)
-    edges.createOrReplaceTempView("nation_chain_edges")
-    return spark.sql(
+    rec = spark.newSession()
+    tune(rec)
+    rec.conf.set("spark.sql.adaptive.enabled", "false")
+    load_table(rec, sf_dir, "nation").createOrReplaceTempView("nation")
+    # VALUES, not createDataFrame: PySpark's createDataFrame
+    # parallelizes even 25 rows into an RDD-backed relation, so every
+    # step's broadcast build was still a (32-partition!) collect job;
+    # a VALUES relation is a true LocalRelation whose broadcast is
+    # built driver-side with no job (measured 6.7 -> 1.2 s min-of-3,
+    # same 25-job count, the remaining jobs being the UnionLoop's own
+    # per-step materializations).
+    def _lit(v: object) -> str:
+        return "CAST(NULL AS INT)" if v is None else f"CAST({int(v)} AS INT)"
+
+    vals = ",".join(
+        f"({_lit(r['n_regionkey'])},{_lit(r['src'])},{_lit(r['dst'])})"
+        for r in rec.sql(_NATION_EDGES_SQL).collect()
+    )
+    rec.sql(
+        f"SELECT * FROM VALUES {vals} AS t(n_regionkey, src, dst)"
+    ).createOrReplaceTempView("nation_chain_edges")
+    return rec.sql(
         _NATION_CHAIN_SQL.replace(
             """edges AS (
         SELECT n_regionkey, n_nationkey AS src,
