@@ -83,16 +83,26 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
 # spark.read.parquet pays a py4j roundtrip + JVM file listing + footer
 # schema inference on EVERY call (~110 ms measured at sf0.1), and a
 # bench pass makes ~1,000 such calls for the same ten immutable
-# directories. The memo holds only the analyzed DataFrame (a logical
-# plan — zero rows); every action on it still scans the parquet
-# inputs, so this is plan reuse, not result caching. Keyed weakly by
-# session so a stopped session's plans are collectable and a fresh
-# session re-lists the directory (same files — the catalog's tables
-# are immutable by contract; anything mutable goes through its own
-# reader, not load_table).
-_PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+# directories. The memo holds only the analyzed plan's JVM handle
+# (zero rows); every action on it still scans the parquet inputs, so
+# this is plan reuse, not result caching. Keyed by id(session) with a
+# weakref.finalize evicting the entry when the session object is
+# collected (ADVICE r11: a WeakKeyDictionary whose VALUES were
+# DataFrames held the session strongly through df.sparkSession, so
+# the weak key could never die; storing only the py4j JavaObject
+# breaks that cycle). A fresh session re-lists the directory (same
+# files — the catalog's tables are immutable by contract; anything
+# mutable goes through its own reader, not load_table).
+_PLAN_MEMO: dict[int, dict] = {}
+
+
+def _session_memo(spark: SparkSession) -> dict:
+    sid = id(spark)
+    memo = _PLAN_MEMO.get(sid)
+    if memo is None:
+        memo = _PLAN_MEMO[sid] = {}
+        weakref.finalize(spark, _PLAN_MEMO.pop, sid, None)
+    return memo
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -114,11 +124,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    memo = _PLAN_MEMO.setdefault(spark, {})
+    memo = _session_memo(spark)
     key = (sf_dir, name)
     cached = memo.get(key)
     if cached is not None:
-        return cached
+        return DataFrame(cached, spark)
     path = table_path(sf_dir, name)
     ns_cols = _nanos_ts_cols(path)
     if ns_cols:
@@ -129,7 +139,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # 53-bit exactness, so float division would corrupt low digits.
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     df = _normalize_ntz(df)
-    memo[key] = df
+    memo[key] = df._jdf
     return df
 
 

@@ -88,6 +88,8 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -180,17 +182,14 @@ def _assign_arrow(
     Arrow batch boundaries cannot change a result. ~1000x the
     throughput of the interpreted-HOF expression path (measured
     ~2.5 us/element-op there vs ns-scale vectorized here)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
     cents = np.asarray([list(row) for row in qcentroids], dtype=np.int64)
     csq = (cents * cents).sum(axis=1, dtype=np.int64)
 
-    # explicit SCALAR: signature inference is unreliable under
-    # `from __future__ import annotations` (stringized hints)
-    @pandas_udf("int", PandasUDFType.SCALAR)
-    def _argmin(batch):
+    # modern typed-hint form (ADVICE r11: one convention repo-wide;
+    # pd is importable at hint-resolution time because the stringized
+    # `pd.Series` hints are evaluated against module globals)
+    @F.pandas_udf("int")
+    def _argmin(batch: pd.Series) -> pd.Series:
         if batch.empty:
             return pd.Series([], dtype="int32")
         q = np.vstack(batch.to_numpy()).astype(np.int64, copy=False)

@@ -42,6 +42,8 @@ IVF-PQ composes the two: IVF prunes cells, PQ compresses residuals.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,12 +137,16 @@ def pq_train(
             - F.lit(init_offset)
         ).alias("code"),
     ).filter(F.col("code") >= 1)
-    # LAZY chain (r11): pq_train runs no action of its own — the
+    # LAZY chain (r11): pq_train itself runs no action — the
     # caller's first action (ivf_pq_build's index barrier, or a
     # direct consumer) materializes each iteration's checkpoint in
     # dependency order, one pass each, instead of one eager job per
     # iteration at build time. Plans stay bounded either way (a
     # checkpoint is a LogicalRDD leaf whether eager or lazy).
+    # (ADVICE r11 caveat: ivf_pq_build's ASSIGNMENT stage does run a
+    # bounded build-time collect — _l2_nearest_cells freezes the
+    # nlist coarse cells at DataFrame-build time — so the composed
+    # build is not action-free, only this trainer is.)
     cent = (
         subs.join(F.broadcast(coded), "_pid")
         .select("sub", "code", F.col("_sv").alias("_cvec"))
@@ -271,10 +277,14 @@ def _l2_nearest_cells(
     needs it); the crossJoin + per-vector window over nlist copies of
     every input row is gone. Returns (cell, id, vec, _cellvec); the
     empty-cells edge falls through to the window path projected to the
-    same columns."""
-    import numpy as np
-    import pandas as pd
+    same columns.
 
+    Vector contract (ADVICE r11): ``vec_col`` must be non-NULL,
+    equal-length arrays with non-NULL elements — the repo-wide
+    embedding-column invariant. The Arrow path's np.vstack fails the
+    TASK on a violation, where the old window path would have
+    NULL-propagated a distance; an embedding corpus with NULL rows is
+    malformed input here, not a supported edge."""
     crows = getattr(cells, "_sg_l2_cell_rows", None)
     if crows is None:
         crows = sorted(
@@ -287,8 +297,6 @@ def _l2_nearest_cells(
         np_cell = {"smallint": "int16", "int": "int32"}.get(cell_type, "int64")
         cells_arr = np.asarray([c for c, _ in crows])
         cmat = np.asarray([v for _, v in crows], dtype=np.float64)
-
-        from pyspark.sql.functions import PandasUDFType, pandas_udf
 
         def _dists(batch):
             q = np.vstack(batch.to_numpy()).astype(np.float64, copy=False)
@@ -304,11 +312,12 @@ def _l2_nearest_cells(
             return dists
 
         if n == 1:
-            # explicit SCALAR: signature inference is unreliable under
-            # `from __future__ import annotations` (stringized hints,
-            # locally-imported pd) — the _assign_arrow precedent
-            @pandas_udf(cell_type, PandasUDFType.SCALAR)
-            def _argmin_cell(batch):
+            # modern typed-hint form (ADVICE r11: one convention with
+            # similarity.py — pd is imported at MODULE scope there and
+            # here, so inference of the stringized pd.Series hints is
+            # reliable despite `from __future__ import annotations`)
+            @F.pandas_udf(cell_type)
+            def _argmin_cell(batch: pd.Series) -> pd.Series:
                 if batch.empty:
                     return pd.Series([], dtype=np_cell)
                 return pd.Series(
@@ -319,8 +328,8 @@ def _l2_nearest_cells(
                 id_col, vec_col, _argmin_cell(F.col(vec_col)).alias("cell")
             ).join(F.broadcast(cells), "cell")
 
-        @pandas_udf(f"array<{cell_type}>", PandasUDFType.SCALAR)
-        def _topn_cells(batch):
+        @F.pandas_udf(f"array<{cell_type}>")
+        def _topn_cells(batch: pd.Series) -> pd.Series:
             if batch.empty:
                 return pd.Series([], dtype=object)
             idx = np.argsort(_dists(batch), axis=1, kind="stable")[:, :n]

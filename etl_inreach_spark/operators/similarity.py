@@ -399,7 +399,15 @@ def _nearest_cells(
     full shuffle of the input) with one narrow map — measured ~4x on
     the Lloyd-round queries, bit-identical results (the float-trainer
     numpy-parity test and the cross-engine oracles both pin it).
-    The bottom window path remains for the empty-centroid edge."""
+    The bottom window path remains for the empty-centroid edge.
+
+    Vector contract (ADVICE r11): ``vec_col`` must be non-NULL,
+    equal-length arrays with non-NULL elements — the repo-wide
+    embedding-column invariant (same note on pq._l2_nearest_cells
+    and the JL projection). The Arrow path's np.vstack fails the
+    TASK on a violation, where the old window path would have
+    NULL-propagated a score; an embedding corpus with NULL rows is
+    malformed input here, not a supported edge."""
     from etl_inreach_spark.functions.vectors import dot
 
     # The collect FREEZES centroid values at DataFrame-build time

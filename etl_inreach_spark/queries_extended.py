@@ -5,6 +5,8 @@ documents/embeddings tables.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2580,15 +2582,14 @@ def embedding_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any summation order, so one numpy int64 matmul per batch is
     # value-identical by construction — no IEEE-order replay needed,
     # unlike the float assignment paths in operators/similarity.
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
+    # Vector contract as in similarity._nearest_cells (ADVICE r11):
+    # embeddings are non-NULL equal-length arrays; np.vstack fails
+    # the task on a malformed corpus rather than NULL-propagating.
     smat = np.asarray(signs, dtype=np.int64)  # (_JL_D, _JL_K)
     out_schema = ", ".join(f"p{j} bigint" for j in range(_JL_K))
 
-    @pandas_udf(out_schema, PandasUDFType.SCALAR)
-    def _project(q):
+    @F.pandas_udf(out_schema)
+    def _project(q: pd.Series) -> pd.DataFrame:
         if q.empty:
             return pd.DataFrame({f"p{j}": pd.Series([], dtype="int64") for j in range(_JL_K)})
         p = np.vstack(q.to_numpy()).astype(np.int64, copy=False) @ smat
