@@ -23,36 +23,73 @@ from etl_inreach_spark.sources.kml import build_kml
 def events_as_kml_feeds(ev: DataFrame) -> DataFrame:
     """(user_id events) -> (share_id, body) KML docs, placemarks in
     event_id order. Test-harness generator (collect_list per user is
-    fine at test SF; production feeds arrive pre-built)."""
-    entry = lambda k, v: F.struct(F.lit(k).alias("name"), v.cast("string").alias("value"))  # noqa: E731
-    base_entries = F.array(
-        entry("IMEI", F.col("user_id")),
-        entry("Id", F.col("event_id")),
-        entry("Course", F.concat((F.col("event_id") % 360).cast("string"), F.lit(".5 ° True"))),
-        entry("Velocity", F.concat((F.col("event_id") % 200).cast("string"), F.lit(".0 km/h"))),
+    fine at test SF; production feeds arrive pre-built).
+
+    r12 (§2.3/§4.1): each placemark's XML is rendered as a flat STRING
+    per event row — whole-stage-codegen concat, replacing the pre-r12
+    per-element transform() rendering inside build_kml, which ran
+    INTERPRETED over each user's placemark-struct array — and the
+    per-user aggregation collects sorted strings that one array_join
+    stitches into the document. Output parity with the struct form:
+    the row-wise concat is build_kml's inner lambda applied verbatim
+    to the same field expressions, and the sort key change
+    (struct(event_id, pm_struct) -> struct(event_id, pm_xml)) orders
+    identically — within an event_id tie the old key compared
+    point_coordinates (equal: derived from the tied event_id + the
+    group's user_id) then timestamp_when, while the new key compares
+    the XML string whose first varying byte IS the fixed-width ISO
+    timestamp_when rendering; when that ties too, both elements are
+    fully equal under either key. Measured min-of-3 at sf0.1: 0.59
+    (struct collect + interpreted transform) / 1.07 (narrow collect +
+    interpreted post-agg rendering) / 0.33 s (this form)."""
+    eid, uid = F.col("event_id"), F.col("user_id")
+    when_s = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    data = lambda k, v: F.concat(  # noqa: E731
+        F.lit(f'<Data name="{k}"><value>'), v.cast("string"), F.lit("</value></Data>")
     )
-    entries = F.when(
-        F.col("event_id") % 3 == 0, base_entries
-    ).otherwise(
-        F.concat(base_entries, F.array(entry("Text", F.concat(F.lit("msg-"), F.col("event_id")))))
+    base_entries = F.concat(
+        data("IMEI", uid),
+        data("Id", eid),
+        data("Course", F.concat((eid % 360).cast("string"), F.lit(".5 ° True"))),
+        data("Velocity", F.concat((eid % 200).cast("string"), F.lit(".0 km/h"))),
     )
-    pm = F.struct(
+    entries_xml = F.when(eid % 3 == 0, base_entries).otherwise(
+        F.concat(base_entries, data("Text", F.concat(F.lit("msg-"), eid)))
+    )
+    pm_xml = F.concat(
+        F.lit("<Placemark>"),
+        # NULL-safe exactly like build_kml: a NULL `when`/coords drops
+        # its element, never the whole placemark
+        F.when(
+            when_s.isNotNull(),
+            F.concat(F.lit("<TimeStamp><when>"), when_s, F.lit("</when></TimeStamp>")),
+        ).otherwise(F.lit("")),
         F.concat(
-            (F.col("event_id") % 360).cast("string"),
+            F.lit("<Point><coordinates>"),
+            (eid % 360).cast("string"),
             F.lit(","),
-            (F.col("user_id") % 180).cast("string"),
-        ).alias("point_coordinates"),
-        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp_when"),
-        entries.alias("entries"),
+            (uid % 180).cast("string"),
+            F.lit("</coordinates></Point>"),
+        ),
+        F.lit("<ExtendedData>"),
+        entries_xml,
+        F.lit("</ExtendedData></Placemark>"),
     )
     per_user = (
-        ev.select(F.col("user_id"), F.struct(F.col("event_id"), pm.alias("pm")).alias("opm"))
+        ev.select(uid, F.struct(eid, pm_xml.alias("pm_xml")).alias("ox"))
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("opm")).alias("opms"))
+        .agg(F.sort_array(F.collect_list("ox")).alias("oxs"))
     )
     return per_user.select(
         F.concat(F.lit("S"), F.col("user_id")).alias("share_id"),
-        build_kml(F.transform(F.col("opms"), lambda x: x["pm"])).alias("body"),
+        F.concat(
+            F.lit(
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder>'
+            ),
+            F.array_join(F.transform(F.col("oxs"), lambda x: x["pm_xml"]), ""),
+            F.lit("</Folder></Document></kml>"),
+        ).alias("body"),
     )
 
 
