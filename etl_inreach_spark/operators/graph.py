@@ -215,11 +215,24 @@ def pagerank_integer(
       edge build, measured 21 s cold / 76 s by the third run at
       sf0.1 vs ~3 s for this linear form.
 
-    N rides as a broadcast 1-row aggregate off the checkpointed
-    degree relation (no driver collect). ``edges`` must be distinct
-    undirected pairs with u < v; symmetrization gives every node
-    degree >= 1, so the floor division never sees zero and no node
-    drops from the sums (every node has an in-edge).
+    N is read by ONE bounded 1-row collect at build time (r12) off the
+    degree relation the eager sym_deg checkpoint has just persisted —
+    the same frozen-at-build discipline as the nearest-cell centroid
+    collect and the nation-chain VALUES relation. The r11 form rode N
+    as a broadcast 1-row aggregate instead (no driver collect), but
+    that subtree is NOT shared across iterations: the initial plan
+    rebuilt the aggregate + BroadcastExchange + BroadcastNestedLoopJoin
+    once per iteration plus once for the seed (4x at iters=3), each a
+    broadcast-build job AQE cannot always dedupe, and the cross joins
+    blocked nothing else from simplifying. Inlining N as a literal
+    deletes every one of those operators; the two integer expressions
+    (seed rank, damping base) floor-divide identically in Python and
+    Spark (all operands non-negative). Frozen-at-build caveat: callers
+    that swap the upstream edge relation after build would keep the old
+    N — same contract as the quantizer collect. ``edges`` must be
+    distinct undirected pairs with u < v; symmetrization gives every
+    node degree >= 1, so the floor division never sees zero and no
+    node drops from the sums (every node has an in-edge).
     """
     # Only the LAST checkpoint in the chain is eager (r11): sym_deg's
     # materialization job computes edges -> sym -> deg in one pass,
@@ -235,20 +248,23 @@ def pagerank_integer(
         .localCheckpoint(eager=False)
     )
     sym_deg = sym.join(deg, "u").localCheckpoint(eager=True)
-    ntot = deg.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    base = f"({d_den - d_num}L * {scale}L) div ({d_den}L * _n)"
-    state = deg.crossJoin(F.broadcast(ntot)).select(
-        "u", F.expr(f"{scale}L div _n").alias("_rank")
-    )
+    # bounded: one bigint. deg's RDD is already persisted by sym_deg's
+    # checkpoint job, so this scans |V| cached rows. max(n, 1) only
+    # guards the Python division on an EMPTY edge relation — deg (and
+    # so every downstream relation) has zero rows then, the literals
+    # are never observed, and the result is empty either way.
+    n = max(deg.count(), 1)
+    base = (d_den - d_num) * scale // (d_den * n)
+    state = deg.select("u", F.lit(scale // n).cast("bigint").alias("_rank"))
     for _ in range(iters):
         sums = (
             sym_deg.join(state, "u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum(F.expr("_rank div _deg")).alias("_s"))
         )
-        state = sums.crossJoin(F.broadcast(ntot)).select(
+        state = sums.select(
             "u",
-            F.expr(f"{base} + ({d_num}L * _s) div {d_den}L").alias("_rank"),
+            F.expr(f"{base}L + ({d_num}L * _s) div {d_den}L").alias("_rank"),
         )
     return state.select(
         F.col("u").alias(node_alias), F.col("_rank").alias("rank_scaled")
